@@ -1,0 +1,371 @@
+"""The GPT decoder family — functional JAX, quirk-exact vs the reference.
+
+One configurable model covers every geometry/architecture the reference
+ships (SURVEY.md §2.3):
+
+- the post-LN ``nn.TransformerEncoder`` trainer/server arch
+  (reference api.py:41-50, train/train_large2.py:83-94): ``ln_placement="post"``,
+  ``activation="relu"``;
+- the pre-LN KV-cache serving arch (api_cache.py:39-106):
+  ``ln_placement="pre"``, ``activation="gelu"``;
+- the train_mini ``batch_first`` bug (train/train_mini.py:58): the encoder
+  reads ``[B, T, C]`` as ``[T, B, C]``, so attention mixes across the batch —
+  ``batch_first_bug=True`` reproduces it exactly;
+- **no causal mask anywhere** (api.py:49-50): ``causal=False`` is the
+  reference default; ``causal=True`` is the corrected mode.
+
+Parameters are stored in *torch layout* (``Linear.weight`` is ``[out, in]``,
+attention uses the fused ``in_proj`` ``[3D, D]``) so the checkpoint importer
+is a direct copy with no transposes (see models/import_torch.py). Compute is
+plain jnp — jit/pjit-friendly, static shapes, no Python control flow on
+traced values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int
+    seq_len: int            # model context (positions table semantics below)
+    d_model: int
+    n_head: int
+    n_layer: int
+    d_ff: int | None = None            # default 4*d_model (reference default)
+    causal: bool = False               # reference: never masked
+    ln_placement: str = "post"         # "post" (trainer arch) | "pre" (KV arch)
+    activation: str = "relu"           # "relu" (post-LN) | "gelu" (pre-LN)
+    pos_rows: int | None = None        # rows in pos table; default seq_len-1
+    batch_first_bug: bool = False      # train_mini.py:58 emulation
+    # api_cache.py:99 — the incremental KV step computes pos_emb[:T] with
+    # T == 1, so every generated token receives the position-0 embedding.
+    # True reproduces that serving behavior; False uses the true position.
+    pos_broadcast_bug: bool = False
+    ln_eps: float = 1e-5               # torch nn.LayerNorm default
+    dtype: str = "float32"             # compute dtype ("float32"|"bfloat16")
+
+    @property
+    def ff(self) -> int:
+        return self.d_ff if self.d_ff is not None else 4 * self.d_model
+
+    @property
+    def n_pos(self) -> int:
+        # Trainer GPTs allocate seq_len-1 rows (train/train_large2.py:87);
+        # GPTWithKV and MiniGPT allocate seq_len (api_cache.py:80,
+        # train/train_mini.py:57).
+        return self.pos_rows if self.pos_rows is not None else self.seq_len - 1
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.n_head == 0
+        return self.d_model // self.n_head
+
+    @property
+    def jnp_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+# Reference presets (geometry from SURVEY.md §2.1).
+def preset(name: str, vocab_size: int) -> GPTConfig:
+    presets = {
+        # train/train_mini.py:52-58 — d256 h4 L2, post-LN, batch_first bug,
+        # pos rows = SEQ_LEN.
+        "mini": dict(seq_len=512, d_model=256, n_head=4, n_layer=2,
+                     pos_rows=512, batch_first_bug=True),
+        # train/train_large.py:3-13 — d256 h8 L4, SEQ_LEN 256.
+        "large": dict(seq_len=256, d_model=256, n_head=8, n_layer=4),
+        # train/train_large2.py:10-13 — d512 h8 L6, SEQ_LEN 512.
+        "large2": dict(seq_len=512, d_model=512, n_head=8, n_layer=6),
+        # train/train_no_inst.py — same geometry as large2.
+        "no_inst": dict(seq_len=512, d_model=512, n_head=8, n_layer=6),
+        # api_cache.py:108-114 — pre-LN GPTWithKV serving arch (n_head=8).
+        "kv_server": dict(seq_len=512, d_model=512, n_head=8, n_layer=6,
+                          pos_rows=512, ln_placement="pre",
+                          activation="gelu", pos_broadcast_bug=True),
+        # BASELINE config 4: 2048-token context, batch 8.
+        "longform": dict(seq_len=2048, d_model=512, n_head=8, n_layer=6,
+                         causal=True),
+    }
+    return GPTConfig(vocab_size=vocab_size, **presets[name])
+
+
+# ------------------------------------------------------------------- init
+
+def init_params(rng: jax.Array, cfg: GPTConfig) -> dict:
+    """Initialize parameters matching torch's default initializers:
+    Embedding ~ N(0,1); pos = zeros (reference uses torch.zeros);
+    MultiheadAttention in_proj ~ Xavier-uniform, out_proj ~ Kaiming-uniform;
+    Linear ~ Kaiming-uniform(a=sqrt(5)) with fan-in bias bounds."""
+    keys = iter(jax.random.split(rng, 6 + 12 * cfg.n_layer))
+    D, FF, V = cfg.d_model, cfg.ff, cfg.vocab_size
+
+    def kaiming_linear(kw, kb, fan_out, fan_in):
+        bound_w = math.sqrt(6.0 / ((1 + 5) * fan_in))  # a=sqrt(5) kaiming
+        w = jax.random.uniform(kw, (fan_out, fan_in), jnp.float32,
+                               -bound_w, bound_w)
+        bound_b = 1.0 / math.sqrt(fan_in)
+        b = jax.random.uniform(kb, (fan_out,), jnp.float32,
+                               -bound_b, bound_b)
+        return {"w": w, "b": b}
+
+    def xavier_in_proj(k):
+        bound = math.sqrt(6.0 / (3 * D + D))
+        return jax.random.uniform(k, (3 * D, D), jnp.float32, -bound, bound)
+
+    layers = []
+    for _ in range(cfg.n_layer):
+        layers.append({
+            "attn": {
+                "in_w": xavier_in_proj(next(keys)),
+                "in_b": jnp.zeros((3 * D,)),
+                **{f"out_{n}": v for n, v in
+                   kaiming_linear(next(keys), next(keys), D, D).items()},
+            },
+            "ln1": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "ln2": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "mlp": {
+                "w1": kaiming_linear(next(keys), next(keys), FF, D)["w"],
+                "b1": jax.random.uniform(next(keys), (FF,), jnp.float32,
+                                         -1 / math.sqrt(D),
+                                         1 / math.sqrt(D)),
+                "w2": kaiming_linear(next(keys), next(keys), D, FF)["w"],
+                "b2": jax.random.uniform(next(keys), (D,), jnp.float32,
+                                         -1 / math.sqrt(FF),
+                                         1 / math.sqrt(FF)),
+            },
+        })
+    head = kaiming_linear(next(keys), next(keys), V, D)
+    return {
+        "tok_emb": jax.random.normal(next(keys), (V, D), jnp.float32),
+        "pos": jnp.zeros((cfg.n_pos, D), jnp.float32),
+        "layers": layers,
+        "head": head,
+    }
+
+
+# ---------------------------------------------------------------- compute
+
+def _layer_norm(x, g, b, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _linear(x, w, b):
+    """torch layout: w is [out, in]."""
+    return x @ w.T + b
+
+
+def _split_qkv(p):
+    D = p["in_w"].shape[1]
+    return ((p["in_w"][:D], p["in_b"][:D]),
+            (p["in_w"][D:2 * D], p["in_b"][D:2 * D]),
+            (p["in_w"][2 * D:], p["in_b"][2 * D:]))
+
+
+def _heads(x, n_head):
+    B, T, D = x.shape
+    return x.reshape(B, T, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def _unheads(x):
+    B, H, T, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
+
+
+def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig, mask=None):
+    """torch nn.MultiheadAttention semantics with fused in_proj.
+
+    mask: optional additive [.., Tq, Tk] bias (0 / -inf), or None (the
+    reference default — fully bidirectional, api.py:49-50).
+    """
+    (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p_attn)
+    q = _heads(_linear(q_in, wq, bq), cfg.n_head)
+    k = _heads(_linear(k_in, wk, bk), cfg.n_head)
+    v = _heads(_linear(v_in, wv, bv), cfg.n_head)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(cfg.head_dim)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = probs.astype(v.dtype)
+    out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
+    return _linear(out, p_attn["out_w"], p_attn["out_b"])
+
+
+def _activation(x, cfg: GPTConfig):
+    if cfg.activation == "gelu":
+        return jax.nn.gelu(x, approximate=False)  # torch nn.GELU default
+    return jax.nn.relu(x)
+
+
+def _mlp(p, x, cfg):
+    return _linear(_activation(_linear(x, p["w1"], p["b1"]), cfg),
+                   p["w2"], p["b2"])
+
+
+def block(p: dict, x, cfg: GPTConfig, mask=None):
+    """One transformer block; post-LN (torch TransformerEncoderLayer,
+    norm_first=False) or pre-LN (api_cache GPTBlock)."""
+    eps = cfg.ln_eps
+    if cfg.ln_placement == "post":
+        x = _layer_norm(x + attention(p["attn"], x, x, x, cfg, mask),
+                        p["ln1"]["g"], p["ln1"]["b"], eps)
+        x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                        p["ln2"]["g"], p["ln2"]["b"], eps)
+    else:
+        xn = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        x = x + attention(p["attn"], xn, xn, xn, cfg, mask)
+        x = x + _mlp(p["mlp"],
+                     _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps), cfg)
+    return x
+
+
+def _causal_mask(T, dtype):
+    return jnp.where(
+        jnp.tril(jnp.ones((T, T), bool)), 0.0,
+        jnp.finfo(dtype).min).astype(dtype)[None, None]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
+    """Full-sequence forward: [B, T] ids -> [B, T, V] logits.
+
+    Matches reference ``GPT.forward`` (api.py:49-50): embed + learned pos,
+    transformer stack (bidirectional unless cfg.causal), linear head.
+    """
+    B, T = ids.shape
+    dt = cfg.jnp_dtype
+    x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
+    mask = _causal_mask(T, dt) if cfg.causal else None
+    if cfg.batch_first_bug:
+        # train_mini.py:58 — the encoder consumed [B, T, C] as [T, B, C]:
+        # attention runs across the batch at every time position.
+        x = x.swapaxes(0, 1)
+        if mask is not None:
+            mask = _causal_mask(B, dt)[None, None]
+    for p in params["layers"]:
+        x = block(p, x, cfg, mask)
+    if cfg.batch_first_bug:
+        x = x.swapaxes(0, 1)
+    return _linear(x.astype(jnp.float32), params["head"]["w"],
+                   params["head"]["b"])
+
+
+# ------------------------------------------------------------ KV decoding
+
+def init_kv_cache(cfg: GPTConfig, batch: int, max_len: int | None = None):
+    """Preallocated HBM cache: [n_layer, B, H, max_len, Dh] keys + values."""
+    max_len = max_len or cfg.seq_len
+    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
+    dt = cfg.jnp_dtype
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+            "length": jnp.zeros((), jnp.int32)}
+
+
+def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
+            prompt_len=None):
+    """Warm-up pass over the prompt; fills the cache, returns (logits, cache).
+
+    Reproduces GPTWithKV's unmasked warm-up (api_cache.py:163): every prompt
+    position attends to the full prompt. ``prompt_len`` (static or traced)
+    masks padded prompt slots so bucketed compilation is possible.
+    """
+    B, T = ids.shape
+    dt = cfg.jnp_dtype
+    x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
+    if prompt_len is None:
+        base = _causal_mask(T, dt) if cfg.causal else None
+    else:
+        valid = jnp.arange(T)[None, :] < prompt_len  # [1, T] keys valid
+        pad = jnp.where(valid, 0.0, jnp.finfo(dt).min).astype(dt)
+        base = pad[:, None, None, :]  # [1,1,1,T]
+        if cfg.causal:
+            base = base + _causal_mask(T, dt)
+    new_k, new_v = [], []
+    for li, p in enumerate(params["layers"]):
+        if cfg.ln_placement == "post":
+            attn_in = x
+        else:
+            attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.ln_eps)
+        (_, _), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
+        new_k.append(_heads(_linear(attn_in, wk, bk), cfg.n_head))
+        new_v.append(_heads(_linear(attn_in, wv, bv), cfg.n_head))
+        x = block(p, x, cfg, base)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])
+    plen = prompt_len if prompt_len is not None else T
+    k = jnp.stack([jax.lax.dynamic_update_slice(
+        cache["k"][i], new_k[i], (0, 0, 0, 0)) for i in range(cfg.n_layer)])
+    v = jnp.stack([jax.lax.dynamic_update_slice(
+        cache["v"][i], new_v[i], (0, 0, 0, 0)) for i in range(cfg.n_layer)])
+    return logits, {"k": k, "v": v,
+                    "length": jnp.asarray(plen, jnp.int32)}
+
+
+def decode_step(params: dict, last_ids: jax.Array, cache: dict,
+                cfg: GPTConfig):
+    """One incremental decode step: [B, 1] ids + cache -> ([B, V], cache).
+
+    Math matches GPTWithKV's incremental path (api_cache.py:51-74): the new
+    token's q attends to every cached position plus itself; no mask. The
+    cache stores *projected* K/V — mathematically identical to the
+    reference's cached-pre-projection scheme (projection is per-position),
+    but O(1) instead of O(T) projection work per step.
+    """
+    B = last_ids.shape[0]
+    dt = cfg.jnp_dtype
+    t = cache["length"]
+    max_len = cache["k"].shape[3]
+    pos_idx = jnp.zeros_like(t) if cfg.pos_broadcast_bug else t
+    x = (params["tok_emb"][last_ids]
+         + jax.lax.dynamic_slice_in_dim(params["pos"], pos_idx, 1,
+                                        0)).astype(dt)
+    ks, vs = cache["k"], cache["v"]
+    new_ks, new_vs = [], []
+    for li, p in enumerate(params["layers"]):
+        eps = cfg.ln_eps
+        if cfg.ln_placement == "post":
+            attn_in = x
+        else:
+            attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
+        q = _heads(_linear(attn_in, wq, bq), cfg.n_head)       # [B,H,1,Dh]
+        k_new = _heads(_linear(attn_in, wk, bk), cfg.n_head)
+        v_new = _heads(_linear(attn_in, wv, bv), cfg.n_head)
+        k_all = jax.lax.dynamic_update_slice(ks[li], k_new, (0, 0, t, 0))
+        v_all = jax.lax.dynamic_update_slice(vs[li], v_new, (0, 0, t, 0))
+        new_ks.append(k_all)
+        new_vs.append(v_all)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q,
+                            k_all) / math.sqrt(cfg.head_dim)
+        key_pos = jnp.arange(max_len)
+        scores = jnp.where(key_pos[None, None, None, :] <= t, scores,
+                           jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v_all))
+        attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
+        if cfg.ln_placement == "post":
+            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
+            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                            p["ln2"]["g"], p["ln2"]["b"], eps)
+        else:
+            x = x + attn_out
+            x = x + _mlp(p["mlp"],
+                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
+                         cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])[:, 0]
+    return logits, {"k": jnp.stack(new_ks), "v": jnp.stack(new_vs),
+                    "length": t + 1}
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

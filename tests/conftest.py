@@ -7,7 +7,10 @@ same collectives).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the harness environment pre-sets
+# JAX_PLATFORMS=axon, which would route every test through the slow
+# single-chip TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
