@@ -1,0 +1,101 @@
+"""High-level generation API: token strings in, token strings out.
+
+``Generator`` mirrors the reference's serving entry points —
+``sample_kvcache`` (api_cache.py:159-184) and ``sample`` (api.py:77-92) —
+with the device work compiled and the RNG explicit/seedable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpt import GPTConfig
+from ..tokenizer.vocab import Vocab
+from .loop import generate_full, generate_kv
+
+END_TOKEN = "[END_SEQUENCE]"
+
+
+def _bucket(n: int, sizes=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return n
+
+
+class Generator:
+    """Owns (params, cfg, vocab); exposes reference-shaped sampling calls.
+
+    Prompt buffers are padded to power-of-two buckets so repeated requests
+    with different prompt lengths reuse compiled programs.
+    """
+
+    def __init__(self, params: dict, cfg: GPTConfig, vocab: Vocab,
+                 eos_token: str = END_TOKEN, pad_token: str = "[PAD]"):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.eos_id = vocab.get(eos_token, -1)
+        self.pad_id = vocab.get(pad_token, 0)
+
+    # -- id-level ---------------------------------------------------------
+
+    def generate_ids(self, prompt_ids: list[int], max_len: int | None = None,
+                     temperature: float = 1.0, top_k: int = 50,
+                     seed: int = 0, greedy: bool = False, batch: int = 1,
+                     use_cache: bool = True,
+                     refeed_last_prompt: bool = True) -> np.ndarray:
+        """Returns [batch, n_tokens] generated id rows (prompt included)."""
+        max_len = max_len or self.cfg.seq_len
+        p = len(prompt_ids)
+        bucket = min(_bucket(p), max_len)
+        prompt = np.full((batch, bucket), self.pad_id, np.int32)
+        prompt[:, :p] = prompt_ids
+        rng = jax.random.PRNGKey(seed)
+        if use_cache:
+            buf, pos = generate_kv(
+                self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
+                temperature=temperature, top_k=top_k, eos_id=self.eos_id,
+                pad_id=self.pad_id, greedy=greedy,
+                refeed_last_prompt=refeed_last_prompt)
+        else:
+            buf, pos = generate_full(
+                self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
+                temperature=temperature, top_k=top_k, eos_id=self.eos_id,
+                pad_id=self.pad_id, greedy=greedy)
+        return np.asarray(buf)[:, :int(pos)]
+
+    # -- token-string level (Scheme A serving) -----------------------------
+
+    def sample_kvcache(self, prompt: list[str], max_len: int | None = None,
+                       temperature: float = 1.0, top_k: int = 50,
+                       seed: int = 0, greedy: bool = False) -> list[str]:
+        """Reference-shaped: prompt token strings -> generated token strings,
+        trimmed at the first [END_SEQUENCE] (inclusive), batch 1."""
+        ids = self.vocab.encode(prompt)
+        row = self.generate_ids(ids, max_len=max_len,
+                                temperature=temperature, top_k=top_k,
+                                seed=seed, greedy=greedy)[0]
+        return self._trim(row)
+
+    def sample(self, prompt: list[str], max_len: int | None = None,
+               temperature: float = 1.0, top_k: int = 50, seed: int = 0,
+               greedy: bool = False) -> list[str]:
+        """Uncached path (reference api.py sample())."""
+        ids = self.vocab.encode(prompt)
+        row = self.generate_ids(ids, max_len=max_len,
+                                temperature=temperature, top_k=top_k,
+                                seed=seed, greedy=greedy,
+                                use_cache=False)[0]
+        return self._trim(row)
+
+    def _trim(self, row) -> list[str]:
+        toks = []
+        for i in row:
+            toks.append(self.vocab.id2tok[int(i)])
+            if int(i) == self.eos_id:
+                break
+        return toks

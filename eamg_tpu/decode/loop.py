@@ -1,0 +1,149 @@
+"""Compiled autoregressive generation: one ``lax.while_loop`` per request.
+
+Replaces the reference's per-token Python loops (api_cache.py:166-182 hot
+loop; api.py:81-91 uncached loop) with single compiled programs:
+
+- :func:`generate_kv` — KV-cache decode. The cache lives in HBM as a
+  preallocated ``[L, B, H, max_len, Dh]`` buffer updated with
+  ``dynamic_update_slice``; sampling (temperature / top-k / categorical) is
+  fused on-device; early exit on ``[END_SEQUENCE]`` via the loop predicate.
+- :func:`generate_full` — the uncached O(T²) ablation path: each step
+  re-encodes the whole prefix (reference ``sample()``), expressed as a
+  fixed-shape masked forward so XLA compiles ONCE instead of once per
+  length.
+
+Reference-exactness flags:
+- ``refeed_last_prompt=True`` reproduces sample_kvcache verbatim: the
+  warm-up logits are discarded and the first loop iteration re-feeds the
+  final prompt token, duplicating it in the cache (api_cache.py:162-168).
+  False samples directly from the prefill logits (efficient mode).
+- EOS is appended before stopping, like the reference (api_cache.py:179-182).
+
+Shapes are static: ``max_len`` and ``top_k`` compile into the program;
+per-request prompt lengths are handled by padding the prompt buffer and
+masking (bucketed compilation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpt import GPTConfig, decode_step, forward_masked, prefill
+from ..models.gpt import init_kv_cache
+from .sampling import sample_token
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
+                                   "refeed_last_prompt", "mask_value"))
+def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
+                cfg: GPTConfig, max_len: int, temperature: float = 1.0,
+                top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
+                greedy: bool = False, refeed_last_prompt: bool = True,
+                mask_value: float = -1e10):
+    """KV-cache generation.
+
+    prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
+    number of real prompt tokens (same for all rows). Returns
+    (tokens [B, max_len], n_tokens scalar) where positions >= n_tokens are
+    pad_id.
+    """
+    B, P = prompt.shape
+    cache = init_kv_cache(cfg, B, max_len)
+    logits0, cache = prefill(params, prompt, cfg, cache,
+                             prompt_len=prompt_len)
+
+    buf = jnp.full((B, max_len), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.where(jnp.arange(P)[None, :] < prompt_len, prompt,
+                       pad_id).astype(jnp.int32), (0, 0))
+
+    done0 = jnp.zeros((B,), bool)
+    if refeed_last_prompt:
+        # Reference mode: discard warm-up logits; first step re-feeds the
+        # last prompt token.
+        last0 = jnp.take_along_axis(
+            prompt.astype(jnp.int32),
+            jnp.broadcast_to(prompt_len - 1, (B,))[:, None], axis=1)[:, 0]
+        pos0 = prompt_len
+        rng0 = rng
+    else:
+        # Efficient mode: the warm-up logits at the last real prompt
+        # position directly yield the first token.
+        rng0, sub = jax.random.split(rng)
+        idx = jnp.broadcast_to(prompt_len - 1, (B,))[:, None, None]
+        last_logits = jnp.take_along_axis(
+            logits0, jnp.broadcast_to(idx, (B, 1, logits0.shape[-1])),
+            axis=1)[:, 0]
+        first = sample_token(sub, last_logits, temperature, top_k,
+                             mask_value, greedy)
+        buf = jax.lax.dynamic_update_slice(buf, first[:, None],
+                                           (0, prompt_len))
+        done0 = first == eos_id
+        last0 = first
+        pos0 = prompt_len + 1
+
+    def cond(state):
+        buf, pos, last, done, rng, cache = state
+        return jnp.logical_and(pos < max_len, ~jnp.all(done))
+
+    def body(state):
+        buf, pos, last, done, rng, cache = state
+        rng, sub = jax.random.split(rng)
+        logits, cache = decode_step(params, last[:, None], cache, cfg)
+        nxt = sample_token(sub, logits, temperature, top_k, mask_value,
+                           greedy)
+        write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
+        done = jnp.logical_or(done, nxt == eos_id)
+        return buf, pos + 1, nxt, done, rng, cache
+
+    buf, pos, _, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (buf, jnp.asarray(pos0, jnp.int32), last0, done0, rng0, cache))
+    return buf, pos
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
+                                   "mask_value"))
+def generate_full(params: dict, prompt: jax.Array, prompt_len,
+                  rng: jax.Array, cfg: GPTConfig, max_len: int,
+                  temperature: float = 1.0, top_k: int = 50,
+                  eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
+                  mask_value: float = -1e10):
+    """Uncached generation (reference ``sample()``, api.py:77-92): each step
+    re-encodes the whole prefix bidirectionally. One fixed-shape compile:
+    the forward always sees [B, max_len-1] with a validity mask."""
+    B, P = prompt.shape
+    T = max_len - 1  # the reference never re-encodes the final token
+    buf = jnp.full((B, max_len), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.where(jnp.arange(P)[None, :] < prompt_len, prompt,
+                       pad_id).astype(jnp.int32), (0, 0))
+
+    def cond(state):
+        buf, pos, done, rng = state
+        return jnp.logical_and(pos < max_len, ~jnp.all(done))
+
+    def body(state):
+        buf, pos, done, rng = state
+        rng, sub = jax.random.split(rng)
+        logits = forward_masked(params, buf[:, :T], cfg, valid_len=pos)
+        idx = jnp.broadcast_to(pos - 1, (B,))[:, None, None]
+        last_logits = jnp.take_along_axis(
+            logits, jnp.broadcast_to(idx, (B, 1, logits.shape[-1])),
+            axis=1)[:, 0]
+        nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
+                           greedy)
+        write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
+        done = jnp.logical_or(done, nxt == eos_id)
+        return buf, pos + 1, done, rng
+
+    buf, pos, _, _ = jax.lax.while_loop(
+        cond, body,
+        (buf, jnp.asarray(prompt_len, jnp.int32),
+         jnp.zeros((B,), bool), rng))
+    return buf, pos

@@ -259,6 +259,36 @@ def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
                    params["head"]["b"])
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def forward_masked(params: dict, ids: jax.Array, cfg: GPTConfig,
+                   valid_len) -> jax.Array:
+    """Fixed-shape forward with only the first ``valid_len`` positions
+    treated as present: attention keys beyond valid_len are masked out for
+    every query, which is exactly equivalent to running :func:`forward` on
+    the physically-shorter ``ids[:, :valid_len]``. Lets the uncached decode
+    loop (reference sample(), api.py:81-91) compile once instead of once
+    per prefix length.
+
+    Not supported with batch_first_bug (attention crosses the batch there;
+    at the reference's serving batch of 1 the bug makes every position
+    attend only to itself, so masking is unnecessary — plain forward works).
+    """
+    B, T = ids.shape
+    dt = cfg.jnp_dtype
+    x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
+    if cfg.batch_first_bug:
+        return forward(params, ids, cfg)
+    valid = jnp.arange(T)[None, :] < valid_len
+    mask = jnp.where(valid, 0.0, jnp.finfo(dt).min).astype(dt)[:, None,
+                                                               None, :]
+    if cfg.causal:
+        mask = mask + _causal_mask(T, dt)
+    for p in params["layers"]:
+        x = block(p, x, cfg, mask)
+    return _linear(x.astype(jnp.float32), params["head"]["w"],
+                   params["head"]["b"])
+
+
 # ------------------------------------------------------------ KV decoding
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_len: int | None = None):

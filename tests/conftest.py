@@ -3,22 +3,32 @@
 Multi-chip TPU hardware is not available in CI; sharding/pjit tests run on
 XLA's host platform with 8 virtual devices instead (same compilation path,
 same collectives).
+
+Two environment landmines handled here:
+- the harness pre-sets JAX_PLATFORMS=axon (a tunneled single TPU chip with
+  very slow host transfers), and the jaxtyping pytest plugin imports jax
+  BEFORE conftest runs, freezing env-derived config — so we must update
+  jax.config directly, not just os.environ;
+- torch and jax thread pools deadlock XLA:CPU compilation when sharing a
+  process on this single-CPU host, so torch oracles run in subprocesses
+  (tests/torch_oracle.py), never in the pytest process.
 """
 
 import os
 
-# Force-set (not setdefault): the harness environment pre-sets
-# JAX_PLATFORMS=axon, which would route every test through the slow
-# single-chip TPU tunnel.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
+import jax  # noqa: E402  (may already be imported by a pytest plugin)
 
-import pytest
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 

@@ -124,16 +124,19 @@ def main(path):
     kv = TorchGPTWithKV().eval()
     kv.pos_emb.normal_(0, 0.02)
     sd_to_npz("kv", kv, out)
-    # greedy KV decode exactly as sample_kvcache (api_cache.py:159-184,
-    # argmax mode): warm-up over prompt, then one token at a time.
+    # greedy KV decode VERBATIM as sample_kvcache (api_cache.py:159-184,
+    # argmax mode): warm-up logits are DISCARDED; the first loop iteration
+    # re-feeds the last prompt token (duplicating it in the cache, with the
+    # pos-0 quirk), and sampling starts from that step's logits.
     prompt = [5, 6, 7, 8]
-    ids_t = torch.tensor([prompt])
-    logits, past = kv(ids_t)
-    generated = ids_t
+    input_ids = torch.tensor([prompt])
+    logits, past_kv = kv(input_ids)
+    generated = input_ids
     for _ in range(24):
+        last_id = generated[:, -1:]
+        logits, past_kv = kv(last_id, past_kv)
         nxt = logits[:, -1, :].argmax(-1, keepdim=True)
         generated = torch.cat([generated, nxt], dim=1)
-        logits, past = kv(nxt, past)
     out["greedy_kv"] = generated.numpy()
     # prompt-pass logits for prefill parity
     out["kv_prompt_logits"], _ = kv(torch.tensor([prompt]))
