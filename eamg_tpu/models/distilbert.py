@@ -1,0 +1,259 @@
+"""DistilBERT-for-sequence-classification in functional JAX, with LoRA.
+
+Replaces the reference's torch/HF classifier (emotion_analysis/modeling.py:
+8-25 loads DistilBERT + a PEFT LoRA adapter from the HF Hub at import time).
+Here the model is a pure-JAX forward over torch-layout params; the LoRA
+adapter (r=8, alpha=16, targets q_lin/v_lin — Scripts/finetuneDistillBert
+.ipynb cell 8) is merged at load as ``W + (alpha/r)·B@A`` so serving costs
+nothing extra; the HF/PEFT state-dict importer speaks the hub checkpoint's
+key dialect so `SaiRohitMurali/distilbertmodel-598` can be converted offline.
+
+Fixed-shape (pad-to-max_len) jitted forward: one compiled program serves
+every prompt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DistilBertConfig:
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    dim: int = 768
+    n_layers: int = 6
+    n_heads: int = 12
+    hidden_dim: int = 3072
+    num_labels: int = 28
+    pad_token_id: int = 0
+    ln_eps: float = 1e-12
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+def _ln(x, g, b, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _lin(x, p):
+    return x @ p["w"].T + p["b"]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
+            cfg: DistilBertConfig) -> jax.Array:
+    """[B, T] ids + [B, T] 0/1 mask -> [B, num_labels] logits."""
+    B, T = ids.shape
+    x = (params["word_emb"][ids]
+         + params["pos_emb"][jnp.arange(T)][None])
+    x = _ln(x, params["emb_ln"]["g"], params["emb_ln"]["b"], cfg.ln_eps)
+
+    neg = jnp.finfo(x.dtype).min
+    key_mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+    def heads(y):
+        return y.reshape(B, T, cfg.n_heads, cfg.head_dim).transpose(
+            0, 2, 1, 3)
+
+    for p in params["layers"]:
+        q = heads(_lin(x, p["q"])) / math.sqrt(cfg.head_dim)
+        k = heads(_lin(x, p["k"]))
+        v = heads(_lin(x, p["v"]))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) + key_mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, cfg.dim)
+        x = _ln(x + _lin(ctx, p["out"]), p["sa_ln"]["g"], p["sa_ln"]["b"],
+                cfg.ln_eps)
+        h = jax.nn.gelu(_lin(x, p["lin1"]), approximate=False)
+        x = _ln(x + _lin(h, p["lin2"]), p["out_ln"]["g"], p["out_ln"]["b"],
+                cfg.ln_eps)
+
+    pooled = x[:, 0]
+    pooled = jax.nn.relu(_lin(pooled, params["pre_classifier"]))
+    return _lin(pooled, params["classifier"])
+
+
+# ----------------------------------------------------------------- import
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _strip_prefixes(sd: dict) -> dict:
+    """Drop PEFT wrappers: base_model.model., .base_layer, modules_to_save."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("base_model.model.", "")
+        k = k.replace(".base_layer", "")
+        k = k.replace(".modules_to_save.default", "")
+        k = k.replace(".original_module", "")
+        out[k] = v
+    return out
+
+
+def import_hf_state_dict(sd: dict, cfg: DistilBertConfig,
+                         lora_alpha: float = 16.0) -> dict:
+    """HF DistilBertForSequenceClassification state dict (optionally with
+    PEFT LoRA keys) -> our param pytree, LoRA merged."""
+    sd = _strip_prefixes(sd)
+
+    def lin(name):
+        w = _np(sd[f"{name}.weight"]).astype(np.float32)
+        b = _np(sd[f"{name}.bias"]).astype(np.float32)
+        la, lb = f"{name}.lora_A.default.weight", \
+            f"{name}.lora_B.default.weight"
+        if la in sd:
+            A = _np(sd[la]).astype(np.float32)   # [r, in]
+            Bm = _np(sd[lb]).astype(np.float32)  # [out, r]
+            w = w + (lora_alpha / A.shape[0]) * (Bm @ A)
+        return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"distilbert.transformer.layer.{i}"
+        layers.append({
+            "q": lin(f"{pre}.attention.q_lin"),
+            "k": lin(f"{pre}.attention.k_lin"),
+            "v": lin(f"{pre}.attention.v_lin"),
+            "out": lin(f"{pre}.attention.out_lin"),
+            "sa_ln": {"g": jnp.asarray(_np(sd[f"{pre}.sa_layer_norm.weight"])),
+                      "b": jnp.asarray(_np(sd[f"{pre}.sa_layer_norm.bias"]))},
+            "lin1": lin(f"{pre}.ffn.lin1"),
+            "lin2": lin(f"{pre}.ffn.lin2"),
+            "out_ln": {
+                "g": jnp.asarray(_np(sd[f"{pre}.output_layer_norm.weight"])),
+                "b": jnp.asarray(_np(sd[f"{pre}.output_layer_norm.bias"]))},
+        })
+    return {
+        "word_emb": jnp.asarray(
+            _np(sd["distilbert.embeddings.word_embeddings.weight"])),
+        "pos_emb": jnp.asarray(
+            _np(sd["distilbert.embeddings.position_embeddings.weight"])),
+        "emb_ln": {
+            "g": jnp.asarray(_np(sd["distilbert.embeddings.LayerNorm.weight"])),
+            "b": jnp.asarray(_np(sd["distilbert.embeddings.LayerNorm.bias"]))},
+        "layers": layers,
+        "pre_classifier": lin("pre_classifier"),
+        "classifier": lin("classifier"),
+    }
+
+
+def init_params(rng: jax.Array, cfg: DistilBertConfig) -> dict:
+    """Random init (N(0, 0.02) matmuls, unit LayerNorms) for tests/training
+    from scratch."""
+    keys = iter(jax.random.split(rng, 8 + 6 * cfg.n_layers))
+
+    def lin(fan_out, fan_in):
+        return {"w": 0.02 * jax.random.normal(next(keys), (fan_out, fan_in)),
+                "b": jnp.zeros((fan_out,))}
+
+    def ln(d):
+        return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+    D, FF = cfg.dim, cfg.hidden_dim
+    layers = [{
+        "q": lin(D, D), "k": lin(D, D), "v": lin(D, D), "out": lin(D, D),
+        "sa_ln": ln(D), "lin1": lin(FF, D), "lin2": lin(D, FF),
+        "out_ln": ln(D),
+    } for _ in range(cfg.n_layers)]
+    return {
+        "word_emb": 0.02 * jax.random.normal(
+            next(keys), (cfg.vocab_size, D)),
+        "pos_emb": 0.02 * jax.random.normal(
+            next(keys), (cfg.max_position_embeddings, D)),
+        "emb_ln": ln(D),
+        "layers": layers,
+        "pre_classifier": lin(D, D),
+        "classifier": lin(cfg.num_labels, D),
+    }
+
+
+# ------------------------------------------------------------- tokenizer
+
+class WordPieceTokenizer:
+    """BERT-style WordPiece tokenizer (lowercasing + punctuation split +
+    greedy longest-match subwords), self-contained — the reference pulls
+    HF's tokenizer from the network (modeling.py:14)."""
+
+    def __init__(self, vocab, unk="[UNK]", cls="[CLS]", sep="[SEP]",
+                 pad="[PAD]", max_input_chars_per_word=100):
+        if isinstance(vocab, (str, bytes)):
+            with open(vocab, encoding="utf-8") as f:
+                vocab = [line.rstrip("\n") for line in f]
+        self.vocab = {t: i for i, t in enumerate(vocab)}
+        self.unk, self.cls, self.sep, self.pad = unk, cls, sep, pad
+        self.max_chars = max_input_chars_per_word
+
+    @staticmethod
+    def _basic(text: str) -> list[str]:
+        text = text.lower()
+        text = re.sub(r"\s+", " ", text).strip()
+        out, buf = [], []
+        for ch in text:
+            if ch.isalnum():
+                buf.append(ch)
+            else:
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                if not ch.isspace():
+                    out.append(ch)
+        if buf:
+            out.append("".join(buf))
+        return out
+
+    def _wordpiece(self, word: str) -> list[str]:
+        if len(word) > self.max_chars:
+            return [self.unk]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> list[str]:
+        out = []
+        for word in self._basic(text):
+            out.extend(self._wordpiece(word))
+        return out
+
+    def encode(self, text: str, max_length: int = 128) -> dict:
+        """-> {"input_ids": [T], "attention_mask": [T]} padded to
+        max_length, truncated with [CLS]/[SEP] preserved."""
+        toks = self.tokenize(text)[:max_length - 2]
+        toks = [self.cls] + toks + [self.sep]
+        ids = [self.vocab.get(t, self.vocab.get(self.unk, 0)) for t in toks]
+        mask = [1] * len(ids)
+        pad_id = self.vocab.get(self.pad, 0)
+        while len(ids) < max_length:
+            ids.append(pad_id)
+            mask.append(0)
+        return {"input_ids": np.asarray(ids, np.int32),
+                "attention_mask": np.asarray(mask, np.int32)}
