@@ -154,14 +154,20 @@ def init_params(rng: jax.Array, cfg: GPTConfig) -> dict:
 # ---------------------------------------------------------------- compute
 
 def _layer_norm(x, g, b, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+    """LayerNorm in float32 (stability), output in the input dtype."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b
+    return out.astype(dt)
 
 
 def _linear(x, w, b):
-    """torch layout: w is [out, in]."""
-    return x @ w.T + b
+    """torch layout: w is [out, in]. Weights cast to the activation dtype so
+    bfloat16 mode actually runs the MXU in bf16 (f32 weights would silently
+    promote every matmul back to f32)."""
+    return x @ w.T.astype(x.dtype) + b.astype(x.dtype)
 
 
 def _split_qkv(p):

@@ -1,0 +1,82 @@
+"""Device mesh + sharding rules.
+
+The reference's only distributed machinery is HF-accelerate DDP: an implicit
+NCCL gradient all-reduce plus one control-plane ``broadcast_object_list`` for
+the vocab (train/train_large.py:58-86). TPU-natively, both disappear into
+compiler-inserted collectives: one ``jax.sharding.Mesh`` with a ``data``
+axis (DP — the gradient psum rides ICI) and an optional ``model`` axis
+(Megatron-style tensor parallelism for the head/FFN/attention projections).
+The vocab broadcast is gone by construction — vocab building is
+deterministic (tokenizer/vocab.py), every host computes the same bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Create a (data, model) mesh. data=None uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    grid = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def param_pspecs(params: dict, tp: bool) -> dict:
+    """PartitionSpec tree for a GPT param pytree.
+
+    tp=False: fully replicated (the reference models are <= ~30M params —
+    DP-only is the faithful mode). tp=True: Megatron column/row parallel —
+    QKV and FFN-in split on the output dim, attention-out and FFN-out on the
+    input dim, LM head on the vocab dim; XLA inserts the psums.
+    """
+    def layer_spec():
+        if not tp:
+            return {
+                "attn": {"in_w": P(), "in_b": P(), "out_w": P(),
+                         "out_b": P()},
+                "ln1": {"g": P(), "b": P()}, "ln2": {"g": P(), "b": P()},
+                "mlp": {"w1": P(), "b1": P(), "w2": P(), "b2": P()},
+            }
+        return {
+            "attn": {"in_w": P("model", None), "in_b": P("model"),
+                     "out_w": P(None, "model"), "out_b": P()},
+            "ln1": {"g": P(), "b": P()}, "ln2": {"g": P(), "b": P()},
+            "mlp": {"w1": P("model", None), "b1": P("model"),
+                    "w2": P(None, "model"), "b2": P()},
+        }
+
+    head = {"w": P("model", None), "b": P("model")} if tp else \
+        {"w": P(), "b": P()}
+    return {
+        "tok_emb": P(),
+        "pos": P(),
+        "layers": [layer_spec() for _ in params["layers"]],
+        "head": head,
+    }
+
+
+def shard_params(params: dict, mesh: Mesh, tp: bool = False) -> dict:
+    """Place a param pytree onto the mesh per :func:`param_pspecs`."""
+    specs = param_pspecs(params, tp)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def batch_pspec() -> P:
+    """Batches shard over the data axis: [B, ...] -> P('data', ...)."""
+    return P("data")
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_pspec())

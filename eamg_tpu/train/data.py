@@ -1,0 +1,110 @@
+"""Host data pipeline: corpus CSV streaming -> padded/shifted id batches.
+
+Reproduces the reference's loaders:
+- streaming CSV reader over the ``tokens`` column (CSVStream,
+  train/train_large.py:94-122) without the IterableDataset machinery;
+- pad to SEQ_LEN then shift: x = full[:-1], y = full[1:]
+  (train/train_mini.py:44-50, train_large2.py:77-80).
+
+Also provides a synthetic corpus generator (fake Scheme-A songs) so tests
+and benchmarks never need the 100GB Lakh CSV.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import random
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+
+def iter_csv_tokens(path: str, max_rows: int | None = None,
+                    column: str = "tokens") -> Iterator[str]:
+    """Stream the JSON-encoded token column of a corpus CSV."""
+    with open(path, newline="", encoding="utf-8") as f:
+        reader = csv.DictReader(f)
+        for i, row in enumerate(reader):
+            if max_rows is not None and i >= max_rows:
+                return
+            yield row[column]
+
+
+def pad_and_shift(ids: list[int], seq_len: int, pad_id: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """ids -> (x [seq_len-1], y [seq_len-1]): pad to seq_len, shift by one."""
+    full = list(ids[:seq_len])
+    full.extend([pad_id] * (seq_len - len(full)))
+    arr = np.asarray(full, np.int32)
+    return arr[:-1], arr[1:]
+
+
+def batches(encoded: Iterable[list[int]], seq_len: int, pad_id: int,
+            micro_batch: int, accum_steps: int = 1, drop_last: bool = True,
+            shuffle_seed: int | None = None
+            ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (x, y) of shape [accum_steps, micro_batch, seq_len-1]."""
+    rows = list(encoded)
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(rows)
+    per_step = micro_batch * accum_steps
+    xs, ys = [], []
+    for ids in rows:
+        x, y = pad_and_shift(ids, seq_len, pad_id)
+        xs.append(x)
+        ys.append(y)
+        if len(xs) == per_step:
+            yield (np.stack(xs).reshape(accum_steps, micro_batch, -1),
+                   np.stack(ys).reshape(accum_steps, micro_batch, -1))
+            xs, ys = [], []
+    if xs and not drop_last:
+        while len(xs) < per_step:  # pad out the final step with PAD rows
+            xs.append(np.full_like(xs[0], pad_id))
+            ys.append(np.full_like(ys[0], pad_id))
+        yield (np.stack(xs).reshape(accum_steps, micro_batch, -1),
+               np.stack(ys).reshape(accum_steps, micro_batch, -1))
+
+
+# ------------------------------------------------------- synthetic corpus
+
+_PITCHES = ["C3", "D3", "E3", "F3", "G3", "A3", "B3", "C4", "D4", "E4",
+            "F4", "G4", "A4", "B4", "C5"]
+_KEYS = ["C major", "a minor", "G major", "e minor", "B- major", "f# minor"]
+_INSTRUMENTS = ["Violin", "Acoustic Grand Piano", "Flute"]
+
+
+def synthetic_song(rng: random.Random, n_notes: int = 24) -> list[str]:
+    """One fake Scheme-A token sequence with the exact string grammar."""
+    toks = ["[START_SEQUENCE]",
+            f"[BPM] {float(rng.randint(60, 180))}",
+            f"[KEY_SIGNATURE] {rng.choice(_KEYS)}"]
+    for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
+        toks.append(f"[INSTRUMENT] {inst}")
+        t = 0.0
+        for _ in range(n_notes):
+            dur = rng.choice([0.125, 0.25, 0.5, 1.0])
+            start, end = round(t, 3), round(t + dur, 3)
+            toks.append(
+                f"[NOTE] [PITCH:{rng.choice(_PITCHES)}] [START:{start}] "
+                f"[END:{end}] [DURATION:{round(dur, 3)}]")
+            t += dur
+    toks.append("[END_SEQUENCE]")
+    return toks
+
+
+def synthetic_corpus(n_rows: int, seed: int = 0,
+                     n_notes: int = 24) -> list[str]:
+    """JSON-encoded rows shaped like the lmd CSV 'tokens' column."""
+    rng = random.Random(seed)
+    return [json.dumps(synthetic_song(rng, n_notes)) for _ in range(n_rows)]
+
+
+def write_synthetic_csv(path: str, n_rows: int, seed: int = 0,
+                        n_notes: int = 24) -> None:
+    """Write a corpus CSV with the reference schema (file, key, tokens)."""
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["file", "key_signature", "tokens"])
+        for i, js in enumerate(synthetic_corpus(n_rows, seed, n_notes)):
+            w.writerow([f"synthetic_{i}.mid", "C major", js])

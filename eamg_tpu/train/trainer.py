@@ -1,0 +1,158 @@
+"""pjit training stack: DP/TP mesh, lax.scan gradient accumulation, optax.
+
+Behavioral contract reproduced from the reference trainers:
+- next-token CE with PAD ignored (``ignore_index=PAD``, train/train_mini.py:74)
+- AdamW, lr 3e-4, torch-default betas, no scheduler (train/train_large2.py:97)
+- logical-batch = micro-batch x accumulation steps (train_large.py:58:
+  ``Accelerator(gradient_accumulation_steps=8)``, batch 8 -> logical 64);
+  here accumulation is a ``lax.scan`` over microbatches inside ONE compiled
+  step, and the DP gradient all-reduce is the psum XLA inserts for the
+  ``data``-sharded batch — no NCCL, no DDP wrapper.
+- the paper's Table-5 recipe (AdamW β=(0.9, 0.95), warmup+cosine, grad-clip
+  1.0 — claimed in §10.2 but absent from the code) is the opt-in
+  ``paper`` preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gpt import GPTConfig, forward
+from ..parallel.mesh import data_sharding, param_pspecs, shard_params
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 3e-4
+    accum_steps: int = 1
+    micro_batch: int = 8          # per-step batch BEFORE accumulation
+    epochs: int = 6
+    pad_id: int = 0
+    b1: float = 0.9
+    b2: float = 0.999             # torch AdamW default (reference)
+    weight_decay: float = 0.01    # torch AdamW default
+    clip_norm: float | None = None
+    warmup_steps: int = 0
+    total_steps: int | None = None  # for cosine decay
+    schedule: str = "constant"    # "constant" | "warmup_cosine"
+    tp: bool = False              # tensor-parallel params over 'model' axis
+
+
+def reference_preset(name: str) -> TrainConfig:
+    """Presets mirroring the four reference trainers + the paper recipe."""
+    presets = {
+        # train/train_mini.py: batch 8, 5 epochs, AdamW 3e-4
+        "mini": TrainConfig(micro_batch=8, epochs=5),
+        # train/train_large.py: phys batch 8 x accum 8 = logical 64, 6 epochs
+        "large": TrainConfig(micro_batch=8, accum_steps=8, epochs=6),
+        # train/train_large2.py: batch 16, 6 epochs
+        "large2": TrainConfig(micro_batch=16, epochs=6),
+        # train/train_no_inst.py: same as large2
+        "no_inst": TrainConfig(micro_batch=16, epochs=6),
+        # paper §10.1-10.2 Table 5: β2=0.95, clip 1.0, warmup+cosine, ~200k
+        "paper": TrainConfig(micro_batch=16, epochs=6, b2=0.95,
+                             clip_norm=1.0, warmup_steps=2000,
+                             total_steps=200_000,
+                             schedule="warmup_cosine"),
+    }
+    return presets[name]
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    if tcfg.schedule == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=tcfg.lr,
+            warmup_steps=max(tcfg.warmup_steps, 1),
+            decay_steps=tcfg.total_steps or 100_000)
+    else:
+        lr = tcfg.lr
+    chain = []
+    if tcfg.clip_norm:
+        chain.append(optax.clip_by_global_norm(tcfg.clip_norm))
+    chain.append(optax.adamw(lr, b1=tcfg.b1, b2=tcfg.b2,
+                             weight_decay=tcfg.weight_decay))
+    return optax.chain(*chain)
+
+
+def loss_fn(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
+            pad_id: int):
+    """Next-token CE, PAD-masked — CrossEntropyLoss(ignore_index=PAD)."""
+    logits = forward(params, x, cfg)
+    mask = (y != pad_id)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * mask)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return total / count, count
+
+
+def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
+    """Returns a jitted step: (params, opt_state, x, y) -> (params,
+    opt_state, metrics).
+
+    x, y: [accum_steps, micro_batch, T]; the scan accumulates PAD-weighted
+    gradients so the result equals one big batch of accum*micro rows — the
+    exact contract of accelerate's accumulate() (train_large.py:149-155).
+    """
+    optimizer = optimizer or make_optimizer(tcfg)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def micro(carry, xy):
+            grad_acc, loss_acc, count_acc = carry
+            xi, yi = xy
+            (loss, count), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, xi, yi, cfg, tcfg.pad_id)
+            grad_acc = jax.tree.map(
+                lambda a, g: a + g * count, grad_acc, grads)
+            return (grad_acc, loss_acc + loss * count,
+                    count_acc + count), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum, count), _ = jax.lax.scan(
+            micro, (zeros, jnp.zeros(()), jnp.zeros((), jnp.int32)),
+            (x, y))
+        grads = jax.tree.map(lambda g: g / count, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss_sum / count,
+                                   "tokens": count}
+
+    return step
+
+
+class Trainer:
+    """Owns params/opt_state/mesh; feeds [accum, micro, T] batches to the
+    compiled step. On a multi-device mesh the micro-batch dim is sharded
+    over 'data' (DP) and params optionally over 'model' (TP)."""
+
+    def __init__(self, cfg: GPTConfig, tcfg: TrainConfig, params: dict,
+                 mesh=None):
+        self.cfg, self.tcfg = cfg, tcfg
+        self.mesh = mesh
+        self.optimizer = make_optimizer(tcfg)
+        if mesh is not None:
+            params = shard_params(params, mesh, tp=tcfg.tp)
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        self.step_fn = make_train_step(cfg, tcfg, self.optimizer)
+        self.step = 0
+
+    def train_step(self, x, y):
+        """x, y: [accum, micro, T] int arrays (host or device)."""
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, "data", None))
+            x = jax.device_put(jnp.asarray(x), sh)
+            y = jax.device_put(jnp.asarray(y), sh)
+        else:
+            x, y = jnp.asarray(x), jnp.asarray(y)
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, x, y)
+        self.step += 1
+        return {k: float(v) for k, v in metrics.items()}

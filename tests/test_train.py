@@ -1,0 +1,182 @@
+"""Training stack tests: loss semantics, gradient-accumulation contract,
+DP/TP mesh execution on the virtual 8-device CPU mesh, checkpoint
+round-trip, data pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eamg_tpu.models import GPTConfig, init_params
+from eamg_tpu.parallel import make_mesh, param_pspecs, shard_params
+from eamg_tpu.train import (TrainConfig, Trainer, batches, loss_fn,
+                            pad_and_shift, reference_preset,
+                            synthetic_corpus)
+from eamg_tpu.tokenizer import SchemeB2, Vocab
+from eamg_tpu.utils import load_checkpoint, save_checkpoint
+
+CFG = GPTConfig(vocab_size=64, seq_len=24, d_model=32, n_head=4, n_layer=2)
+
+
+def make_batch(rng, accum, micro, t=CFG.seq_len - 1, pad_tail=4):
+    x = rng.integers(1, CFG.vocab_size, (accum, micro, t)).astype(np.int32)
+    y = rng.integers(1, CFG.vocab_size, (accum, micro, t)).astype(np.int32)
+    y[..., -pad_tail:] = 0  # PAD region ignored by the loss
+    return x, y
+
+
+def test_loss_ignores_pad():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    x, y = make_batch(rng, 1, 2)
+    loss_a, count_a = loss_fn(params, jnp.asarray(x[0]), jnp.asarray(y[0]),
+                              CFG, 0)
+    # changing PAD-position labels must not change the loss
+    y2 = y.copy()
+    y2[..., -2:] = 0
+    loss_b, _ = loss_fn(params, jnp.asarray(x[0]), jnp.asarray(y2[0]),
+                        CFG, 0)
+    assert float(loss_a) == pytest.approx(float(loss_b))
+    assert int(count_a) == 2 * (CFG.seq_len - 1 - 4)
+
+
+def test_grad_accum_equals_big_batch():
+    """accum=4 x micro=2 must produce the same updated params as accum=1 x
+    micro=8 — the reference's logical-batch contract (train_large.py:58).
+    SGD is used so the comparison reflects gradient equality (first-step
+    Adam amplifies float noise on near-zero-gradient params by design)."""
+    import optax
+
+    from eamg_tpu.train.trainer import make_train_step
+
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(1)
+    x, y = make_batch(rng, 4, 2)
+    opt = optax.sgd(0.1)
+
+    step_a = make_train_step(CFG, TrainConfig(accum_steps=4, micro_batch=2),
+                             opt)
+    pa, _, _ = step_a(params, opt.init(params), jnp.asarray(x),
+                      jnp.asarray(y))
+    step_b = make_train_step(CFG, TrainConfig(accum_steps=1, micro_batch=8),
+                             opt)
+    pb, _, _ = step_b(params, opt.init(params),
+                      jnp.asarray(x.reshape(1, 8, -1)),
+                      jnp.asarray(y.reshape(1, 8, -1)))
+
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_loss_decreases():
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    trainer = Trainer(CFG, TrainConfig(lr=1e-3), params)
+    rng = np.random.default_rng(2)
+    x, y = make_batch(rng, 1, 8)
+    losses = [trainer.train_step(x, y)["loss"] for _ in range(12)]
+    assert losses[-1] < losses[0]
+
+
+def test_dp_mesh_runs_and_matches_single_device():
+    """8-way data parallelism: same batch, same params -> same loss and
+    same updated params as single-device (XLA psum == serial sum)."""
+    mesh = make_mesh(data=8, model=1)
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(3)
+    x, y = make_batch(rng, 2, 8)
+
+    single = Trainer(CFG, TrainConfig(accum_steps=2, micro_batch=8), params)
+    m_single = single.train_step(x, y)
+    sharded = Trainer(CFG, TrainConfig(accum_steps=2, micro_batch=8), params,
+                      mesh=mesh)
+    m_sharded = sharded.train_step(x, y)
+
+    assert m_single["loss"] == pytest.approx(m_sharded["loss"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(single.params),
+                    jax.tree.leaves(sharded.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_mesh_runs_and_matches():
+    """2-way tensor parallel x 4-way data parallel matches single-device."""
+    mesh = make_mesh(data=4, model=2)
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    rng = np.random.default_rng(4)
+    x, y = make_batch(rng, 1, 8)
+
+    single = Trainer(CFG, TrainConfig(), params)
+    m_single = single.train_step(x, y)
+    tp = Trainer(CFG, TrainConfig(tp=True), params, mesh=mesh)
+    m_tp = tp.train_step(x, y)
+    assert m_single["loss"] == pytest.approx(m_tp["loss"], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(single.params),
+                    jax.tree.leaves(tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_param_pspecs_structure():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    specs = param_pspecs(params, tp=True)
+    assert specs["head"]["w"] == jax.sharding.PartitionSpec("model", None)
+    flat_p = jax.tree.structure(params)
+    flat_s = jax.tree.structure(
+        specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    assert flat_p == flat_s
+
+
+def test_reference_presets():
+    large = reference_preset("large")
+    assert large.accum_steps == 8 and large.micro_batch == 8
+    paper = reference_preset("paper")
+    assert paper.b2 == 0.95 and paper.clip_norm == 1.0
+    assert paper.schedule == "warmup_cosine"
+
+
+def test_data_pipeline_scheme_b2():
+    corpus = synthetic_corpus(20, seed=0, n_notes=8)
+    b2 = SchemeB2(seq_len=24)
+    encoded = [b2.explode(js) for js in corpus]
+    steps = list(batches(encoded, seq_len=24, pad_id=b2.vocab.pad_id,
+                         micro_batch=4, accum_steps=2))
+    assert len(steps) == 2  # 20 rows // (4*2) = 2 full steps
+    x, y = steps[0]
+    assert x.shape == (2, 4, 23) and y.shape == (2, 4, 23)
+    # shift contract: y is x shifted left by one (where not padding)
+    np.testing.assert_array_equal(x[0, 0, 1:], y[0, 0, :-1])
+
+
+def test_pad_and_shift():
+    x, y = pad_and_shift([5, 6, 7], seq_len=6, pad_id=0)
+    assert x.tolist() == [5, 6, 7, 0, 0]
+    assert y.tolist() == [6, 7, 0, 0, 0]
+
+
+def test_checkpoint_round_trip(tmp_path):
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    trainer = Trainer(CFG, TrainConfig(), params)
+    rng = np.random.default_rng(5)
+    x, y = make_batch(rng, 1, 4)
+    trainer.train_step(x, y)
+
+    vocab = {"[PAD]": 0, "a": 1}
+    save_checkpoint(str(tmp_path / "ckpt"), trainer.params, vocab, CFG,
+                    opt_state=trainer.opt_state, step=trainer.step,
+                    rng_key=jax.random.PRNGKey(0))
+    loaded = load_checkpoint(str(tmp_path / "ckpt"))
+    assert loaded["cfg"] == CFG
+    assert loaded["vocab"] == vocab
+    assert loaded["step"] == 1
+    for a, b in zip(jax.tree.leaves(trainer.params),
+                    jax.tree.leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume continues optimization bit-exactly
+    resumed = Trainer(CFG, TrainConfig(), loaded["params"])
+    resumed.opt_state = jax.tree.map(
+        lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+        loaded["opt_state"])
+    m1 = trainer.train_step(x, y)
+    m2 = resumed.train_step(x, y)
+    assert m1["loss"] == pytest.approx(m2["loss"], abs=1e-6)
