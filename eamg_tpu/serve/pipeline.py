@@ -1,0 +1,107 @@
+"""End-to-end request pipeline: text -> emotion -> prompt -> MIDI -> WAV.
+
+The orchestration mirrors the reference endpoint (api_cache.py:186-241):
+classify, EATS-map, assemble control tokens, decode, detokenize, render —
+but the model is loaded once and jitted (the reference rebuilt nothing per
+request either, module scope, api_cache.py:108-138), sampling RNG is
+seedable, and per-phase wall-clock timings are returned (the reference had
+print() statements; SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import io
+import time
+from dataclasses import dataclass, field
+
+from ..audio import render_to_wav
+from ..decode import Generator
+from ..emotion import EmotionClassifier, get_music_params
+from ..tokenizer import assemble_prompt, tokens_to_song
+
+
+@dataclass
+class GenerationResult:
+    label: str
+    mapping: dict
+    prompt_tokens: list
+    tokens: list
+    midi_bytes: bytes
+    wav_bytes: bytes | None
+    timings_ms: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(self, generator: Generator,
+                 classifier: EmotionClassifier | None = None,
+                 full_gm: bool = False, render_audio: bool = True):
+        self.generator = generator
+        self.classifier = classifier or EmotionClassifier()
+        self.full_gm = full_gm
+        self.render_audio = render_audio
+
+    def warmup(self) -> None:
+        """Compile the decode program before the first request."""
+        self.generate("warm up the compiler", seed=0, render_audio=False)
+
+    def generate(self, prompt_text: str, temperature: float = 1.0,
+                 top_k: int = 50, seed: int | None = None,
+                 render_audio: bool | None = None) -> GenerationResult:
+        render = self.render_audio if render_audio is None else render_audio
+        timings = {}
+
+        t0 = time.perf_counter()
+        label = self.classifier.predict(prompt_text)
+        timings["classify"] = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        mapping = get_music_params(label, seed=seed)
+        gen_prompt = assemble_prompt(self.generator.vocab, mapping,
+                                     full_gm=self.full_gm)
+        timings["map_and_prompt"] = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        tokens = self.generator.sample_kvcache(
+            gen_prompt, temperature=temperature, top_k=top_k,
+            seed=seed if seed is not None else int(time.time_ns() % 2**31))
+        timings["decode"] = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        song = tokens_to_song(tokens)
+        midi_io = io.BytesIO()
+        song.write(midi_io)
+        timings["detokenize_midi"] = (time.perf_counter() - t0) * 1000
+
+        wav_bytes = None
+        if render:
+            t0 = time.perf_counter()
+            wav_io = io.BytesIO()
+            render_to_wav(song, wav_io, seed=seed or 0)
+            wav_bytes = wav_io.getvalue()
+            timings["render_wav"] = (time.perf_counter() - t0) * 1000
+
+        return GenerationResult(label=label, mapping=mapping,
+                                prompt_tokens=gen_prompt, tokens=tokens,
+                                midi_bytes=midi_io.getvalue(),
+                                wav_bytes=wav_bytes, timings_ms=timings)
+
+
+def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
+                  n_layer: int = 2, seed: int = 0) -> Pipeline:
+    """Self-contained pipeline with a randomly-initialized Scheme-A model
+    over a synthetic-corpus vocabulary — runs end-to-end with no trained
+    checkpoint (the reference cannot start without its gitignored .pt)."""
+    import jax
+
+    from ..models import GPTConfig, init_params
+    from ..tokenizer import Vocab
+    from ..train.data import synthetic_corpus
+    import json
+
+    corpus = [json.loads(js) for js in synthetic_corpus(64, seed=seed)]
+    vocab = Vocab.from_sequences(corpus, pad_last=False)
+    cfg = GPTConfig(vocab_size=len(vocab), seq_len=seq_len, d_model=d_model,
+                    n_head=n_head, n_layer=n_layer, pos_rows=seq_len)
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    gen = Generator(params, cfg, vocab)
+    return Pipeline(gen, EmotionClassifier(backend="lexicon"))

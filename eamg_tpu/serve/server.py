@@ -1,0 +1,193 @@
+"""HTTP service: the reference's ``POST /generate`` contract on stdlib.
+
+Same surface as the FastAPI server (api_cache.py:17-24, 186-241): permissive
+CORS, ``POST /generate`` with form field ``prompt`` (multipart or
+urlencoded), ``audio/wav`` response named generated.wav. Additions the
+reference lacked: ``?format=midi`` returns the SMF bytes, ``GET /healthz``,
+structured JSON timings in the ``X-EAMG-Timings`` header, and a static
+frontend at ``GET /``. ThreadingHTTPServer + an immutable jitted model
+means concurrent requests share state safely (the reference mutated
+module globals across uvicorn workers; SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from .pipeline import Pipeline
+
+_STATIC_DIR = Path(__file__).parent / "static"
+
+_CORS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+}
+
+
+def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
+    """Minimal multipart/form-data parser (text fields only) — the stdlib
+    replacement for python-multipart (reference requirements.txt:9)."""
+    fields: dict[str, str] = {}
+    boundary = None
+    for part in content_type.split(";"):
+        part = part.strip()
+        if part.startswith("boundary="):
+            boundary = part[len("boundary="):].strip('"')
+    if not boundary:
+        return fields
+    delim = b"--" + boundary.encode()
+    for chunk in body.split(delim):
+        chunk = chunk.strip(b"\r\n")
+        if not chunk or chunk == b"--":
+            continue
+        if b"\r\n\r\n" not in chunk:
+            continue
+        header_blob, value = chunk.split(b"\r\n\r\n", 1)
+        name = None
+        for line in header_blob.split(b"\r\n"):
+            low = line.lower()
+            if low.startswith(b"content-disposition"):
+                for item in line.split(b";"):
+                    item = item.strip()
+                    if item.startswith(b'name="'):
+                        name = item[6:-1].decode("utf-8", "replace")
+        if name is not None:
+            fields[name] = value.decode("utf-8", "replace")
+    return fields
+
+
+class EAMGHandler(BaseHTTPRequestHandler):
+    pipeline: Pipeline = None  # injected by make_server
+    quiet: bool = True
+
+    # -- plumbing ----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # noqa: N802
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, content_type: str,
+              extra: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in {**_CORS, **(extra or {})}.items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    # -- routes -------------------------------------------------------------
+
+    def do_OPTIONS(self):  # noqa: N802
+        self._send(204, b"", "text/plain")
+
+    def do_GET(self):  # noqa: N802
+        path = urllib.parse.urlparse(self.path).path
+        if path in ("/", "/index.html"):
+            page = (_STATIC_DIR / "index.html").read_bytes()
+            self._send(200, page, "text/html; charset=utf-8")
+        elif path == "/healthz":
+            self._json(200, {"status": "ok"})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):  # noqa: N802
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path != "/generate":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                fields = _parse_multipart(body, ctype)
+            else:
+                fields = {k: v[0] for k, v in
+                          urllib.parse.parse_qs(body.decode()).items()}
+            prompt = fields.get("prompt", "")
+            if not prompt:
+                self._json(422, {"error": "form field 'prompt' required"})
+                return
+            qs = urllib.parse.parse_qs(parsed.query)
+            fmt = qs.get("format", [fields.get("format", "wav")])[0]
+            seed = fields.get("seed")
+            result = self.pipeline.generate(
+                prompt,
+                temperature=float(fields.get("temperature", 1.0)),
+                top_k=int(fields.get("top_k", 50)),
+                seed=int(seed) if seed is not None else None,
+                render_audio=fmt == "wav")
+            timings = json.dumps(
+                {k: round(v, 1) for k, v in result.timings_ms.items()})
+            extra = {"X-EAMG-Timings": timings,
+                     "X-EAMG-Emotion": result.label}
+            if fmt == "midi":
+                extra["Content-Disposition"] = \
+                    'attachment; filename="generated.mid"'
+                self._send(200, result.midi_bytes, "audio/midi", extra)
+            else:
+                extra["Content-Disposition"] = \
+                    'attachment; filename="generated.wav"'
+                self._send(200, result.wav_bytes, "audio/wav", extra)
+        except Exception as exc:  # pragma: no cover - defensive
+            self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+
+def make_server(pipeline: Pipeline, host: str = "127.0.0.1",
+                port: int = 8000, quiet: bool = True) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (EAMGHandler,),
+                   {"pipeline": pipeline, "quiet": quiet})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
+
+
+def main():  # pragma: no cover - CLI entry
+    import argparse
+
+    parser = argparse.ArgumentParser(description="EAMG-TPU music service")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint dir (utils.checkpoint format); "
+                             "omit for the synthetic demo model")
+    parser.add_argument("--full-gm", action="store_true",
+                        help="map all instrument families, not just the "
+                             "reference's three")
+    args = parser.parse_args()
+
+    if args.checkpoint:
+        from ..decode import Generator
+        from ..models.gpt import GPTConfig  # noqa: F401
+        from ..tokenizer import Vocab
+        from ..utils import load_checkpoint
+
+        ckpt = load_checkpoint(args.checkpoint)
+        gen = Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
+        pipeline = Pipeline(gen, full_gm=args.full_gm)
+    else:
+        from .pipeline import demo_pipeline
+
+        pipeline = demo_pipeline()
+    print("warming up (first compile)...")
+    pipeline.warmup()
+    server = make_server(pipeline, args.host, args.port, quiet=False)
+    print(f"EAMG-TPU serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -70,15 +70,21 @@ def batches(encoded: Iterable[list[int]], seq_len: int, pad_id: int,
 
 _PITCHES = ["C3", "D3", "E3", "F3", "G3", "A3", "B3", "C4", "D4", "E4",
             "F4", "G4", "A4", "B4", "C5"]
-_KEYS = ["C major", "a minor", "G major", "e minor", "B- major", "f# minor"]
+# the normalized forms of every key in emotion/lookup_table.csv, so a
+# synthetic-vocab model can serve any EATS mapping
+# (normalize_key_signature output dialect: '-' flats, lowercased mode)
+_KEYS = ["C major", "D major", "E major", "F major", "G major", "A major",
+         "B- major", "E- major", "A minor", "B minor", "D minor", "E minor",
+         "F minor", "G minor", "C# minor", "F# minor", "G# minor"]
 _INSTRUMENTS = ["Violin", "Acoustic Grand Piano", "Flute"]
 
 
-def synthetic_song(rng: random.Random, n_notes: int = 24) -> list[str]:
+def synthetic_song(rng: random.Random, n_notes: int = 24,
+                   key: str | None = None) -> list[str]:
     """One fake Scheme-A token sequence with the exact string grammar."""
     toks = ["[START_SEQUENCE]",
             f"[BPM] {float(rng.randint(60, 180))}",
-            f"[KEY_SIGNATURE] {rng.choice(_KEYS)}"]
+            f"[KEY_SIGNATURE] {key or rng.choice(_KEYS)}"]
     for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
         toks.append(f"[INSTRUMENT] {inst}")
         t = 0.0
@@ -97,7 +103,11 @@ def synthetic_corpus(n_rows: int, seed: int = 0,
                      n_notes: int = 24) -> list[str]:
     """JSON-encoded rows shaped like the lmd CSV 'tokens' column."""
     rng = random.Random(seed)
-    return [json.dumps(synthetic_song(rng, n_notes)) for _ in range(n_rows)]
+    # the first len(_KEYS) rows cycle through every key so a vocabulary
+    # built from the corpus can encode any EATS mapping
+    return [json.dumps(synthetic_song(
+        rng, n_notes, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None))
+        for i in range(n_rows)]
 
 
 def write_synthetic_csv(path: str, n_rows: int, seed: int = 0,

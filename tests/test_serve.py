@@ -1,0 +1,140 @@
+"""Service tests: the full text->WAV pipeline and the HTTP contract
+(POST /generate form field prompt -> audio/wav), concurrency included."""
+
+import io
+import json
+import threading
+import urllib.request
+import uuid
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from eamg_tpu.serve import demo_pipeline, make_server, \
+    serve_forever_in_thread
+from eamg_tpu.midi import MidiSong
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return demo_pipeline()
+
+
+@pytest.fixture(scope="module")
+def server(pipeline):
+    srv = make_server(pipeline, "127.0.0.1", 0)  # ephemeral port
+    serve_forever_in_thread(srv)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_pipeline_end_to_end(pipeline):
+    res = pipeline.generate("I am so happy and glad today", seed=1)
+    assert res.label == "joy"
+    assert res.mapping["key"] == "C Major"
+    assert res.prompt_tokens[0] == "[START_SEQUENCE]"
+    assert any(t.startswith("[BPM]") for t in res.prompt_tokens)
+    assert res.midi_bytes[:4] == b"MThd"
+    assert res.wav_bytes[:4] == b"RIFF"
+    assert set(res.timings_ms) >= {"classify", "map_and_prompt", "decode",
+                                   "detokenize_midi", "render_wav"}
+    # midi parses back
+    song = MidiSong(res.midi_bytes)
+    assert isinstance(song.get_end_time(), float)
+
+
+def test_pipeline_seeded_reproducible(pipeline):
+    a = pipeline.generate("I am terrified of the dark", seed=42)
+    b = pipeline.generate("I am terrified of the dark", seed=42)
+    assert a.label == b.label == "fear"
+    assert a.tokens == b.tokens
+    assert a.midi_bytes == b.midi_bytes
+
+
+def _post_form(url, fields):
+    boundary = uuid.uuid4().hex
+    body = b""
+    for k, v in fields.items():
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode()
+    body += f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_http_generate_wav(server):
+    resp = _post_form(f"{server}/generate",
+                      {"prompt": "what a joyful sunny day", "seed": "7"})
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/wav"
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+    assert "generated.wav" in resp.headers["Content-Disposition"]
+    data = resp.read()
+    assert data[:4] == b"RIFF"
+    w = wave_mod.open(io.BytesIO(data), "rb")
+    assert w.getnframes() > 0
+    timings = json.loads(resp.headers["X-EAMG-Timings"])
+    assert "decode" in timings
+
+
+def test_http_generate_midi_format(server):
+    resp = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "3"})
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "audio/midi"
+    assert resp.read()[:4] == b"MThd"
+    assert resp.headers["X-EAMG-Emotion"] == "sadness"
+
+
+def test_http_urlencoded_form(server):
+    import urllib.parse
+    data = urllib.parse.urlencode(
+        {"prompt": "thank you so much", "seed": 5}).encode()
+    resp = urllib.request.urlopen(
+        urllib.request.Request(f"{server}/generate", data=data),
+        timeout=120)
+    assert resp.status == 200
+    assert resp.read()[:4] == b"RIFF"
+
+
+def test_http_missing_prompt_422(server):
+    try:
+        _post_form(f"{server}/generate", {"other": "x"})
+        assert False, "expected HTTP error"
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+
+
+def test_http_healthz_and_frontend(server):
+    resp = urllib.request.urlopen(f"{server}/healthz", timeout=30)
+    assert json.loads(resp.read())["status"] == "ok"
+    page = urllib.request.urlopen(f"{server}/", timeout=30).read()
+    assert b"EAMG-TPU" in page and b"/generate" in page
+
+
+def test_http_concurrent_requests(server):
+    """BASELINE config 5: concurrent replay. Four parallel requests must
+    all succeed (immutable jitted state; reference shared mutable
+    globals)."""
+    results, errors = [], []
+
+    def hit(seed):
+        try:
+            r = _post_form(f"{server}/generate",
+                           {"prompt": "I am happy", "seed": str(seed)})
+            results.append((seed, r.read()[:4]))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert len(results) == 4
+    assert all(head == b"RIFF" for _, head in results)
