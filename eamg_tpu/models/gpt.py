@@ -51,6 +51,7 @@ class GPTConfig:
     pos_broadcast_bug: bool = False
     ln_eps: float = 1e-5               # torch nn.LayerNorm default
     dtype: str = "float32"             # compute dtype ("float32"|"bfloat16")
+    kernels: str = "xla"               # "xla" | "pallas" (fused hot ops)
 
     @property
     def ff(self) -> int:
@@ -187,19 +188,36 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
 
 
-def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig, mask=None):
+def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
+              causal: bool = False, valid_len=None):
     """torch nn.MultiheadAttention semantics with fused in_proj.
 
-    mask: optional additive [.., Tq, Tk] bias (0 / -inf), or None (the
-    reference default — fully bidirectional, api.py:49-50).
+    causal=False, valid_len=None is the reference default — fully
+    bidirectional, no masks ever passed (api.py:49-50). With
+    cfg.kernels == "pallas" the softmax runs as the flash kernel
+    (ops/attention.py); the XLA path is the numerics oracle.
     """
     (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p_attn)
     q = _heads(_linear(q_in, wq, bq), cfg.n_head)
     k = _heads(_linear(k_in, wk, bk), cfg.n_head)
     v = _heads(_linear(v_in, wv, bv), cfg.n_head)
+    if cfg.kernels == "pallas":
+        from ..ops.attention import flash_attention
+
+        out = _unheads(flash_attention(q, k, v, valid_len=valid_len,
+                                       causal=causal))
+        return _linear(out, p_attn["out_w"], p_attn["out_b"])
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(cfg.head_dim)
-    if mask is not None:
-        scores = scores + mask
+    T_q, T_k = scores.shape[-2], scores.shape[-1]
+    if causal or valid_len is not None:
+        neg = jnp.finfo(scores.dtype).min
+        mask = jnp.ones((T_q, T_k), bool)
+        if valid_len is not None:
+            mask = mask & (jnp.arange(T_k)[None, :] < valid_len)
+        if causal:
+            mask = mask & (jnp.arange(T_k)[None, :]
+                           <= jnp.arange(T_q)[:, None])
+        scores = jnp.where(mask[None, None], scores, neg)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = probs.astype(v.dtype)
     out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
@@ -213,31 +231,31 @@ def _activation(x, cfg: GPTConfig):
 
 
 def _mlp(p, x, cfg):
+    if cfg.kernels == "pallas":
+        from ..ops.ffn import fused_ffn
+
+        return fused_ffn(x, p["w1"], p["b1"], p["w2"], p["b2"],
+                         activation=cfg.activation)
     return _linear(_activation(_linear(x, p["w1"], p["b1"]), cfg),
                    p["w2"], p["b2"])
 
 
-def block(p: dict, x, cfg: GPTConfig, mask=None):
+def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None):
     """One transformer block; post-LN (torch TransformerEncoderLayer,
     norm_first=False) or pre-LN (api_cache GPTBlock)."""
     eps = cfg.ln_eps
     if cfg.ln_placement == "post":
-        x = _layer_norm(x + attention(p["attn"], x, x, x, cfg, mask),
+        x = _layer_norm(x + attention(p["attn"], x, x, x, cfg, causal,
+                                      valid_len),
                         p["ln1"]["g"], p["ln1"]["b"], eps)
         x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
                         p["ln2"]["g"], p["ln2"]["b"], eps)
     else:
         xn = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
-        x = x + attention(p["attn"], xn, xn, xn, cfg, mask)
+        x = x + attention(p["attn"], xn, xn, xn, cfg, causal, valid_len)
         x = x + _mlp(p["mlp"],
                      _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps), cfg)
     return x
-
-
-def _causal_mask(T, dtype):
-    return jnp.where(
-        jnp.tril(jnp.ones((T, T), bool)), 0.0,
-        jnp.finfo(dtype).min).astype(dtype)[None, None]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -250,15 +268,12 @@ def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
     B, T = ids.shape
     dt = cfg.jnp_dtype
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
-    mask = _causal_mask(T, dt) if cfg.causal else None
     if cfg.batch_first_bug:
         # train_mini.py:58 — the encoder consumed [B, T, C] as [T, B, C]:
         # attention runs across the batch at every time position.
         x = x.swapaxes(0, 1)
-        if mask is not None:
-            mask = _causal_mask(B, dt)[None, None]
     for p in params["layers"]:
-        x = block(p, x, cfg, mask)
+        x = block(p, x, cfg, causal=cfg.causal)
     if cfg.batch_first_bug:
         x = x.swapaxes(0, 1)
     return _linear(x.astype(jnp.float32), params["head"]["w"],
@@ -284,13 +299,8 @@ def forward_masked(params: dict, ids: jax.Array, cfg: GPTConfig,
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
     if cfg.batch_first_bug:
         return forward(params, ids, cfg)
-    valid = jnp.arange(T)[None, :] < valid_len
-    mask = jnp.where(valid, 0.0, jnp.finfo(dt).min).astype(dt)[:, None,
-                                                               None, :]
-    if cfg.causal:
-        mask = mask + _causal_mask(T, dt)
     for p in params["layers"]:
-        x = block(p, x, cfg, mask)
+        x = block(p, x, cfg, causal=cfg.causal, valid_len=valid_len)
     return _linear(x.astype(jnp.float32), params["head"]["w"],
                    params["head"]["b"])
 
@@ -317,14 +327,6 @@ def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
     B, T = ids.shape
     dt = cfg.jnp_dtype
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
-    if prompt_len is None:
-        base = _causal_mask(T, dt) if cfg.causal else None
-    else:
-        valid = jnp.arange(T)[None, :] < prompt_len  # [1, T] keys valid
-        pad = jnp.where(valid, 0.0, jnp.finfo(dt).min).astype(dt)
-        base = pad[:, None, None, :]  # [1,1,1,T]
-        if cfg.causal:
-            base = base + _causal_mask(T, dt)
     new_k, new_v = [], []
     for li, p in enumerate(params["layers"]):
         if cfg.ln_placement == "post":
@@ -334,7 +336,7 @@ def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
         (_, _), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
         new_k.append(_heads(_linear(attn_in, wk, bk), cfg.n_head))
         new_v.append(_heads(_linear(attn_in, wv, bv), cfg.n_head))
-        x = block(p, x, cfg, base)
+        x = block(p, x, cfg, causal=cfg.causal, valid_len=prompt_len)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
     plen = prompt_len if prompt_len is not None else T

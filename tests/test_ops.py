@@ -1,0 +1,109 @@
+"""Pallas kernel tests (interpret mode on CPU): flash attention and fused
+FFN must match the XLA paths bit-for-bit within fp32 tolerance, across
+causal/non-causal/padded variants and non-aligned shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eamg_tpu.models import GPTConfig, forward, init_params
+from eamg_tpu.ops import flash_attention, fused_ffn, xla_attention
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def qkv(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                 for _ in range(3))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(2, 4, 64, 16), (1, 2, 96, 32)])
+def test_flash_matches_xla(causal, shape):
+    q, k, v = qkv(shape)
+    got = flash_attention(q, k, v, causal=causal, block_q=32, block_k=32)
+    ref = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_flash_valid_len():
+    q, k, v = qkv((2, 2, 64, 16), seed=1)
+    got = flash_attention(q, k, v, valid_len=37, block_q=32, block_k=32)
+    ref = xla_attention(q, k, v, valid_len=37)
+    np.testing.assert_allclose(np.asarray(got[:, :, :37]),
+                               np.asarray(ref[:, :, :37]), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_flash_valid_len_equals_physical_trim():
+    """Masked attention over padded keys == attention over the trimmed
+    sequence (the bucketed-prefill contract)."""
+    q, k, v = qkv((1, 2, 64, 16), seed=2)
+    full = flash_attention(q, k, v, valid_len=40, block_q=32, block_k=32)
+    trim = flash_attention(q[:, :, :40], k[:, :, :40], v[:, :, :40],
+                           block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(full[:, :, :40]),
+                               np.asarray(trim), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_non_divisible_blocks():
+    q, k, v = qkv((1, 1, 80, 16), seed=3)  # 80 not a multiple of 32
+    got = flash_attention(q, k, v, causal=True, block_q=32, block_k=32)
+    ref = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("act", ["relu", "gelu"])
+def test_fused_ffn_matches_reference(act):
+    rng = np.random.default_rng(4)
+    D, FF = 32, 128
+    x = jnp.asarray(rng.normal(size=(3, 17, D)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(FF, D)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(FF,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(D, FF)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1)
+    got = fused_ffn(x, w1, b1, w2, b2, activation=act, block_rows=16)
+    h = x @ w1.T + b1
+    h = jax.nn.gelu(h, approximate=False) if act == "gelu" else \
+        jnp.maximum(h, 0)
+    ref = h @ w2.T + b2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("arch", ["post", "pre"])
+def test_full_model_pallas_equals_xla(arch):
+    """End-to-end forward with kernels='pallas' matches kernels='xla'."""
+    kw = dict(vocab_size=64, seq_len=40, d_model=32, n_head=2, n_layer=2,
+              pos_rows=40, causal=True)
+    if arch == "pre":
+        kw.update(ln_placement="pre", activation="gelu")
+    cfg_x = GPTConfig(**kw, kernels="xla")
+    cfg_p = GPTConfig(**kw, kernels="pallas")
+    params = init_params(jax.random.PRNGKey(5), cfg_x)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 64, (2, 24)))
+    a = np.asarray(forward(params, ids, cfg_x))
+    b = np.asarray(forward(params, ids, cfg_p))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_generation_matches_xla():
+    """Greedy KV generation with pallas prefill == xla prefill."""
+    from eamg_tpu.decode import generate_kv
+
+    kw = dict(vocab_size=64, seq_len=40, d_model=32, n_head=2, n_layer=2,
+              pos_rows=40, ln_placement="pre", activation="gelu")
+    cfg_x = GPTConfig(**kw, kernels="xla")
+    cfg_p = GPTConfig(**kw, kernels="pallas")
+    params = init_params(jax.random.PRNGKey(6), cfg_x)
+    prompt = jnp.asarray(np.asarray([[1, 2, 3, 0, 0, 0, 0, 0]], np.int32))
+    a, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_x, 24,
+                       greedy=True, eos_id=-1, pad_id=0)
+    b, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_p, 24,
+                       greedy=True, eos_id=-1, pad_id=0)
+    assert np.asarray(a).tolist() == np.asarray(b).tolist()
