@@ -1,0 +1,248 @@
+"""EAMG-TPU command-line interface.
+
+Covers every entry point the reference exposed as loose scripts:
+
+  python -m eamg_tpu.cli train     --preset large2 --csv lmd_full.csv
+  python -m eamg_tpu.cli generate  --checkpoint ckpt/final --bpm 180 \
+                                   --key "A minor" --instruments Violin Piano
+  python -m eamg_tpu.cli generate  --interactive        # generate_adi.py
+  python -m eamg_tpu.cli serve     --port 8000          # api_cache.py
+  python -m eamg_tpu.cli analyze   --csv lmd_full.csv   # data_analysis.py
+  python -m eamg_tpu.cli tokenize  --midi-dir lmd_full/ --out corpus.csv
+  python -m eamg_tpu.cli convert-pt --pt music_generator.pt --out ckpt/
+  python -m eamg_tpu.cli convert-distilbert --hf-dir distilbert-final \
+                                   --out emotion_ckpt/
+  python -m eamg_tpu.cli finetune-emotion --tsv goemotions.tsv ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_generator(checkpoint: str | None):
+    from .decode import Generator
+    from .tokenizer import Vocab
+
+    if checkpoint:
+        from .utils import load_checkpoint
+
+        ckpt = load_checkpoint(checkpoint)
+        return Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
+    from .serve.pipeline import demo_pipeline
+
+    return demo_pipeline().generator
+
+
+def cmd_train(args):
+    from .train.run import run_training
+
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+    summary = run_training(
+        args.preset, csv_path=args.csv, synthetic_rows=args.synthetic,
+        max_rows=args.max_rows, out_dir=args.out, scheme=args.scheme,
+        epochs=args.epochs, save_every_steps=args.save_every,
+        save_hours=args.save_hours, mesh=mesh, seed=args.seed,
+        log_every=args.log_every)
+    print(json.dumps(summary))
+
+
+def cmd_generate(args):
+    from .audio import render_to_wav
+    from .tokenizer import (assemble_prompt, closest_bpm_token,
+                            normalize_key_signature, tokens_to_song)
+
+    gen = _load_generator(args.checkpoint)
+    if args.interactive:
+        # generate_adi.py flow: free text -> emotion -> mapping -> music
+        from .emotion import EmotionClassifier, get_music_params
+
+        clf = EmotionClassifier()
+        text = input("Enter a description or feeling: ")
+        label = clf.predict(text)
+        mapping = get_music_params(label, seed=args.seed)
+        print("Music Mapping:", mapping)
+        prompt = assemble_prompt(gen.vocab, mapping, full_gm=args.full_gm)
+    else:
+        # generate_music/generate.py flow: fixed controls
+        prompt = ["[START_SEQUENCE]",
+                  closest_bpm_token(gen.vocab, args.bpm),
+                  normalize_key_signature(args.key)]
+        prompt += [f"[INSTRUMENT] {i}" for i in args.instruments]
+    tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
+                                temperature=args.temperature,
+                                top_k=args.top_k, seed=args.seed)
+    print("Generated token snippet:", tokens[:20], "...")
+    song = tokens_to_song(tokens)
+    song.write(args.out)
+    print("MIDI saved ->", args.out)
+    if args.wav:
+        render_to_wav(song, args.wav, seed=args.seed)
+        print("WAV saved ->", args.wav)
+
+
+def cmd_serve(args):
+    from .serve.server import main as serve_main
+
+    sys.argv = ["serve"] + args.rest
+    serve_main()
+
+
+def cmd_analyze(args):
+    from .tools.analysis import analyze_corpus, write_report
+
+    stats = analyze_corpus(args.csv, max_rows=args.max_rows)
+    write_report(stats, args.out)
+    print(f"analyzed {stats['rows']} rows -> {args.out}")
+
+
+def cmd_tokenize(args):
+    from .tools.corpus import build_corpus_csv
+
+    result = build_corpus_csv(args.midi_dir, args.out,
+                              max_files=args.max_files, log_fn=print)
+    print(json.dumps(result))
+
+
+def cmd_convert_pt(args):
+    from .tools.convert import convert_reference_pt
+
+    convert_reference_pt(args.pt, args.out, serving_arch=args.serving_arch)
+    print("converted ->", args.out)
+
+
+def cmd_convert_distilbert(args):
+    from .tools.convert import convert_hf_distilbert
+
+    convert_hf_distilbert(args.hf_dir, args.out, lora_alpha=args.alpha)
+    print("converted ->", args.out)
+
+
+def cmd_finetune_emotion(args):
+    import pickle
+
+    from .emotion.finetune import LoraSpec, finetune, load_label_tsv
+    from .models.distilbert import DistilBertConfig, WordPieceTokenizer
+
+    with open(f"{args.base}/config.pkl", "rb") as f:
+        cfg = DistilBertConfig(**pickle.load(f))
+    with open(f"{args.base}/params.pkl", "rb") as f:
+        params = pickle.load(f)
+    tok = WordPieceTokenizer(f"{args.base}/vocab.txt")
+    texts, labels = load_label_tsv(args.tsv)
+    spec = LoraSpec(r=args.r, alpha=args.alpha, lr=args.lr,
+                    batch=args.batch, epochs=args.epochs, seed=args.seed)
+    merged, _, history = finetune(params, cfg, tok, texts, labels,
+                                  spec=spec, log_every=args.log_every)
+    import os
+    import shutil
+
+    import jax
+    import numpy as np
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(f"{args.out}/params.pkl", "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, merged), f)
+    shutil.copy(f"{args.base}/config.pkl", f"{args.out}/config.pkl")
+    shutil.copy(f"{args.base}/vocab.txt", f"{args.out}/vocab.txt")
+    print(json.dumps({"final_loss": history[-1]["loss"],
+                      "out": args.out}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="eamg_tpu",
+                                description="EAMG-TPU framework CLI")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a music generator")
+    t.add_argument("--preset", default="large2",
+                   choices=["mini", "large", "large2", "no_inst", "paper"])
+    t.add_argument("--csv", default=None)
+    t.add_argument("--synthetic", type=int, default=None,
+                   help="rows of synthetic corpus instead of --csv")
+    t.add_argument("--max-rows", type=int, default=None)
+    t.add_argument("--out", default="ckpt_out")
+    t.add_argument("--scheme", default=None,
+                   choices=[None, "a", "b1", "b2", "b3"])
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--save-every", type=int, default=500)
+    t.add_argument("--save-hours", type=float, default=None)
+    t.add_argument("--mesh-data", type=int, default=1)
+    t.add_argument("--mesh-model", type=int, default=1)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=50)
+    t.set_defaults(fn=cmd_train)
+
+    g = sub.add_parser("generate", help="generate MIDI (batch/interactive)")
+    g.add_argument("--checkpoint", default=None)
+    g.add_argument("--interactive", action="store_true")
+    g.add_argument("--bpm", type=float, default=180)
+    g.add_argument("--key", default="A minor")
+    g.add_argument("--instruments", nargs="*",
+                   default=["Violin", "Acoustic Grand Piano"])
+    g.add_argument("--max-len", type=int, default=None)
+    g.add_argument("--temperature", type=float, default=1.0)
+    g.add_argument("--top-k", type=int, default=50)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--out", default="generated.mid")
+    g.add_argument("--wav", default=None)
+    g.add_argument("--full-gm", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("serve", help="run the HTTP service")
+    s.add_argument("rest", nargs=argparse.REMAINDER)
+    s.set_defaults(fn=cmd_serve)
+
+    a = sub.add_parser("analyze", help="corpus key/instrument histograms")
+    a.add_argument("--csv", required=True)
+    a.add_argument("--max-rows", type=int, default=20_000)
+    a.add_argument("--out", default="analysis_output.txt")
+    a.set_defaults(fn=cmd_analyze)
+
+    k = sub.add_parser("tokenize", help="MIDI dir -> corpus CSV")
+    k.add_argument("--midi-dir", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--max-files", type=int, default=None)
+    k.set_defaults(fn=cmd_tokenize)
+
+    c = sub.add_parser("convert-pt", help="reference .pt -> checkpoint dir")
+    c.add_argument("--pt", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--serving-arch", action="store_true",
+                   help="build the api_cache pre-LN serving arch")
+    c.set_defaults(fn=cmd_convert_pt)
+
+    d = sub.add_parser("convert-distilbert",
+                       help="HF snapshot dir -> emotion checkpoint dir")
+    d.add_argument("--hf-dir", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--alpha", type=float, default=16.0)
+    d.set_defaults(fn=cmd_convert_distilbert)
+
+    f = sub.add_parser("finetune-emotion",
+                       help="LoRA-finetune the emotion classifier")
+    f.add_argument("--base", required=True,
+                   help="base emotion checkpoint dir")
+    f.add_argument("--tsv", required=True)
+    f.add_argument("--out", required=True)
+    f.add_argument("--r", type=int, default=8)
+    f.add_argument("--alpha", type=float, default=16.0)
+    f.add_argument("--lr", type=float, default=5e-4)
+    f.add_argument("--batch", type=int, default=16)
+    f.add_argument("--epochs", type=int, default=3)
+    f.add_argument("--seed", type=int, default=42)
+    f.add_argument("--log-every", type=int, default=10)
+    f.set_defaults(fn=cmd_finetune_emotion)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,10 +51,22 @@ def _lin(x, p):
     return x @ p["w"].T + p["b"]
 
 
+def _lora_delta(x, lp, scale):
+    """x @ (scale * B@A)^T computed low-rank: (x @ A^T) @ B^T * scale."""
+    return (x @ lp["A"].T) @ lp["B"].T * scale
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
-            cfg: DistilBertConfig) -> jax.Array:
-    """[B, T] ids + [B, T] 0/1 mask -> [B, num_labels] logits."""
+            cfg: DistilBertConfig, lora: dict | None = None,
+            lora_scale: float = 2.0) -> jax.Array:
+    """[B, T] ids + [B, T] 0/1 mask -> [B, num_labels] logits.
+
+    lora: optional unmerged adapter {"layers": [{"q": {A, B}, "v": {A, B}},
+    ...]} applied as low-rank deltas on q_lin/v_lin (the reference adapter's
+    targets, Scripts/finetuneDistillBert.ipynb cell 8); lora_scale =
+    alpha/r (16/8 = 2 for the reference recipe).
+    """
     B, T = ids.shape
     x = (params["word_emb"][ids]
          + params["pos_emb"][jnp.arange(T)][None])
@@ -67,10 +79,15 @@ def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
         return y.reshape(B, T, cfg.n_heads, cfg.head_dim).transpose(
             0, 2, 1, 3)
 
-    for p in params["layers"]:
-        q = heads(_lin(x, p["q"])) / math.sqrt(cfg.head_dim)
+    for li, p in enumerate(params["layers"]):
+        lq = lora["layers"][li] if lora is not None else None
+        q_full = _lin(x, p["q"]) + (_lora_delta(x, lq["q"], lora_scale)
+                                    if lq else 0.0)
+        v_full = _lin(x, p["v"]) + (_lora_delta(x, lq["v"], lora_scale)
+                                    if lq else 0.0)
+        q = heads(q_full) / math.sqrt(cfg.head_dim)
         k = heads(_lin(x, p["k"]))
-        v = heads(_lin(x, p["v"]))
+        v = heads(v_full)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) + key_mask
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)

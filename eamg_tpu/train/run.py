@@ -1,0 +1,109 @@
+"""End-to-end training runs mirroring the four reference trainers.
+
+preset -> (scheme, geometry, hyperparams):
+- ``mini``    = train/train_mini.py    (Scheme A, d256 h4 L2, batch 8)
+- ``large``   = train/train_large.py   (Scheme B1, d256 h8 L4, accum 8)
+- ``large2``  = train/train_large2.py  (Scheme B2 fixed 8324 vocab, d512 L6)
+- ``no_inst`` = train/train_no_inst.py (Scheme B3 + BPM/KEY controls)
+- ``paper``   = Table-5 recipe on the large2 geometry
+
+Checkpoint cadence covers all three reference flavors (SURVEY.md §5.4):
+every-N-steps ``latest`` overwrite, wall-clock hours, per-epoch + final.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from ..models import GPTConfig, init_params, preset as model_preset
+from ..tokenizer import SchemeB1, SchemeB2, SchemeB3, Vocab
+from ..utils.checkpoint import CheckpointCadence, save_checkpoint
+from .data import batches, iter_csv_tokens, synthetic_corpus
+from .trainer import TrainConfig, Trainer, reference_preset
+
+PRESET_SCHEME = {"mini": "a", "large": "b1", "large2": "b2",
+                 "no_inst": "b3", "paper": "b2"}
+
+
+def encode_corpus(rows: list[str], scheme: str, seq_len: int):
+    """JSON token rows -> (encoded id lists, Vocab)."""
+    if scheme == "a":
+        seqs = [json.loads(js) for js in rows]
+        vocab = Vocab.from_sequences(seqs, pad_last=True)  # mini dialect
+        encoded = [vocab.encode(s[:seq_len]) for s in seqs]
+    elif scheme == "b1":
+        b1 = SchemeB1(seq_len=seq_len)
+        exploded = [b1.explode(js) for js in rows]
+        vocab = Vocab.from_sequences(exploded, pad_last=False)
+        encoded = [vocab.encode(s) for s in exploded]
+    elif scheme == "b2":
+        b2 = SchemeB2(seq_len=seq_len)
+        vocab = b2.vocab
+        encoded = [b2.explode(js) for js in rows]
+    elif scheme == "b3":
+        b3 = SchemeB3(seq_len=seq_len)
+        vocab = b3.vocab
+        encoded = [b3.explode(js) for js in rows]
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    return encoded, vocab
+
+
+def run_training(preset: str, csv_path: str | None = None,
+                 synthetic_rows: int | None = None,
+                 max_rows: int | None = None, out_dir: str = "ckpt_out",
+                 scheme: str | None = None, epochs: int | None = None,
+                 save_every_steps: int = 500,
+                 save_hours: float | None = None, mesh=None,
+                 seed: int = 0, log_every: int = 0, log_fn=print) -> dict:
+    scheme = scheme or PRESET_SCHEME[preset]
+    tcfg = reference_preset(preset)
+    if epochs is not None:
+        tcfg = TrainConfig(**{**tcfg.__dict__, "epochs": epochs})
+
+    if csv_path:
+        rows = list(iter_csv_tokens(csv_path, max_rows=max_rows))
+    else:
+        rows = synthetic_corpus(synthetic_rows or 256, seed=seed)
+
+    geom = model_preset(preset if preset != "paper" else "large2",
+                        vocab_size=1)  # placeholder vocab, rebuilt below
+    encoded, vocab = encode_corpus(rows, scheme, geom.seq_len)
+    cfg = model_preset(preset if preset != "paper" else "large2",
+                       vocab_size=len(vocab))
+    tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id})
+
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    trainer = Trainer(cfg, tcfg, params, mesh=mesh)
+    cadence = CheckpointCadence(every_steps=save_every_steps,
+                                every_hours=save_hours)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def save(tag):
+        save_checkpoint(os.path.join(out_dir, tag), trainer.params,
+                        vocab.tok2id, cfg, opt_state=trainer.opt_state,
+                        step=trainer.step,
+                        extra={"preset": preset, "scheme": scheme})
+
+    last_loss = float("nan")
+    for epoch in range(tcfg.epochs):
+        for x, y in batches(encoded, cfg.seq_len, vocab.pad_id,
+                            tcfg.micro_batch, tcfg.accum_steps,
+                            shuffle_seed=seed + epoch):
+            m = trainer.train_step(x, y)
+            last_loss = m["loss"]
+            if log_every and trainer.step % log_every == 0:
+                log_fn(f"[{preset}] epoch {epoch + 1}/{tcfg.epochs} "
+                       f"step {trainer.step}: loss={last_loss:.4f}")
+            if cadence.should_save(trainer.step):
+                save("latest")
+        save(f"ep{epoch + 1}")
+    save("final")
+    return {"steps": trainer.step, "final_loss": last_loss,
+            "vocab_size": len(vocab), "out_dir": out_dir}

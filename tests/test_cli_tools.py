@@ -1,0 +1,124 @@
+"""CLI and tools tests: end-to-end train run, generate, corpus build,
+analysis, checkpoint conversion from a reference-format .pt (written by a
+torch subprocess)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from eamg_tpu.cli import main as cli_main
+from eamg_tpu.tools.analysis import analyze_corpus, write_report
+from eamg_tpu.tools.corpus import build_corpus_csv
+from eamg_tpu.train.data import write_synthetic_csv
+from eamg_tpu.train.run import run_training
+
+
+def test_run_training_mini_synthetic(tmp_path):
+    out = run_training("mini", synthetic_rows=16, out_dir=str(tmp_path),
+                       epochs=1, save_every_steps=1)
+    assert out["steps"] >= 1
+    assert np.isfinite(out["final_loss"])
+    assert (tmp_path / "final" / "params.pkl").exists()
+    assert (tmp_path / "latest" / "params.pkl").exists()
+    assert (tmp_path / "ep1" / "meta.json").exists()
+
+
+def test_run_training_scheme_b2(tmp_path):
+    out = run_training("large2", synthetic_rows=32,
+                       out_dir=str(tmp_path), epochs=1)
+    assert out["vocab_size"] == 8324
+
+
+def test_cli_train_and_generate(tmp_path, capsys):
+    ckpt = tmp_path / "ckpt"
+    cli_main(["train", "--preset", "mini", "--synthetic", "16",
+              "--epochs", "1", "--out", str(ckpt), "--log-every", "0"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["steps"] >= 1
+
+    mid = tmp_path / "g.mid"
+    wav = tmp_path / "g.wav"
+    cli_main(["generate", "--checkpoint", str(ckpt / "final"),
+              "--bpm", "120", "--key", "C major",
+              "--instruments", "Violin", "--max-len", "64",
+              "--out", str(mid), "--wav", str(wav), "--seed", "1"])
+    assert mid.read_bytes()[:4] == b"MThd"
+    assert wav.read_bytes()[:4] == b"RIFF"
+
+
+def test_corpus_build_and_analyze(tmp_path, fixture_mid):
+    midi_dir = tmp_path / "mids"
+    midi_dir.mkdir()
+    import shutil
+
+    shutil.copy(fixture_mid, midi_dir / "a.mid")
+    shutil.copy(fixture_mid, midi_dir / "b.mid")
+    csv_path = tmp_path / "corpus.csv"
+    result = build_corpus_csv(str(midi_dir), str(csv_path))
+    assert result == {"written": 2, "failed": 0}
+
+    stats = analyze_corpus(str(csv_path))
+    assert stats["rows"] == 2
+    assert sum(stats["instruments"].values()) == 10  # 5 instruments x 2
+    report = tmp_path / "analysis_output.txt"
+    write_report(stats, str(report))
+    text = report.read_text()
+    assert "Key Signature Counts" in text and "Instrument Counts" in text
+
+
+def test_synthetic_csv_trains(tmp_path):
+    csv_path = tmp_path / "synth.csv"
+    write_synthetic_csv(str(csv_path), 16, seed=1, n_notes=6)
+    out = run_training("mini", csv_path=str(csv_path),
+                       out_dir=str(tmp_path / "ck"), epochs=1)
+    assert np.isfinite(out["final_loss"])
+
+
+def test_convert_reference_pt(tmp_path):
+    """A reference-format .pt written by a torch subprocess imports into a
+    loadable checkpoint dir and generates."""
+    script = r"""
+import sys, torch, torch.nn as nn
+V, SEQ, D = 37, 16, 32
+class GPT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.emb = nn.Embedding(V, D)
+        self.pos = nn.Parameter(torch.zeros(SEQ - 1, D))
+        blk = nn.TransformerEncoderLayer(D, 4, D * 4, batch_first=True)
+        self.tr = nn.TransformerEncoder(blk, 2)
+        self.fc = nn.Linear(D, V)
+torch.manual_seed(0)
+m = GPT()
+vocab = {f"t{i}": i for i in range(V)}
+vocab["[PAD]"] = 0; del vocab["t0"]
+torch.save({"model": m.state_dict(), "vocab": vocab,
+            "cfg": {"seq_len": SEQ, "d_model": D, "n_head": 4,
+                    "n_layer": 2}}, sys.argv[1])
+"""
+    pt = tmp_path / "ref.pt"
+    subprocess.run([sys.executable, "-c", script, str(pt)], check=True,
+                   timeout=300)
+
+    from eamg_tpu.tools.convert import convert_reference_pt
+    from eamg_tpu.utils import load_checkpoint
+
+    out = tmp_path / "converted"
+    convert_reference_pt(str(pt), str(out))
+    ckpt = load_checkpoint(str(out))
+    assert ckpt["cfg"].d_model == 32
+    assert ckpt["cfg"].n_layer == 2
+    assert ckpt["cfg"].seq_len == 16
+    assert len(ckpt["vocab"]) == 37
+
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.tokenizer import Vocab
+
+    gen = Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]),
+                    eos_token="none", pad_token="[PAD]")
+    row = gen.generate_ids([1, 2], max_len=10, greedy=True)[0]
+    assert len(row) == 10
