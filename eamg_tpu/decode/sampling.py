@@ -19,24 +19,33 @@ import jax.numpy as jnp
 
 
 def apply_top_k(logits: jax.Array, top_k: int,
-                mask_value: float = -1e10) -> jax.Array:
+                mask_value: float = -1e10,
+                approx: bool = False) -> jax.Array:
     """Additive top-k mask, reference semantics: logits + (0 at top-k,
-    mask_value elsewhere). k is static (compiled into the program)."""
+    mask_value elsewhere). k is static (compiled into the program).
+
+    approx=True uses the TPU-optimized ``lax.approx_max_k`` (recall 0.99)
+    to find the k-th threshold — measurably faster per decode step on large
+    vocabularies; exact is the default (reference semantics)."""
     if top_k is None or top_k <= 0 or top_k >= logits.shape[-1]:
         return logits
-    vals, _ = jax.lax.top_k(logits, top_k)
+    if approx:
+        vals, _ = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
+    else:
+        vals, _ = jax.lax.top_k(logits, top_k)
     thresh = vals[..., -1:]
     return logits + jnp.where(logits >= thresh, 0.0, mask_value)
 
 
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_k: int, mask_value: float = -1e10,
-                 greedy: bool = False) -> jax.Array:
+                 greedy: bool = False,
+                 approx_top_k: bool = False) -> jax.Array:
     """[B, V] logits -> [B] sampled token ids."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
-    logits = apply_top_k(logits, top_k, mask_value)
+    logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 

@@ -366,27 +366,33 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
     x = (params["tok_emb"][last_ids]
          + jax.lax.dynamic_slice_in_dim(params["pos"], pos_idx, 1,
                                         0)).astype(dt)
+    # stacked [L, B, H, M, Dh] caches updated in place per layer — the
+    # while_loop donates them, so each update is a true in-HBM write
     ks, vs = cache["k"], cache["v"]
-    new_ks, new_vs = [], []
+    key_valid = (jnp.arange(max_len) <= t)[None, None, None, :]
+    zero = jnp.asarray(0, jnp.int32)
     for li, p in enumerate(params["layers"]):
         eps = cfg.ln_eps
         if cfg.ln_placement == "post":
             attn_in = x
         else:
             attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
-        (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
-        q = _heads(_linear(attn_in, wq, bq), cfg.n_head)       # [B,H,1,Dh]
-        k_new = _heads(_linear(attn_in, wk, bk), cfg.n_head)
-        v_new = _heads(_linear(attn_in, wv, bv), cfg.n_head)
-        k_all = jax.lax.dynamic_update_slice(ks[li], k_new, (0, 0, t, 0))
-        v_all = jax.lax.dynamic_update_slice(vs[li], v_new, (0, 0, t, 0))
-        new_ks.append(k_all)
-        new_vs.append(v_all)
+        # one fused QKV matmul (the projections are [1, D] x [D, 3D])
+        qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
+        D = cfg.d_model
+        q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,1,Dh]
+        k_new = _heads(qkv[..., D:2 * D], cfg.n_head)
+        v_new = _heads(qkv[..., 2 * D:], cfg.n_head)
+        ks = jax.lax.dynamic_update_slice(
+            ks, k_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
+                              zero))
+        vs = jax.lax.dynamic_update_slice(
+            vs, v_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
+                              zero))
+        k_all, v_all = ks[li], vs[li]
         scores = jnp.einsum("bhqd,bhkd->bhqk", q,
                             k_all) / math.sqrt(cfg.head_dim)
-        key_pos = jnp.arange(max_len)
-        scores = jnp.where(key_pos[None, None, None, :] <= t, scores,
-                           jnp.finfo(dt).min)
+        scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
         attn_out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v_all))
         attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
@@ -401,8 +407,7 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
                          cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])[:, 0]
-    return logits, {"k": jnp.stack(new_ks), "v": jnp.stack(new_vs),
-                    "length": t + 1}
+    return logits, {"k": ks, "v": vs, "length": t + 1}
 
 
 def count_params(params) -> int:
