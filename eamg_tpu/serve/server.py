@@ -18,6 +18,7 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
+from ..utils.logging import JsonLogger, LatencyStats
 from .pipeline import Pipeline
 
 _STATIC_DIR = Path(__file__).parent / "static"
@@ -64,6 +65,8 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
 class EAMGHandler(BaseHTTPRequestHandler):
     pipeline: Pipeline = None  # injected by make_server
     quiet: bool = True
+    stats: LatencyStats = None
+    logger: JsonLogger = None
 
     # -- plumbing ----------------------------------------------------------
 
@@ -96,6 +99,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
             self._send(200, page, "text/html; charset=utf-8")
         elif path == "/healthz":
             self._json(200, {"status": "ok"})
+        elif path == "/stats":
+            self._json(200, self.stats.summary())
         else:
             self._json(404, {"error": "not found"})
 
@@ -120,12 +125,21 @@ class EAMGHandler(BaseHTTPRequestHandler):
             qs = urllib.parse.parse_qs(parsed.query)
             fmt = qs.get("format", [fields.get("format", "wav")])[0]
             seed = fields.get("seed")
+            import time as _time
+
+            t_start = _time.perf_counter()
             result = self.pipeline.generate(
                 prompt,
                 temperature=float(fields.get("temperature", 1.0)),
                 top_k=int(fields.get("top_k", 50)),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
+            self.stats.observe(_time.perf_counter() - t_start,
+                               tokens=len(result.tokens))
+            self.logger.log("generate", emotion=result.label,
+                            n_tokens=len(result.tokens),
+                            timings_ms={k: round(v, 1) for k, v in
+                                        result.timings_ms.items()})
             timings = json.dumps(
                 {k: round(v, 1) for k, v in result.timings_ms.items()})
             extra = {"X-EAMG-Timings": timings,
@@ -145,7 +159,9 @@ class EAMGHandler(BaseHTTPRequestHandler):
 def make_server(pipeline: Pipeline, host: str = "127.0.0.1",
                 port: int = 8000, quiet: bool = True) -> ThreadingHTTPServer:
     handler = type("BoundHandler", (EAMGHandler,),
-                   {"pipeline": pipeline, "quiet": quiet})
+                   {"pipeline": pipeline, "quiet": quiet,
+                    "stats": LatencyStats(),
+                    "logger": JsonLogger(component="serve")})
     return ThreadingHTTPServer((host, port), handler)
 
 
