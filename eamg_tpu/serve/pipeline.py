@@ -32,13 +32,25 @@ class GenerationResult:
 
 
 class Pipeline:
+    """scheme="a": the reference's serving path (text control tokens).
+    scheme="b3": serves Scheme-B3 models (train_no_inst.py vocabulary) —
+    BPM/KEY control-token prefix, id-level decode, id->MIDI detokenizer;
+    a path the reference never built for its compact-vocab trainers."""
+
     def __init__(self, generator: Generator,
                  classifier: EmotionClassifier | None = None,
-                 full_gm: bool = False, render_audio: bool = True):
+                 full_gm: bool = False, render_audio: bool = True,
+                 scheme: str = "a", scheme_b=None):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         self.full_gm = full_gm
         self.render_audio = render_audio
+        self.scheme = scheme
+        if scheme == "b3" and scheme_b is None:
+            from ..tokenizer import SchemeB3
+
+            scheme_b = SchemeB3(seq_len=generator.cfg.seq_len)
+        self.scheme_b = scheme_b
 
     def warmup(self) -> None:
         """Compile the decode program before the first request."""
@@ -56,18 +68,34 @@ class Pipeline:
 
         t0 = time.perf_counter()
         mapping = get_music_params(label, seed=seed)
-        gen_prompt = assemble_prompt(self.generator.vocab, mapping,
-                                     full_gm=self.full_gm)
+        if self.scheme == "b3":
+            prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
+                                                      mapping["key"])
+            gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
+        else:
+            gen_prompt = assemble_prompt(self.generator.vocab, mapping,
+                                         full_gm=self.full_gm)
         timings["map_and_prompt"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
-        tokens = self.generator.sample_kvcache(
-            gen_prompt, temperature=temperature, top_k=top_k,
-            seed=seed if seed is not None else int(time.time_ns() % 2**31))
+        run_seed = seed if seed is not None else \
+            int(time.time_ns() % 2**31)
+        if self.scheme == "b3":
+            ids = self.generator.generate_ids(
+                prompt_ids, temperature=temperature, top_k=top_k,
+                seed=run_seed)[0]
+            tokens = self.scheme_b.vocab.decode(ids)
+        else:
+            tokens = self.generator.sample_kvcache(
+                gen_prompt, temperature=temperature, top_k=top_k,
+                seed=run_seed)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
-        song = tokens_to_song(tokens)
+        if self.scheme == "b3":
+            song = self.scheme_b.decode_to_song(ids)
+        else:
+            song = tokens_to_song(tokens)
         midi_io = io.BytesIO()
         song.write(midi_io)
         timings["detokenize_midi"] = (time.perf_counter() - t0) * 1000
@@ -105,3 +133,21 @@ def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, vocab)
     return Pipeline(gen, EmotionClassifier(backend="lexicon"))
+
+
+def demo_pipeline_b3(seq_len: int = 96, d_model: int = 64, n_head: int = 4,
+                     n_layer: int = 2, seed: int = 0) -> Pipeline:
+    """Scheme-B3 demo pipeline (compact 8,579-token control vocabulary)."""
+    import jax
+
+    from ..models import GPTConfig, init_params
+    from ..tokenizer import SchemeB3
+
+    b3 = SchemeB3(seq_len=seq_len)
+    cfg = GPTConfig(vocab_size=len(b3.vocab), seq_len=seq_len,
+                    d_model=d_model, n_head=n_head, n_layer=n_layer,
+                    pos_rows=seq_len, causal=True)
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    gen = Generator(params, cfg, b3.vocab, eos_token="[END_SEQ]")
+    return Pipeline(gen, EmotionClassifier(backend="lexicon"), scheme="b3",
+                    scheme_b=b3)

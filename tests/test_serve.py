@@ -138,3 +138,21 @@ def test_http_concurrent_requests(server):
     assert not errors
     assert len(results) == 4
     assert all(head == b"RIFF" for _, head in results)
+
+
+def test_scheme_b3_pipeline_end_to_end():
+    from eamg_tpu.serve import demo_pipeline_b3
+
+    pipe = demo_pipeline_b3()
+    res = pipe.generate("I am so happy and glad today", seed=4)
+    assert res.label == "joy"
+    # control prefix: [START_SEQ] BPM_x KEY_0 (joy = C Major)
+    assert res.prompt_tokens[0] == "[START_SEQ]"
+    assert res.prompt_tokens[1].startswith("BPM_")
+    assert res.prompt_tokens[2] == "KEY_0"
+    assert 120 <= int(res.prompt_tokens[1][4:]) <= 150
+    assert res.midi_bytes[:4] == b"MThd"
+    assert res.wav_bytes[:4] == b"RIFF"
+    # reproducible
+    res2 = pipe.generate("I am so happy and glad today", seed=4)
+    assert res2.tokens == res.tokens
