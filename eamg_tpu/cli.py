@@ -124,6 +124,27 @@ def cmd_convert_distilbert(args):
     print("converted ->", args.out)
 
 
+def cmd_emotion(args):
+    """Emotion demo: predict + EATS mapping (emotion_analysis/main.py)."""
+    from .emotion import EmotionClassifier, get_music_params
+
+    clf = EmotionClassifier()
+    label = clf.predict(args.text)
+    mapping = get_music_params(label, seed=args.seed)
+    print(json.dumps({"label": label, "mapping": mapping,
+                      "top_k": clf.predict_top_k_labels(args.text, k=3)}))
+
+
+def cmd_export_emotion_hf(args):
+    from .tools.publish import export_emotion_hf, push_to_hub
+
+    export_emotion_hf(args.ckpt, args.out)
+    print("exported HF snapshot ->", args.out)
+    if args.push:
+        push_to_hub(args.out, args.push)
+        print("pushed ->", args.push)
+
+
 def cmd_finetune_emotion(args):
     import pickle
 
@@ -224,6 +245,19 @@ def main(argv=None):
     d.add_argument("--out", required=True)
     d.add_argument("--alpha", type=float, default=16.0)
     d.set_defaults(fn=cmd_convert_distilbert)
+
+    e = sub.add_parser("emotion", help="classify text + EATS mapping demo")
+    e.add_argument("--text", required=True)
+    e.add_argument("--seed", type=int, default=None)
+    e.set_defaults(fn=cmd_emotion)
+
+    x = sub.add_parser("export-emotion-hf",
+                       help="emotion ckpt dir -> HF snapshot (+ optional "
+                            "Hub push)")
+    x.add_argument("--ckpt", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--push", default=None, help="HF repo id to upload to")
+    x.set_defaults(fn=cmd_export_emotion_hf)
 
     f = sub.add_parser("finetune-emotion",
                        help="LoRA-finetune the emotion classifier")

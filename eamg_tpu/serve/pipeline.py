@@ -40,11 +40,14 @@ class Pipeline:
     def __init__(self, generator: Generator,
                  classifier: EmotionClassifier | None = None,
                  full_gm: bool = False, render_audio: bool = True,
-                 scheme: str = "a", scheme_b=None):
+                 scheme: str = "a", scheme_b=None, use_cache: bool = True):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         self.full_gm = full_gm
         self.render_audio = render_audio
+        # use_cache=False serves through the uncached O(T^2) re-encode path
+        # — the reference's api.py server; True is api_cache.py.
+        self.use_cache = use_cache
         self.scheme = scheme
         if scheme == "b3" and scheme_b is None:
             from ..tokenizer import SchemeB3
@@ -83,10 +86,14 @@ class Pipeline:
         if self.scheme == "b3":
             ids = self.generator.generate_ids(
                 prompt_ids, temperature=temperature, top_k=top_k,
-                seed=run_seed)[0]
+                seed=run_seed, use_cache=self.use_cache)[0]
             tokens = self.scheme_b.vocab.decode(ids)
-        else:
+        elif self.use_cache:
             tokens = self.generator.sample_kvcache(
+                gen_prompt, temperature=temperature, top_k=top_k,
+                seed=run_seed)
+        else:
+            tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed)
         timings["decode"] = (time.perf_counter() - t0) * 1000
