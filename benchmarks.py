@@ -1,0 +1,163 @@
+"""BASELINE scenario benchmarks — one runner per BASELINE.json config.
+
+  1. DistilBERT emotion classification of a single prompt
+  2. Greedy 256-token MIDI generation, small checkpoint geometry
+  3. End-to-end text -> 512-token MIDI, KV cache + top-k sampling, batch 4
+  4. Long-form 2048-context generation, batch 8 (train_large2 geometry)
+  5. Full service replay: concurrent HTTP requests with WAV rendering
+
+Usage: python benchmarks.py [scenario ...]   (default: all)
+Prints one JSON line per scenario. bench.py remains the single headline
+line for the driver.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _fetch(x):
+    return np.asarray(x)  # D2H fetch == completion barrier on axon
+
+
+def scenario_1_classify():
+    from eamg_tpu.models import distilbert as db
+
+    cfg = db.DistilBertConfig()  # full 66M-param geometry, random weights
+    params = db.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.zeros((1, 128), jnp.int32)
+    mask = jnp.ones((1, 128), jnp.int32)
+    _fetch(db.forward(params, ids, mask, cfg))  # compile
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _fetch(db.forward(params, ids, mask, cfg))
+        ts.append(time.perf_counter() - t0)
+    return {"scenario": "classify_single_prompt",
+            "p50_ms": round(sorted(ts)[len(ts) // 2] * 1000, 2),
+            "note": "DistilBERT-base fwd, pad-128, batch 1"}
+
+
+def _gen(cfg_name, batch, max_len, greedy, vocab_size=None, **kw):
+    from eamg_tpu.decode import generate_kv
+    from eamg_tpu.models import init_params, preset
+    from eamg_tpu.tokenizer import SchemeB2
+
+    vocab_size = vocab_size or len(SchemeB2().vocab)
+    cfg = preset(cfg_name, vocab_size=vocab_size)
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16", "causal": True})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.zeros((batch, 16), np.int32)
+    prompt[:, :3] = [[1, 2, 3]]
+    pj = jnp.asarray(prompt)
+
+    def run(seed):
+        buf, pos = generate_kv(params, pj, 3, jax.random.PRNGKey(seed),
+                               cfg, max_len, temperature=1.0, top_k=50,
+                               eos_id=-1, pad_id=0, greedy=greedy,
+                               refeed_last_prompt=False, **kw)
+        return _fetch(buf)
+
+    run(0)
+    ts = []
+    for s in range(1, 4):
+        t0 = time.perf_counter()
+        run(s)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    n = (max_len - 3) * batch
+    return dt, n
+
+
+def scenario_2_greedy_256():
+    dt, n = _gen("large", batch=1, max_len=256, greedy=True)
+    return {"scenario": "greedy_256_small_ckpt",
+            "tokens_per_s": round(n / dt, 1),
+            "ms_per_token": round(dt / n * 1000, 4),
+            "note": "d256 h8 L4 (train_large geometry), batch 1"}
+
+
+def scenario_3_e2e_512_batch4():
+    from eamg_tpu.emotion import EmotionClassifier, get_music_params
+
+    clf = EmotionClassifier(backend="lexicon")
+    t0 = time.perf_counter()
+    label = clf.predict("I am thrilled and excited about tonight!")
+    mapping = get_music_params(label, seed=0)
+    classify_ms = (time.perf_counter() - t0) * 1000
+    dt, n = _gen("large2", batch=4, max_len=512, greedy=False)
+    return {"scenario": "e2e_512_kv_topk_batch4",
+            "classify_ms": round(classify_ms, 2),
+            "tokens_per_s": round(n / dt, 1),
+            "emotion": label, "bpm": mapping["bpm"]}
+
+
+def scenario_4_longform_2048_batch8():
+    dt, n = _gen("longform", batch=8, max_len=2048, greedy=False)
+    return {"scenario": "longform_2048_batch8",
+            "tokens_per_s": round(n / dt, 1),
+            "ms_per_token_per_seq": round(dt / (n / 8) * 1000, 4)}
+
+
+def scenario_5_service_replay():
+    import threading
+    import urllib.request
+    import uuid
+
+    from eamg_tpu.serve import demo_pipeline, make_server, \
+        serve_forever_in_thread
+
+    pipe = demo_pipeline()
+    pipe.warmup()
+    srv = make_server(pipe, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    url = f"http://127.0.0.1:{srv.server_address[1]}/generate"
+
+    def post(seed):
+        boundary = uuid.uuid4().hex
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="prompt"\r\n\r\nI am so happy today {seed}\r\n'
+                f"--{boundary}--\r\n").encode()
+        req = urllib.request.Request(url, data=body, headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"})
+        return urllib.request.urlopen(req, timeout=600).read()
+
+    post(0)  # warm
+    n_req = 8
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=post, args=(s,))
+               for s in range(n_req)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    srv.shutdown()
+    return {"scenario": "service_replay_concurrent",
+            "requests": n_req,
+            "wall_s": round(dt, 2),
+            "req_per_s": round(n_req / dt, 2)}
+
+
+SCENARIOS = {
+    "1": scenario_1_classify,
+    "2": scenario_2_greedy_256,
+    "3": scenario_3_e2e_512_batch4,
+    "4": scenario_4_longform_2048_batch8,
+    "5": scenario_5_service_replay,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(SCENARIOS)
+    for name in names:
+        print(json.dumps(SCENARIOS[name]()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,8 @@ def run_training(preset: str, csv_path: str | None = None,
                  scheme: str | None = None, epochs: int | None = None,
                  save_every_steps: int = 500,
                  save_hours: float | None = None, mesh=None,
-                 seed: int = 0, log_every: int = 0, log_fn=print) -> dict:
+                 seed: int = 0, log_every: int = 0, log_fn=print,
+                 resume_from: str | None = None) -> dict:
     scheme = scheme or PRESET_SCHEME[preset]
     tcfg = reference_preset(preset)
     if epochs is not None:
@@ -78,8 +79,25 @@ def run_training(preset: str, csv_path: str | None = None,
                        vocab_size=len(vocab))
     tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id})
 
-    params = init_params(jax.random.PRNGKey(seed), cfg)
-    trainer = Trainer(cfg, tcfg, params, mesh=mesh)
+    if resume_from:
+        # crash-resume with optimizer state and step count intact — the
+        # reference restarted optimization from scratch (SURVEY.md §5.3)
+        import jax.numpy as jnp
+
+        from ..utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(resume_from)
+        assert ckpt["cfg"] == cfg, (
+            f"checkpoint config {ckpt['cfg']} != run config {cfg}")
+        trainer = Trainer(cfg, tcfg, ckpt["params"], mesh=mesh)
+        if ckpt["opt_state"] is not None:
+            trainer.opt_state = jax.tree.map(
+                lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                ckpt["opt_state"])
+        trainer.step = ckpt["step"]
+    else:
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        trainer = Trainer(cfg, tcfg, params, mesh=mesh)
     cadence = CheckpointCadence(every_steps=save_every_steps,
                                 every_hours=save_hours)
 

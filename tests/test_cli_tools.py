@@ -122,3 +122,14 @@ torch.save({"model": m.state_dict(), "vocab": vocab,
                     eos_token="none", pad_token="[PAD]")
     row = gen.generate_ids([1, 2], max_len=10, greedy=True)[0]
     assert len(row) == 10
+
+
+def test_run_training_resume(tmp_path):
+    """Resume continues from the saved step with optimizer state intact."""
+    out1 = run_training("mini", synthetic_rows=16, out_dir=str(tmp_path),
+                        epochs=1)
+    resumed = run_training("mini", synthetic_rows=16,
+                           out_dir=str(tmp_path / "r"), epochs=1,
+                           resume_from=str(tmp_path / "final"))
+    assert resumed["steps"] > out1["steps"]
+    assert np.isfinite(resumed["final_loss"])

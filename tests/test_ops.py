@@ -107,3 +107,35 @@ def test_pallas_generation_matches_xla():
     b, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_p, 24,
                        greedy=True, eos_id=-1, pad_id=0)
     assert np.asarray(a).tolist() == np.asarray(b).tolist()
+
+
+def test_flash_decode_matches_xla():
+    from eamg_tpu.ops.decode_attention import (flash_decode,
+                                               xla_decode_attention)
+
+    rng = np.random.default_rng(7)
+    B, H, M, Dh = 2, 3, 64, 16
+    q = jnp.asarray(rng.normal(size=(B, H, 1, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    for t in (0, 5, 31, 63):
+        got = flash_decode(q, k, v, t, block_k=16)
+        ref = xla_decode_attention(q, k, v, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"t={t}")
+
+
+def test_flash_decode_ignores_stale_cache_tail():
+    from eamg_tpu.ops.decode_attention import flash_decode
+
+    rng = np.random.default_rng(8)
+    B, H, M, Dh = 1, 2, 64, 16
+    q = jnp.asarray(rng.normal(size=(B, H, 1, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    a = flash_decode(q, k, v, 10, block_k=16)
+    k2 = k.at[:, :, 20:].set(99.0)  # garbage beyond t must not matter
+    v2 = v.at[:, :, 20:].set(-99.0)
+    b = flash_decode(q, k2, v2, 10, block_k=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
