@@ -49,7 +49,7 @@ def cmd_train(args):
         max_rows=args.max_rows, out_dir=args.out, scheme=args.scheme,
         epochs=args.epochs, save_every_steps=args.save_every,
         save_hours=args.save_hours, mesh=mesh, seed=args.seed,
-        log_every=args.log_every)
+        log_every=args.log_every, resume_from=args.resume)
     print(json.dumps(summary))
 
 
@@ -198,6 +198,9 @@ def main(argv=None):
     t.add_argument("--mesh-model", type=int, default=1)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (step + optimizer "
+                        "state restored)")
     t.set_defaults(fn=cmd_train)
 
     g = sub.add_parser("generate", help="generate MIDI (batch/interactive)")
