@@ -15,7 +15,7 @@ from __future__ import annotations
 import math
 import re
 
-from .config import ID2LABEL, LABEL2ID
+from .config import ID2LABEL
 
 _LEXICON: dict[str, list[str]] = {
     "admiration": ["admire", "impressive", "amazing", "wonderful", "brilliant",

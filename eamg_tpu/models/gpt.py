@@ -390,11 +390,18 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
             vs, v_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
                               zero))
         k_all, v_all = ks[li], vs[li]
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q,
-                            k_all) / math.sqrt(cfg.head_dim)
-        scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
-        attn_out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v_all))
+        if cfg.kernels == "pallas":
+            from ..ops.decode_attention import flash_decode_vmem
+
+            attn_out = _unheads(flash_decode_vmem(q, k_all, v_all, t))
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q,
+                                k_all) / math.sqrt(cfg.head_dim)
+            scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   -1).astype(dt)
+            attn_out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs,
+                                           v_all))
         attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
         if cfg.ln_placement == "post":
             x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)

@@ -111,6 +111,66 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.reshape(B, H, 1, Dh)
 
 
+def _decode_vmem_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *,
+                        sm_scale: float):
+    """One (batch*head) program, K/V auto-pipelined into VMEM: fused
+    mask+softmax+two-matmul single-query attention."""
+    t = len_ref[0, 0]
+    q = q_ref[0]                                        # [1, Dh]
+    k = k_ref[0]                                        # [M, Dh]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    M = k.shape[0]
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    s = jnp.where(k_pos <= t, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = jnp.where(k_pos <= t, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_decode_vmem(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                      t, interpret: bool | None = None) -> jax.Array:
+    """Fused single-query cached attention, K/V streamed by the pallas
+    pipeline (no manual DMA — compiles everywhere). Reads the full cache
+    like the XLA path; saves the op-dispatch overhead of the unfused
+    mask/softmax/matmul chain."""
+    B, H, _, Dh = q.shape
+    M = k_cache.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sm_scale = 1.0 / math.sqrt(Dh)
+    qf = q.reshape(B * H, 1, Dh)
+    kf = k_cache.reshape(B * H, M, Dh)
+    vf = v_cache.reshape(B * H, M, Dh)
+    tl = jnp.full((1, 1), jnp.asarray(t, jnp.int32))
+
+    out = pl.pallas_call(
+        functools.partial(_decode_vmem_kernel, sm_scale=sm_scale),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Dh), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, Dh), q.dtype),
+        interpret=interpret,
+    )(tl, qf, kf, vf)
+    return out.reshape(B, H, 1, Dh)
+
+
 def xla_decode_attention(q, k_cache, v_cache, t):
     """Reference XLA path (parity bisect): full-cache masked softmax."""
     Dh = q.shape[-1]

@@ -187,7 +187,6 @@ def main():  # pragma: no cover - CLI entry
 
     if args.checkpoint:
         from ..decode import Generator
-        from ..models.gpt import GPTConfig  # noqa: F401
         from ..tokenizer import Vocab
         from ..utils import load_checkpoint
 

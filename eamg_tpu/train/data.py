@@ -15,7 +15,7 @@ from __future__ import annotations
 import csv
 import json
 import random
-from typing import Callable, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import numpy as np
 

@@ -20,7 +20,7 @@ import numpy as np
 
 import jax
 
-from ..models import GPTConfig, init_params, preset as model_preset
+from ..models import init_params, preset as model_preset
 from ..tokenizer import SchemeB1, SchemeB2, SchemeB3, Vocab
 from ..utils.checkpoint import CheckpointCadence, save_checkpoint
 from .data import batches, iter_csv_tokens, synthetic_corpus

@@ -16,14 +16,14 @@ Behavioral contract reproduced from the reference trainers:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..models.gpt import GPTConfig, forward
-from ..parallel.mesh import data_sharding, param_pspecs, shard_params
+from ..parallel.mesh import shard_params
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 

@@ -139,3 +139,36 @@ def test_flash_decode_ignores_stale_cache_tail():
     v2 = v.at[:, :, 20:].set(-99.0)
     b = flash_decode(q, k2, v2, 10, block_k=16)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_decode_vmem_matches_xla():
+    from eamg_tpu.ops.decode_attention import (flash_decode_vmem,
+                                               xla_decode_attention)
+
+    rng = np.random.default_rng(9)
+    B, H, M, Dh = 2, 3, 64, 16
+    q = jnp.asarray(rng.normal(size=(B, H, 1, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    for t in (0, 7, 63):
+        got = flash_decode_vmem(q, k, v, t)
+        ref = xla_decode_attention(q, k, v, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"t={t}")
+
+
+def test_pallas_kv_generation_matches_xla_decode_steps():
+    """Full generate_kv with pallas decode attention == xla, greedy."""
+    from eamg_tpu.decode import generate_kv
+
+    kw = dict(vocab_size=64, seq_len=64, d_model=32, n_head=2, n_layer=2,
+              pos_rows=64, ln_placement="pre", activation="gelu")
+    cfg_x = GPTConfig(**kw, kernels="xla")
+    cfg_p = GPTConfig(**kw, kernels="pallas")
+    params = init_params(jax.random.PRNGKey(7), cfg_x)
+    prompt = jnp.asarray(np.asarray([[1, 2, 3, 0]], np.int32))
+    a, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_x, 32,
+                       greedy=True, eos_id=-1, pad_id=0)
+    b, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_p, 32,
+                       greedy=True, eos_id=-1, pad_id=0)
+    assert np.asarray(a).tolist() == np.asarray(b).tolist()
