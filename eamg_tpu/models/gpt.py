@@ -52,6 +52,11 @@ class GPTConfig:
     ln_eps: float = 1e-5               # torch nn.LayerNorm default
     dtype: str = "float32"             # compute dtype ("float32"|"bfloat16")
     kernels: str = "xla"               # "xla" | "pallas" (fused hot ops)
+    # Grouped-query attention: number of K/V heads (None = n_head = MHA,
+    # the reference arch). GQA shrinks the KV cache by n_head/n_kv_heads —
+    # the decode step's dominant HBM traffic — for newly-trained models;
+    # reference checkpoints are always MHA.
+    n_kv_heads: int | None = None
 
     @property
     def ff(self) -> int:
@@ -68,6 +73,16 @@ class GPTConfig:
     def head_dim(self) -> int:
         assert self.d_model % self.n_head == 0
         return self.d_model // self.n_head
+
+    @property
+    def kv_heads(self) -> int:
+        h = self.n_kv_heads if self.n_kv_heads is not None else self.n_head
+        assert self.n_head % h == 0, "n_head must divide by n_kv_heads"
+        return h
+
+    @property
+    def kv_dim(self) -> int:
+        return self.kv_heads * self.head_dim
 
     @property
     def jnp_dtype(self):
@@ -117,16 +132,19 @@ def init_params(rng: jax.Array, cfg: GPTConfig) -> dict:
                                -bound_b, bound_b)
         return {"w": w, "b": b}
 
+    in_rows = D + 2 * cfg.kv_dim  # == 3D for MHA (torch fused in_proj)
+
     def xavier_in_proj(k):
         bound = math.sqrt(6.0 / (3 * D + D))
-        return jax.random.uniform(k, (3 * D, D), jnp.float32, -bound, bound)
+        return jax.random.uniform(k, (in_rows, D), jnp.float32, -bound,
+                                  bound)
 
     layers = []
     for _ in range(cfg.n_layer):
         layers.append({
             "attn": {
                 "in_w": xavier_in_proj(next(keys)),
-                "in_b": jnp.zeros((3 * D,)),
+                "in_b": jnp.zeros((in_rows,)),
                 **{f"out_{n}": v for n, v in
                    kaiming_linear(next(keys), next(keys), D, D).items()},
             },
@@ -172,15 +190,37 @@ def _linear(x, w, b):
 
 
 def _split_qkv(p):
+    """Fused in_proj split: q rows = d_model, k/v rows = kv_dim each
+    (== d_model for MHA, smaller under GQA)."""
     D = p["in_w"].shape[1]
+    kvd = (p["in_w"].shape[0] - D) // 2
     return ((p["in_w"][:D], p["in_b"][:D]),
-            (p["in_w"][D:2 * D], p["in_b"][D:2 * D]),
-            (p["in_w"][2 * D:], p["in_b"][2 * D:]))
+            (p["in_w"][D:D + kvd], p["in_b"][D:D + kvd]),
+            (p["in_w"][D + kvd:], p["in_b"][D + kvd:]))
 
 
 def _heads(x, n_head):
     B, T, D = x.shape
     return x.reshape(B, T, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def _gqa_scores(q, k, sm_scale):
+    """q [B, H, T, Dh] x k [B, Hkv, M, Dh] -> [B, H, T, M] with K/V heads
+    shared across groups of H // Hkv query heads (no materialized repeat)."""
+    B, H, T, Dh = q.shape
+    Hkv = k.shape[1]
+    qg = q.reshape(B, Hkv, H // Hkv, T, Dh)
+    s = jnp.einsum("bkgqd,bkmd->bkgqm", qg, k) * sm_scale
+    return s.reshape(B, H, T, k.shape[2])
+
+
+def _gqa_values(probs, v):
+    """probs [B, H, T, M] x v [B, Hkv, M, Dh] -> [B, H, T, Dh]."""
+    B, H, T, M = probs.shape
+    Hkv = v.shape[1]
+    pg = probs.reshape(B, Hkv, H // Hkv, T, M)
+    out = jnp.einsum("bkgqm,bkmd->bkgqd", pg, v)
+    return out.reshape(B, H, T, v.shape[3])
 
 
 def _unheads(x):
@@ -199,15 +239,19 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
     """
     (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p_attn)
     q = _heads(_linear(q_in, wq, bq), cfg.n_head)
-    k = _heads(_linear(k_in, wk, bk), cfg.n_head)
-    v = _heads(_linear(v_in, wv, bv), cfg.n_head)
+    k = _heads(_linear(k_in, wk, bk), cfg.kv_heads)
+    v = _heads(_linear(v_in, wv, bv), cfg.kv_heads)
     if cfg.kernels == "pallas":
         from ..ops.attention import flash_attention
 
+        if cfg.kv_heads != cfg.n_head:  # kernel is MHA; expand groups
+            g = cfg.n_head // cfg.kv_heads
+            k = jnp.repeat(k, g, axis=1)
+            v = jnp.repeat(v, g, axis=1)
         out = _unheads(flash_attention(q, k, v, valid_len=valid_len,
                                        causal=causal))
         return _linear(out, p_attn["out_w"], p_attn["out_b"])
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(cfg.head_dim)
+    scores = _gqa_scores(q, k, 1.0 / math.sqrt(cfg.head_dim))
     T_q, T_k = scores.shape[-2], scores.shape[-1]
     if causal or valid_len is not None:
         neg = jnp.finfo(scores.dtype).min
@@ -220,7 +264,7 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
         scores = jnp.where(mask[None, None], scores, neg)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = probs.astype(v.dtype)
-    out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
+    out = _unheads(_gqa_values(probs, v))
     return _linear(out, p_attn["out_w"], p_attn["out_b"])
 
 
@@ -310,7 +354,7 @@ def forward_masked(params: dict, ids: jax.Array, cfg: GPTConfig,
 def init_kv_cache(cfg: GPTConfig, batch: int, max_len: int | None = None):
     """Preallocated HBM cache: [n_layer, B, H, max_len, Dh] keys + values."""
     max_len = max_len or cfg.seq_len
-    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
+    shape = (cfg.n_layer, batch, cfg.kv_heads, max_len, cfg.head_dim)
     dt = cfg.jnp_dtype
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
             "length": jnp.zeros((), jnp.int32)}
@@ -334,8 +378,8 @@ def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
         else:
             attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.ln_eps)
         (_, _), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
-        new_k.append(_heads(_linear(attn_in, wk, bk), cfg.n_head))
-        new_v.append(_heads(_linear(attn_in, wv, bv), cfg.n_head))
+        new_k.append(_heads(_linear(attn_in, wk, bk), cfg.kv_heads))
+        new_v.append(_heads(_linear(attn_in, wv, bv), cfg.kv_heads))
         x = block(p, x, cfg, causal=cfg.causal, valid_len=prompt_len)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
@@ -379,10 +423,10 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
             attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
         # one fused QKV matmul (the projections are [1, D] x [D, 3D])
         qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
-        D = cfg.d_model
+        D, KVD = cfg.d_model, cfg.kv_dim
         q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,1,Dh]
-        k_new = _heads(qkv[..., D:2 * D], cfg.n_head)
-        v_new = _heads(qkv[..., 2 * D:], cfg.n_head)
+        k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+        v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
         ks = jax.lax.dynamic_update_slice(
             ks, k_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
                               zero))
@@ -393,15 +437,17 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
         if cfg.kernels == "pallas":
             from ..ops.decode_attention import flash_decode_vmem
 
+            if cfg.kv_heads != cfg.n_head:  # kernel is MHA; expand groups
+                g = cfg.n_head // cfg.kv_heads
+                k_all = jnp.repeat(k_all, g, axis=1)
+                v_all = jnp.repeat(v_all, g, axis=1)
             attn_out = _unheads(flash_decode_vmem(q, k_all, v_all, t))
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q,
-                                k_all) / math.sqrt(cfg.head_dim)
+            scores = _gqa_scores(q, k_all, 1.0 / math.sqrt(cfg.head_dim))
             scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
             probs = jax.nn.softmax(scores.astype(jnp.float32),
                                    -1).astype(dt)
-            attn_out = _unheads(jnp.einsum("bhqk,bhkd->bhqd", probs,
-                                           v_all))
+            attn_out = _unheads(_gqa_values(probs, v_all))
         attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
         if cfg.ln_placement == "post":
             x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
