@@ -3,6 +3,7 @@
 from .api import Generator
 from .loop import generate_full, generate_kv
 from .sampling import apply_top_k, sample_token, token_log_prob
+from .speculative import generate_speculative
 
 __all__ = ["Generator", "apply_top_k", "generate_full", "generate_kv",
-           "sample_token", "token_log_prob"]
+           "generate_speculative", "sample_token", "token_log_prob"]

@@ -1,0 +1,176 @@
+"""Speculative decoding: draft-model rollout + single-pass target verify.
+
+Serving-side acceleration that preserves the target model's sampling
+distribution exactly (Leviathan et al.'s rejection scheme): a small draft
+model proposes ``gamma`` tokens autoregressively; the target scores the
+whole block in ONE cached forward (models.gpt.decode_block); proposals are
+accepted with prob min(1, p/q), the first rejection resamples from
+normalize(max(p-q, 0)), and a fully-accepted block earns a bonus token.
+Greedy mode degenerates to "accept while the draft matches the target
+argmax" — the output is bit-identical to target-only greedy decoding, which
+is the correctness test.
+
+Requires corrected causal configs (no reference bidirectional/pos quirks)
+and batch 1 (per-row acceptance lengths diverge otherwise). The whole
+generator is one ``lax.while_loop`` program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpt import (GPTConfig, decode_block, decode_step,
+                          init_kv_cache, prefill)
+from .sampling import apply_top_k
+
+
+def _dist(logits, temperature, top_k, greedy):
+    """Sampling distribution as used by sample_token (softmax of the
+    temperature/top-k-masked logits); greedy = one-hot argmax."""
+    if greedy:
+        return jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1])
+    masked = apply_top_k(logits / temperature, top_k)
+    return jax.nn.softmax(masked, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "max_len", "gamma",
+                                   "top_k", "greedy"))
+def generate_speculative(params_t: dict, params_d: dict, prompt: jax.Array,
+                         prompt_len, rng: jax.Array, cfg_t: GPTConfig,
+                         cfg_d: GPTConfig, max_len: int, gamma: int = 4,
+                         temperature: float = 1.0, top_k: int = 50,
+                         eos_id: int = -1, pad_id: int = 0,
+                         greedy: bool = False):
+    """prompt [1, P] -> (tokens [1, max_len], n_tokens). Same contract as
+    generate_kv (efficient mode), same output distribution as the target
+    model alone."""
+    assert cfg_t.causal and cfg_d.causal, "speculative requires causal"
+    assert not (cfg_t.pos_broadcast_bug or cfg_d.pos_broadcast_bug)
+    B, P = prompt.shape
+    assert B == 1, "speculative decoding is a batch-1 latency optimization"
+    assert cfg_t.n_pos >= max_len + gamma, \
+        "target pos table too small for the speculative block overshoot"
+    assert cfg_d.n_pos >= max_len + gamma
+    V = cfg_t.vocab_size
+    slack = max_len + gamma + 1
+
+    cache_t = init_kv_cache(cfg_t, 1, slack)
+    cache_d = init_kv_cache(cfg_d, 1, slack)
+    logits_t0, cache_t = prefill(params_t, prompt, cfg_t, cache_t,
+                                 prompt_len=prompt_len)
+    _, cache_d = prefill(params_d, prompt, cfg_d, cache_d,
+                         prompt_len=prompt_len)
+
+    buf = jnp.full((1, slack), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.where(jnp.arange(P)[None] < prompt_len, prompt,
+                       pad_id).astype(jnp.int32), (0, 0))
+
+    rng, sub = jax.random.split(rng)
+    first_dist = _dist(logits_t0[:, :][0, prompt_len - 1][None],
+                       temperature, top_k, greedy)[0]
+    first = jnp.argmax(first_dist).astype(jnp.int32) if greedy else \
+        jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(
+            jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, first[None, None],
+                                       (0, prompt_len))
+    pos0 = prompt_len + 1
+    done0 = first == eos_id
+
+    def cond(state):
+        buf, pos, last, done, rng, cache_t, cache_d = state
+        return jnp.logical_and(pos < max_len, ~done)
+
+    def body(state):
+        buf, pos, last, done, rng, cache_t, cache_d = state
+        L = pos - 1  # cached prefix length; `last` sits at index L
+
+        # ---- draft rollout: gamma proposals + one cache-sync step --------
+        d_tokens = []
+        q_dists = []
+        cur = last
+        cd = {"k": cache_d["k"], "v": cache_d["v"],
+              "length": jnp.asarray(L, jnp.int32)}
+        for i in range(gamma + 1):
+            rng, sub = jax.random.split(rng)
+            logits_d, cd = decode_step(params_d, cur[None, None], cd,
+                                       cfg_d)
+            if i < gamma:
+                dist = _dist(logits_d[0][None], temperature, top_k,
+                             greedy)[0]
+                nxt = jnp.argmax(dist).astype(jnp.int32) if greedy else \
+                    jax.random.categorical(
+                        sub, jnp.log(dist + 1e-30)).astype(jnp.int32)
+                d_tokens.append(nxt)
+                q_dists.append(dist)
+                cur = nxt
+        d = jnp.stack(d_tokens)                       # [gamma]
+        q = jnp.stack(q_dists)                        # [gamma, V]
+
+        # ---- target verify: one block forward ----------------------------
+        block = jnp.concatenate([last[None], d])[None]  # [1, gamma+1]
+        ct = {"k": cache_t["k"], "v": cache_t["v"],
+              "length": jnp.asarray(L, jnp.int32)}
+        logits_t, ct = decode_block(params_t, block, ct, cfg_t)
+        p = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
+                                      greedy)[0])(logits_t[0])  # [g+1, V]
+
+        # ---- acceptance ---------------------------------------------------
+        rng, sub_u, sub_r = jax.random.split(rng, 3)
+        p_d = jnp.take_along_axis(p[:gamma], d[:, None], 1)[:, 0]
+        q_d = jnp.take_along_axis(q, d[:, None], 1)[:, 0]
+        if greedy:
+            acc = p_d > 0.5  # one-hot: accepted iff d == target argmax
+        else:
+            u = jax.random.uniform(sub_u, (gamma,))
+            acc = u < jnp.minimum(1.0, p_d / jnp.maximum(q_d, 1e-30))
+        acc_prefix = jnp.cumprod(acc.astype(jnp.int32))
+        n = jnp.sum(acc_prefix)                       # accepted proposals
+
+        # ---- next token: residual resample or bonus ----------------------
+        p_n = p[n]                                    # dist after n accepts
+        q_n = jnp.where(n < gamma,
+                        q[jnp.minimum(n, gamma - 1)],
+                        jnp.zeros((V,)))              # bonus: residual = p
+        residual = jnp.maximum(p_n - q_n, 0.0)
+        rsum = jnp.sum(residual)
+        residual = jnp.where(rsum > 1e-12, residual / jnp.maximum(rsum,
+                                                                  1e-30),
+                             p_n)
+        t_new = jnp.argmax(residual).astype(jnp.int32) if greedy else \
+            jax.random.categorical(sub_r,
+                                   jnp.log(residual + 1e-30)).astype(
+                                       jnp.int32)
+
+        # ---- window of written tokens: d_1..d_n, t_new, pad... -----------
+        idx = jnp.arange(gamma + 1)
+        window = jnp.where(idx < n, jnp.concatenate([d, d[-1:]]),
+                           jnp.where(idx == n, t_new, pad_id)
+                           ).astype(jnp.int32)
+        is_eos = window == eos_id
+        big = gamma + 2
+        e = jnp.min(jnp.where(is_eos & (idx <= n), idx, big))
+        limit = jnp.minimum(n + 1, e + 1)
+        window = jnp.where(idx < limit, window, pad_id).astype(jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, window[None], (0, pos))
+        new_pos = pos + limit
+        new_last = window[limit - 1]
+        done = e <= n
+
+        # ---- rewind caches to the confirmed prefix ------------------------
+        ct = {"k": ct["k"], "v": ct["v"],
+              "length": jnp.asarray(new_pos - 1, jnp.int32)}
+        cd = {"k": cd["k"], "v": cd["v"],
+              "length": jnp.asarray(new_pos - 1, jnp.int32)}
+        return buf, new_pos, new_last, done, rng, ct, cd
+
+    buf, pos, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (buf, jnp.asarray(pos0, jnp.int32), first, done0, rng,
+                     cache_t, cache_d))
+    pos = jnp.minimum(pos, max_len)
+    idx = jnp.arange(slack)[None]
+    buf = jnp.where(idx < pos, buf, pad_id)
+    return buf[:, :max_len], pos

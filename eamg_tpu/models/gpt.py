@@ -463,5 +463,61 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
     return logits, {"k": ks, "v": vs, "length": t + 1}
 
 
+def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
+    """Multi-token cached decode: [B, G] ids starting at cache position t ->
+    ([B, G, V] logits, cache with length t+G).
+
+    The verify step of speculative decoding (and a chunked-prefill
+    building block): each of the G tokens attends to all cached positions
+    plus the block prefix up to itself (causal within the block). Requires
+    a corrected causal model (cfg.causal, no pos/refeed quirks).
+    """
+    assert cfg.causal and not cfg.pos_broadcast_bug, \
+        "decode_block requires the corrected causal configuration"
+    B, G = ids.shape
+    dt = cfg.jnp_dtype
+    t = cache["length"]
+    max_len = cache["k"].shape[3]
+    pos = jax.lax.dynamic_slice_in_dim(params["pos"], t, G, 0)
+    x = (params["tok_emb"][ids] + pos[None]).astype(dt)
+    ks, vs = cache["k"], cache["v"]
+    zero = jnp.asarray(0, jnp.int32)
+    key_pos = jnp.arange(max_len)[None, None, None, :]       # [1,1,1,M]
+    q_pos = (t + jnp.arange(G))[None, None, :, None]         # [1,1,G,1]
+    valid = key_pos <= q_pos
+    for li, p in enumerate(params["layers"]):
+        eps = cfg.ln_eps
+        attn_in = x if cfg.ln_placement == "post" else \
+            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
+        D, KVD = cfg.d_model, cfg.kv_dim
+        q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,G,Dh]
+        k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+        v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
+        ks = jax.lax.dynamic_update_slice(
+            ks, k_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
+                              zero))
+        vs = jax.lax.dynamic_update_slice(
+            vs, v_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
+                              zero))
+        scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
+        scores = jnp.where(valid, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _unheads(_gqa_values(probs, vs[li]))
+        attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
+        if cfg.ln_placement == "post":
+            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
+            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                            p["ln2"]["g"], p["ln2"]["b"], eps)
+        else:
+            x = x + attn_out
+            x = x + _mlp(p["mlp"],
+                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
+                         cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])
+    return logits, {"k": ks, "v": vs, "length": t + G}
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
