@@ -185,18 +185,34 @@ def _layer_norm(x, g, b, eps):
 def _linear(x, w, b):
     """torch layout: w is [out, in]. Weights cast to the activation dtype so
     bfloat16 mode actually runs the MXU in bf16 (f32 weights would silently
-    promote every matmul back to f32)."""
+    promote every matmul back to f32). Accepts int8 per-channel-quantized
+    weights ({"q", "s"}, models/quant.py) — the convert fuses into the dot,
+    so HBM reads stay int8."""
+    if isinstance(w, dict):
+        y = x @ w["q"].T.astype(x.dtype)
+        return y * w["s"].astype(x.dtype) + b.astype(x.dtype)
     return x @ w.T.astype(x.dtype) + b.astype(x.dtype)
 
 
 def _split_qkv(p):
     """Fused in_proj split: q rows = d_model, k/v rows = kv_dim each
-    (== d_model for MHA, smaller under GQA)."""
-    D = p["in_w"].shape[1]
-    kvd = (p["in_w"].shape[0] - D) // 2
-    return ((p["in_w"][:D], p["in_b"][:D]),
-            (p["in_w"][D:D + kvd], p["in_b"][D:D + kvd]),
-            (p["in_w"][D + kvd:], p["in_b"][D + kvd:]))
+    (== d_model for MHA, smaller under GQA). Handles quantized in_w."""
+    w = p["in_w"]
+    if isinstance(w, dict):
+        D = w["q"].shape[1]
+        kvd = (w["q"].shape[0] - D) // 2
+
+        def seg(a, b):
+            return {"q": w["q"][a:b], "s": w["s"][a:b]}
+
+        return ((seg(0, D), p["in_b"][:D]),
+                (seg(D, D + kvd), p["in_b"][D:D + kvd]),
+                (seg(D + kvd, D + 2 * kvd), p["in_b"][D + kvd:]))
+    D = w.shape[1]
+    kvd = (w.shape[0] - D) // 2
+    return ((w[:D], p["in_b"][:D]),
+            (w[D:D + kvd], p["in_b"][D:D + kvd]),
+            (w[D + kvd:], p["in_b"][D + kvd:]))
 
 
 def _heads(x, n_head):
