@@ -144,12 +144,76 @@ def scenario_5_service_replay():
             "req_per_s": round(n_req / dt, 2)}
 
 
+def scenario_6_first_token_latency():
+    """BASELINE north star: <300ms p50 text -> first MIDI token.
+    classify (lexicon host path) + flagship prefill + 1 decode step."""
+    from eamg_tpu.emotion import EmotionClassifier
+    from eamg_tpu.models import (decode_step, init_kv_cache, init_params,
+                                 prefill, preset)
+    from eamg_tpu.tokenizer import SchemeB2
+
+    clf = EmotionClassifier(backend="lexicon")
+    cfg = preset("large2", vocab_size=len(SchemeB2().vocab))
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16", "causal": True})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(np.zeros((1, 16), np.int32))
+
+    @jax.jit
+    def device_first(params, prompt):
+        cache = init_kv_cache(cfg, 1, 512)
+        logits, cache = prefill(params, prompt, cfg, cache, prompt_len=3)
+        l1, _ = decode_step(params, jnp.asarray([[5]]), cache, cfg)
+        return l1
+
+    def first_token(text):
+        clf.predict(text)
+        return _fetch(device_first(params, prompt))
+
+    first_token("warm")  # compile
+    ts = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        first_token(f"I am so happy today {i}")
+        ts.append(time.perf_counter() - t0)
+    return {"scenario": "first_midi_token_latency",
+            "p50_ms": round(sorted(ts)[len(ts) // 2] * 1000, 2),
+            "target_ms": 300}
+
+
+def scenario_7_train_throughput():
+    """Training step throughput, flagship geometry (not a BASELINE config;
+    reported for the training-stack perf story)."""
+    from eamg_tpu.models import init_params, preset
+    from eamg_tpu.tokenizer import SchemeB2
+    from eamg_tpu.train import TrainConfig, Trainer
+
+    cfg = preset("large2", vocab_size=len(SchemeB2().vocab))
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16", "causal": True})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    trainer = Trainer(cfg, TrainConfig(micro_batch=16), params)
+    rng = np.random.default_rng(0)
+    x = rng.integers(1, 8000, (1, 16, 511)).astype(np.int32)
+    y = rng.integers(1, 8000, (1, 16, 511)).astype(np.int32)
+    trainer.train_step(x, y)  # compile
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        m = trainer.train_step(x, y)
+    dt = (time.perf_counter() - t0) / n
+    toks = 16 * 511
+    return {"scenario": "train_step_flagship",
+            "tokens_per_s": round(toks / dt, 1),
+            "step_ms": round(dt * 1000, 1), "batch": 16, "seq": 511}
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
     "3": scenario_3_e2e_512_batch4,
     "4": scenario_4_longform_2048_batch8,
     "5": scenario_5_service_replay,
+    "6": scenario_6_first_token_latency,
+    "7": scenario_7_train_throughput,
 }
 
 

@@ -188,9 +188,9 @@ def main():  # pragma: no cover - CLI entry
     if args.checkpoint:
         from ..decode import Generator
         from ..tokenizer import Vocab
-        from ..utils import load_checkpoint
+        from ..utils.orbax_io import load_any_checkpoint
 
-        ckpt = load_checkpoint(args.checkpoint)
+        ckpt = load_any_checkpoint(args.checkpoint)
         gen = Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
         pipeline = Pipeline(gen, full_gm=args.full_gm)
     else:

@@ -109,11 +109,19 @@ def run_training(preset: str, csv_path: str | None = None,
                         step=trainer.step,
                         extra={"preset": preset, "scheme": scheme})
 
+    from .prefetch import PrefetchIterator
+
+    # with a mesh, Trainer.train_step device_puts with the right sharding —
+    # prefetch then only overlaps host-side batch prep
+    staging = (lambda b: b) if mesh is not None else None
+
     last_loss = float("nan")
     for epoch in range(tcfg.epochs):
-        for x, y in batches(encoded, cfg.seq_len, vocab.pad_id,
-                            tcfg.micro_batch, tcfg.accum_steps,
-                            shuffle_seed=seed + epoch):
+        for x, y in PrefetchIterator(
+                batches(encoded, cfg.seq_len, vocab.pad_id,
+                        tcfg.micro_batch, tcfg.accum_steps,
+                        shuffle_seed=seed + epoch), depth=2,
+                device_put=staging):
             m = trainer.train_step(x, y)
             last_loss = m["loss"]
             if log_every and trainer.step % log_every == 0:
