@@ -1,0 +1,211 @@
+"""Ragged batched generation: per-row prompt lengths in one decode.
+
+The core loops (decode/loop.py) require every row of a batch to share one
+prompt length — fine for benchmarks, wrong for serving mixed traffic. Here
+each row carries its own length: prefill masks per-row, the cache tracks
+per-row lengths, decode steps gather per-row positions and scatter per-row
+cache updates (vmapped dynamic_update_slice), and rows finish
+independently. This is the building block for server-side request
+coalescing (batching concurrent /generate calls into one device program).
+
+Corrected causal configs only (the reference's quirk modes are inherently
+single-prompt-shaped).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpt import (GPTConfig, _gqa_scores, _gqa_values, _heads,
+                          _layer_norm, _linear, _mlp, _split_qkv, _unheads)
+from .sampling import sample_token
+
+
+def init_ragged_cache(cfg: GPTConfig, batch: int, max_len: int):
+    dt = cfg.jnp_dtype
+    shape = (cfg.n_layer, batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+            "lengths": jnp.zeros((batch,), jnp.int32)}
+
+
+def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
+                   cfg: GPTConfig, cache: dict):
+    """[B, T] padded prompts with per-row lengths -> (logits, cache)."""
+    assert cfg.causal and not cfg.pos_broadcast_bug
+    B, T = ids.shape
+    dt = cfg.jnp_dtype
+    x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
+    # causal AND per-row key-validity
+    key_pos = jnp.arange(T)
+    valid = (key_pos[None, :] < prompt_lens[:, None])[:, None, None, :]
+    causal = (key_pos[None, :] <= key_pos[:, None])[None, None]
+    mask = valid & causal
+    ks, vs = cache["k"], cache["v"]
+    zero = jnp.asarray(0, jnp.int32)
+    for li, p in enumerate(params["layers"]):
+        eps = cfg.ln_eps
+        attn_in = x if cfg.ln_placement == "post" else \
+            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
+        q = _heads(_linear(attn_in, wq, bq), cfg.n_head)
+        k = _heads(_linear(attn_in, wk, bk), cfg.kv_heads)
+        v = _heads(_linear(attn_in, wv, bv), cfg.kv_heads)
+        ks = jax.lax.dynamic_update_slice(
+            ks, k[None], (jnp.asarray(li, jnp.int32), zero, zero, zero,
+                          zero))
+        vs = jax.lax.dynamic_update_slice(
+            vs, v[None], (jnp.asarray(li, jnp.int32), zero, zero, zero,
+                          zero))
+        scores = _gqa_scores(q, k, 1.0 / math.sqrt(cfg.head_dim))
+        scores = jnp.where(mask, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _linear(_unheads(_gqa_values(probs, v)),
+                           p["attn"]["out_w"], p["attn"]["out_b"])
+        if cfg.ln_placement == "post":
+            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
+            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                            p["ln2"]["g"], p["ln2"]["b"], eps)
+        else:
+            x = x + attn_out
+            x = x + _mlp(p["mlp"],
+                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
+                         cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])
+    return logits, {"k": ks, "v": vs,
+                    "lengths": prompt_lens.astype(jnp.int32)}
+
+
+def _row_update(c_layer, new, t):
+    """vmapped per-row cache write: [B,H,M,Dh] <- [B,H,1,Dh] at t[B]."""
+    return jax.vmap(
+        lambda c, n, tt: jax.lax.dynamic_update_slice(c, n, (0, tt, 0))
+    )(c_layer, new, t)
+
+
+def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
+                       cfg: GPTConfig):
+    """[B] last tokens at per-row positions t=lengths -> ([B, V], cache)."""
+    B = last.shape[0]
+    dt = cfg.jnp_dtype
+    t = cache["lengths"]                                  # [B]
+    max_len = cache["k"].shape[3]
+    x = (params["tok_emb"][last[:, None]]
+         + params["pos"][t][:, None]).astype(dt)          # [B,1,D]
+    ks, vs = cache["k"], cache["v"]
+    key_valid = (jnp.arange(max_len)[None, :] <=
+                 t[:, None])[:, None, None, :]
+    for li, p in enumerate(params["layers"]):
+        eps = cfg.ln_eps
+        attn_in = x if cfg.ln_placement == "post" else \
+            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
+        D, KVD = cfg.d_model, cfg.kv_dim
+        q = _heads(qkv[..., :D], cfg.n_head)
+        k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+        v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
+        ks = ks.at[li].set(_row_update(ks[li], k_new, t))
+        vs = vs.at[li].set(_row_update(vs[li], v_new, t))
+        scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
+        scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _linear(_unheads(_gqa_values(probs, vs[li])),
+                           p["attn"]["out_w"], p["attn"]["out_b"])
+        if cfg.ln_placement == "post":
+            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
+            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                            p["ln2"]["g"], p["ln2"]["b"], eps)
+        else:
+            x = x + attn_out
+            x = x + _mlp(p["mlp"],
+                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
+                         cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])[:, 0]
+    return logits, {"k": ks, "v": vs, "lengths": t + 1}
+
+
+def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy):
+    """Per-row PRNG keys: row outputs don't depend on batch composition,
+    so a coalesced request keeps its seed reproducibility."""
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.vmap(
+        lambda k, lg: sample_token(k, lg[None], temperature, top_k,
+                                   mask_value, greedy)[0]
+    )(rngs, logits)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
+                                   "mask_value"))
+def generate_kv_ragged(params: dict, prompt: jax.Array,
+                       prompt_lens: jax.Array, rngs: jax.Array,
+                       cfg: GPTConfig, max_len: int,
+                       temperature: float = 1.0, top_k: int = 50,
+                       eos_id: int = -1, pad_id: int = 0,
+                       greedy: bool = False, mask_value: float = -1e10):
+    """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
+    key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
+    Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
+    its generation, PAD elsewhere. Each row's stream is a pure function of
+    (params, its prompt, its key) — independent of the other rows."""
+    B, P = prompt.shape
+    if rngs.ndim == 1:  # single key: fan out per row
+        rngs = jax.vmap(lambda i: jax.random.fold_in(rngs, i))(
+            jnp.arange(B))
+    cache = init_ragged_cache(cfg, B, max_len)
+    logits0, cache = prefill_ragged(params, prompt, prompt_lens, cfg, cache)
+
+    buf = jnp.full((B, max_len), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.where(jnp.arange(P)[None] < prompt_lens[:, None], prompt,
+                       pad_id).astype(jnp.int32), (0, 0))
+
+    split = jax.vmap(lambda k: jax.random.split(k))
+    keys = split(rngs)                      # [B, 2, 2]
+    rngs, subs = keys[:, 0], keys[:, 1]
+    last_logits = jnp.take_along_axis(
+        logits0, (prompt_lens - 1)[:, None, None].repeat(
+            logits0.shape[-1], 2), axis=1)[:, 0]
+    first = _sample_per_row(subs, last_logits, temperature, top_k,
+                            mask_value, greedy)
+    buf = jax.vmap(
+        lambda b, w, pos: jax.lax.dynamic_update_slice(b, w, (pos,))
+    )(buf, first[:, None], prompt_lens)
+    pos = prompt_lens + 1
+    done = first == eos_id
+
+    def cond(state):
+        buf, pos, last, done, rngs, cache = state
+        return ~jnp.all(done | (pos >= max_len))
+
+    def body(state):
+        buf, pos, last, done, rngs, cache = state
+        keys = split(rngs)
+        rngs, subs = keys[:, 0], keys[:, 1]
+        logits, new_cache = decode_step_ragged(params, last, cache, cfg)
+        nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
+                              greedy)
+        active = ~(done | (pos >= max_len))
+        write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
+        buf = jax.vmap(
+            lambda b, w, p_, a: jax.lax.dynamic_update_slice(
+                b, jnp.where(a, w, b[jnp.minimum(p_, max_len - 1)])[None],
+                (jnp.minimum(p_, max_len - 1),))
+        )(buf, write, pos, active)
+        # inactive rows must not advance their cache length
+        cache = {"k": new_cache["k"], "v": new_cache["v"],
+                 "lengths": jnp.where(active, new_cache["lengths"],
+                                      cache["lengths"])}
+        pos = jnp.where(active, pos + 1, pos)
+        done = done | (nxt == eos_id) | (pos >= max_len)
+        last = jnp.where(active, nxt, last)
+        return buf, pos, last, done, rngs, cache
+
+    buf, pos, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (buf, pos.astype(jnp.int32), first, done, rngs, cache))
+    return buf, pos

@@ -1,0 +1,127 @@
+"""Request coalescing: concurrent /generate calls share one device program.
+
+Requests arriving within a small window are grouped (same sampling params),
+padded into a ragged batch (decode/ragged.py) and decoded together; each
+row carries its own PRNG key, so a coalesced request returns exactly the
+stream it would have produced alone (tested:
+test_ragged_row_rng_independent_of_batch_composition). Batch sizes bucket
+to {1, 2, 4, 8, ...} with dummy rows so compiled programs are reused.
+
+The reference served requests strictly serially (uvicorn worker + module
+globals); this is the TPU-native answer to BASELINE config 5's concurrent
+replay.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..decode.api import Generator, _bucket
+from ..decode.ragged import generate_kv_ragged
+
+
+@dataclass
+class _Pending:
+    prompt_ids: list
+    temperature: float
+    top_k: int
+    greedy: bool
+    seed: int
+    event: threading.Event = field(default_factory=threading.Event)
+    result: list | None = None
+    error: Exception | None = None
+
+
+class RequestBatcher:
+    def __init__(self, generator: Generator, max_batch: int = 8,
+                 window_ms: float = 10.0, max_len: int | None = None):
+        self.gen = generator
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.max_len = max_len or generator.cfg.seq_len
+        self._q: queue.Queue = queue.Queue()
+        self.stats = {"calls": 0, "requests": 0, "max_group": 0}
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, prompt_ids: list[int], temperature: float = 1.0,
+               top_k: int = 50, greedy: bool = False,
+               seed: int | None = None, timeout: float = 600.0) -> list:
+        req = _Pending(prompt_ids, float(temperature), int(top_k),
+                       bool(greedy),
+                       int(seed) if seed is not None
+                       else int(time.time_ns() % 2**31))
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ------------------------------------------------------------- worker
+
+    def _worker(self):
+        while True:
+            first = self._q.get()
+            group = [first]
+            deadline = time.monotonic() + self.window
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # split by sampling params (one compiled call per combo)
+            by_params: dict = {}
+            for r in group:
+                by_params.setdefault(
+                    (r.temperature, r.top_k, r.greedy), []).append(r)
+            for (temp, top_k, greedy), reqs in by_params.items():
+                try:
+                    self._run(reqs, temp, top_k, greedy)
+                except Exception as exc:  # pragma: no cover - defensive
+                    for r in reqs:
+                        r.error = exc
+                        r.event.set()
+
+    def _run(self, reqs, temperature, top_k, greedy):
+        n = len(reqs)
+        bs = 1
+        while bs < n:
+            bs *= 2
+        width = min(_bucket(max(len(r.prompt_ids) for r in reqs)),
+                    self.max_len)
+        prompt = np.full((bs, width), self.gen.pad_id, np.int32)
+        lens = np.ones((bs,), np.int32)  # dummy rows: 1-token prompts
+        seeds = np.zeros((bs,), np.uint32)
+        for i, r in enumerate(reqs):
+            p = r.prompt_ids[:width]
+            prompt[i, :len(p)] = p
+            lens[i] = len(p)
+            seeds[i] = r.seed
+        rngs = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+        buf, pos = generate_kv_ragged(
+            self.gen.params, jnp.asarray(prompt), jnp.asarray(lens), rngs,
+            self.gen.cfg, self.max_len, temperature=temperature,
+            top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
+            greedy=greedy)
+        buf = np.asarray(buf)
+        pos = np.asarray(pos)
+        self.stats["calls"] += 1
+        self.stats["requests"] += n
+        self.stats["max_group"] = max(self.stats["max_group"], n)
+        for i, r in enumerate(reqs):
+            r.result = buf[i, :int(pos[i])].tolist()
+            r.event.set()

@@ -40,7 +40,8 @@ class Pipeline:
     def __init__(self, generator: Generator,
                  classifier: EmotionClassifier | None = None,
                  full_gm: bool = False, render_audio: bool = True,
-                 scheme: str = "a", scheme_b=None, use_cache: bool = True):
+                 scheme: str = "a", scheme_b=None, use_cache: bool = True,
+                 coalesce: bool = False):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         self.full_gm = full_gm
@@ -48,6 +49,13 @@ class Pipeline:
         # use_cache=False serves through the uncached O(T^2) re-encode path
         # — the reference's api.py server; True is api_cache.py.
         self.use_cache = use_cache
+        # coalesce=True batches concurrent requests into one ragged decode
+        # (serve/batcher.py); requires the corrected causal config.
+        self.batcher = None
+        if coalesce:
+            from .batcher import RequestBatcher
+
+            self.batcher = RequestBatcher(generator)
         self.scheme = scheme
         if scheme == "b3" and scheme_b is None:
             from ..tokenizer import SchemeB3
@@ -88,6 +96,11 @@ class Pipeline:
                 prompt_ids, temperature=temperature, top_k=top_k,
                 seed=run_seed, use_cache=self.use_cache)[0]
             tokens = self.scheme_b.vocab.decode(ids)
+        elif self.batcher is not None:
+            ids = self.batcher.submit(
+                self.generator.vocab.encode(gen_prompt),
+                temperature=temperature, top_k=top_k, seed=run_seed)
+            tokens = self.generator._trim(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,

@@ -183,6 +183,9 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--full-gm", action="store_true",
                         help="map all instrument families, not just the "
                              "reference's three")
+    parser.add_argument("--coalesce", action="store_true",
+                        help="batch concurrent requests into one ragged "
+                             "decode (requires a causal model)")
     args = parser.parse_args()
 
     if args.checkpoint:
@@ -192,7 +195,8 @@ def main():  # pragma: no cover - CLI entry
 
         ckpt = load_any_checkpoint(args.checkpoint)
         gen = Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
-        pipeline = Pipeline(gen, full_gm=args.full_gm)
+        pipeline = Pipeline(gen, full_gm=args.full_gm,
+                            coalesce=args.coalesce)
     else:
         from .pipeline import demo_pipeline
 

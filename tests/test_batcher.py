@@ -1,0 +1,86 @@
+"""Request coalescing: concurrent submits group into one device call yet
+return exactly the stream each request would produce alone."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eamg_tpu.decode import Generator
+from eamg_tpu.decode.ragged import generate_kv_ragged
+from eamg_tpu.models import GPTConfig, init_params
+from eamg_tpu.serve.batcher import RequestBatcher
+from eamg_tpu.tokenizer import Vocab
+
+CFG = GPTConfig(vocab_size=64, seq_len=48, d_model=32, n_head=4, n_layer=2,
+                pos_rows=48, causal=True)
+
+
+@pytest.fixture(scope="module")
+def generator():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    return Generator(params, CFG, Vocab({str(i): i for i in range(64)}),
+                     eos_token="none", pad_token="0")
+
+
+def solo(generator, prompt_ids, seed, max_len=24):
+    prompt = np.zeros((1, 16), np.int32)
+    prompt[0, :len(prompt_ids)] = prompt_ids
+    buf, pos = generate_kv_ragged(
+        generator.params, jnp.asarray(prompt),
+        jnp.asarray([len(prompt_ids)], np.int32),
+        jax.random.PRNGKey(seed)[None], CFG, max_len, temperature=1.0,
+        top_k=50, eos_id=-1, pad_id=0)
+    return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+
+
+def test_concurrent_submits_coalesce_and_match_solo(generator):
+    batcher = RequestBatcher(generator, max_batch=4, window_ms=200,
+                             max_len=24)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    seeds = [11, 22, 33, 44]
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = batcher.submit(prompts[i], seed=seeds[i])
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+
+    for i in range(4):
+        assert results[i] == solo(generator, prompts[i], seeds[i]), i
+    assert batcher.stats["requests"] == 4
+    assert batcher.stats["max_group"] >= 2  # actually coalesced
+
+
+def test_single_submit_works(generator):
+    batcher = RequestBatcher(generator, max_batch=4, window_ms=5,
+                             max_len=20)
+    out = batcher.submit([3, 4, 5], seed=9)
+    assert out == solo(generator, [3, 4, 5], 9, max_len=20)
+
+
+def test_mixed_params_split_groups(generator):
+    batcher = RequestBatcher(generator, max_batch=4, window_ms=150,
+                             max_len=20)
+    results = {}
+
+    def hit(name, **kw):
+        results[name] = batcher.submit([1, 2], seed=5, **kw)
+
+    threads = [threading.Thread(target=hit, args=("a",),
+                                kwargs=dict(greedy=True)),
+               threading.Thread(target=hit, args=("b",),
+                                kwargs=dict(temperature=0.7))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results["a"]) > 2 and len(results["b"]) > 2
+    assert results["a"] != results["b"]
