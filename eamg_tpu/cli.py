@@ -75,9 +75,17 @@ def cmd_generate(args):
                   closest_bpm_token(gen.vocab, args.bpm),
                   normalize_key_signature(args.key)]
         prompt += [f"[INSTRUMENT] {i}" for i in args.instruments]
-    tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
-                                temperature=args.temperature,
-                                top_k=args.top_k, seed=args.seed)
+    if args.draft:
+        draft = _load_generator(args.draft)
+        ids = gen.generate_ids_speculative(
+            draft, gen.vocab.encode(prompt), max_len=args.max_len,
+            gamma=args.gamma, temperature=args.temperature,
+            top_k=args.top_k, seed=args.seed)[0]
+        tokens = gen._trim(ids)
+    else:
+        tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
+                                    temperature=args.temperature,
+                                    top_k=args.top_k, seed=args.seed)
     print("Generated token snippet:", tokens[:20], "...")
     song = tokens_to_song(tokens)
     song.write(args.out)
@@ -217,6 +225,12 @@ def main(argv=None):
     g.add_argument("--out", default="generated.mid")
     g.add_argument("--wav", default=None)
     g.add_argument("--full-gm", action="store_true")
+    g.add_argument("--draft", default=None,
+                   help="draft-model checkpoint dir: enables speculative "
+                        "decoding (same output distribution, lower latency "
+                        "with an aligned draft)")
+    g.add_argument("--gamma", type=int, default=4,
+                   help="speculative proposals per verify step")
     g.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("serve", help="run the HTTP service")

@@ -68,6 +68,31 @@ class Generator:
                 pad_id=self.pad_id, greedy=greedy)
         return np.asarray(buf)[:, :int(pos)]
 
+    def generate_ids_speculative(self, draft: "Generator",
+                                 prompt_ids: list[int],
+                                 max_len: int | None = None,
+                                 gamma: int = 4, temperature: float = 1.0,
+                                 top_k: int = 50, seed: int = 0,
+                                 greedy: bool = False) -> np.ndarray:
+        """Speculative decode with ``draft`` as the proposer (same vocab);
+        output distribution identical to target-only decoding
+        (decode/speculative.py). Batch 1, corrected causal configs only."""
+        from .speculative import generate_speculative
+
+        assert draft.vocab.tok2id == self.vocab.tok2id, \
+            "draft and target must share a vocabulary"
+        max_len = max_len or min(self.cfg.seq_len, draft.cfg.seq_len)
+        p = len(prompt_ids)
+        bucket = min(_bucket(p), max_len)
+        prompt = np.full((1, bucket), self.pad_id, np.int32)
+        prompt[0, :p] = prompt_ids
+        buf, pos = generate_speculative(
+            self.params, draft.params, jnp.asarray(prompt), p,
+            jax.random.PRNGKey(seed), self.cfg, draft.cfg, max_len,
+            gamma=gamma, temperature=temperature, top_k=top_k,
+            eos_id=self.eos_id, pad_id=self.pad_id, greedy=greedy)
+        return np.asarray(buf)[:, :int(pos)]
+
     # -- token-string level (Scheme A serving) -----------------------------
 
     def sample_kvcache(self, prompt: list[str], max_len: int | None = None,

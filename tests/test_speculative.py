@@ -161,3 +161,20 @@ def test_sampled_second_token_distribution_preserved():
         c_ref[int(np.asarray(ref)[0, 4])] += 1
     tv = 0.5 * np.abs(c_spec / n - c_ref / n).sum()
     assert tv < 0.15, tv
+
+
+def test_generator_speculative_api():
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.tokenizer import Vocab
+
+    params_t, cfg_t, params_d, cfg_d = models(seed_t=7, seed_d=8)
+    vocab = Vocab({str(i): i for i in range(V)})
+    target = Generator(params_t, cfg_t, vocab, eos_token="none",
+                       pad_token="0")
+    draft = Generator(params_d, cfg_d, vocab, eos_token="none",
+                      pad_token="0")
+    spec = target.generate_ids_speculative(draft, [1, 2, 3], max_len=20,
+                                           greedy=True)[0]
+    ref = target.generate_ids([1, 2, 3], max_len=20, greedy=True,
+                              refeed_last_prompt=False)[0]
+    assert spec.tolist() == ref.tolist()
