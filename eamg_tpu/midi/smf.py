@@ -15,7 +15,7 @@ Writer: format 1, track 0 carries the tempo, one track per instrument.
 
 from __future__ import annotations
 
-import io
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -73,13 +73,11 @@ class MidiSong:
         self._tempo_times = np.array([0.0])
         self._tempi = np.array([float(initial_tempo)])
         if path_or_file is not None:
-            if isinstance(path_or_file, (str, bytes)) and not (
-                    isinstance(path_or_file, bytes)
-                    and path_or_file[:4] == b"MThd"):
+            if isinstance(path_or_file, bytes):
+                data = path_or_file  # raw SMF bytes
+            elif isinstance(path_or_file, (str, os.PathLike)):
                 with open(path_or_file, "rb") as f:
                     data = f.read()
-            elif isinstance(path_or_file, bytes):
-                data = path_or_file
             else:
                 data = path_or_file.read()
             self._parse(data)
@@ -331,7 +329,7 @@ class MidiSong:
         header = b"MThd" + struct.pack(">IHHH", 6, 1, len(chunks),
                                        self.resolution)
         payload = header + b"".join(chunks)
-        if isinstance(file, (str, bytes)):
+        if isinstance(file, (str, os.PathLike)):
             with open(file, "wb") as f:
                 f.write(payload)
         else:
