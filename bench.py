@@ -33,6 +33,9 @@ def main():
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16",
                        "causal": True})
     params = init_params(jax.random.PRNGKey(0), cfg)
+    # store weights bf16: HBM reads halve (the cast happens before the
+    # read otherwise)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     batch, max_len = 8, 512
     prompt_len = 3
