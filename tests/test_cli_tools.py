@@ -133,3 +133,29 @@ def test_run_training_resume(tmp_path):
                            resume_from=str(tmp_path / "final"))
     assert resumed["steps"] > out1["steps"]
     assert np.isfinite(resumed["final_loss"])
+
+
+def test_cli_emotion_cmd(capsys):
+    cli_main(["emotion", "--text", "I am so happy today", "--seed", "3"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["label"] == "joy"
+    assert "bpm" in out["mapping"]
+    assert len(out["top_k"]) == 3
+
+
+def test_cli_speculative_generate(tmp_path, capsys):
+    """--draft path: train two tiny models, generate speculatively."""
+    tgt = tmp_path / "t"
+    drf = tmp_path / "d"
+    cli_main(["train", "--preset", "mini", "--synthetic", "12",
+              "--epochs", "1", "--out", str(tgt), "--log-every", "0"])
+    cli_main(["train", "--preset", "mini", "--synthetic", "12",
+              "--epochs", "1", "--out", str(drf), "--log-every", "0"])
+    capsys.readouterr()
+    # mini preset is non-causal (reference arch) -> speculative must refuse
+    mid = tmp_path / "g.mid"
+    with pytest.raises(AssertionError, match="causal"):
+        cli_main(["generate", "--checkpoint", str(tgt / "final"),
+                  "--draft", str(drf / "final"), "--bpm", "120",
+                  "--key", "C major", "--instruments", "Violin",
+                  "--max-len", "48", "--out", str(mid)])
