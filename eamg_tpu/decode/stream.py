@@ -1,0 +1,111 @@
+"""Streaming generation: fixed-size compiled chunks, tokens visible early.
+
+The one-while_loop design (decode/loop.py) gives peak throughput but the
+host sees nothing until the program returns. For interactive serving —
+progress display, early cancellation — generation can instead run as a
+sequence of compiled ``chunk``-step programs with the KV cache carried
+between calls as device arrays. Each chunk costs one dispatch; tokens reach
+the host every ``chunk`` steps.
+
+Greedy streams are bit-identical to the one-shot loop (tested); sampled
+streams are seed-reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpt import GPTConfig, decode_step, init_kv_cache, prefill
+from .sampling import sample_token
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def start_stream(params: dict, prompt: jax.Array, prompt_len,
+                 cfg: GPTConfig, max_len: int):
+    """Prefill; returns (logits_at_last_prompt_pos [B, V], cache)."""
+    B, P = prompt.shape
+    cache = init_kv_cache(cfg, B, max_len)
+    logits, cache = prefill(params, prompt, cfg, cache,
+                            prompt_len=prompt_len)
+    idx = jnp.broadcast_to(prompt_len - 1, (B,))[:, None, None]
+    last_logits = jnp.take_along_axis(
+        logits, jnp.broadcast_to(idx, (B, 1, logits.shape[-1])),
+        axis=1)[:, 0]
+    return last_logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
+                                   "mask_value"))
+def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
+                 rng: jax.Array, cache: dict, cfg: GPTConfig,
+                 chunk: int = 32, temperature: float = 1.0,
+                 top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
+                 greedy: bool = False, mask_value: float = -1e10):
+    """Run ``chunk`` decode steps; finished rows emit PAD. Returns
+    (tokens [B, chunk], last, done, rng, cache)."""
+    def body(carry, _):
+        last, done, rng, cache = carry
+        rng, sub = jax.random.split(rng)
+        logits, cache = decode_step(params, last[:, None], cache, cfg)
+        nxt = sample_token(sub, logits, temperature, top_k, mask_value,
+                           greedy)
+        out = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+        new_done = done | (nxt == eos_id)
+        new_last = jnp.where(done, last, nxt)
+        return (new_last, new_done, rng, cache), out
+
+    (last, done, rng, cache), toks = jax.lax.scan(
+        body, (last, done, rng, cache), None, length=chunk)
+    return toks.swapaxes(0, 1), last, done, rng, cache
+
+
+def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
+                  max_len: int, chunk: int = 32, temperature: float = 1.0,
+                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
+                  greedy: bool = False, seed: int = 0, bucket: int = 64):
+    """Python generator yielding token ids one at a time (batch 1).
+
+    First sampled token comes from the prefill logits (efficient mode);
+    subsequent tokens arrive in compiled ``chunk``-step batches.
+    """
+    p = len(prompt_ids)
+    width = min(max(bucket, 1), max_len)
+    while width < p:
+        width *= 2
+    prompt = np.full((1, width), pad_id, np.int32)
+    prompt[0, :p] = prompt_ids
+    rng = jax.random.PRNGKey(seed)
+    # cache is sized max_len + chunk so a final partial chunk can overshoot
+    last_logits, cache = start_stream(params, jnp.asarray(prompt), p, cfg,
+                                      max_len + chunk)
+
+    rng, sub = jax.random.split(rng)
+    first = sample_token(sub, last_logits, temperature, top_k, -1e10,
+                         greedy)
+    tok = int(first[0])
+    yield tok
+    if tok == eos_id:
+        return
+    produced = p + 1
+    last = first
+    done = first == eos_id
+    while produced < max_len:
+        toks, last, done, rng, cache = decode_chunk(
+            params, last, done, rng, cache, cfg, chunk=chunk,
+            temperature=temperature, top_k=top_k, eos_id=eos_id,
+            pad_id=pad_id, greedy=greedy)
+        for t in np.asarray(toks)[0]:
+            t = int(t)
+            if produced >= max_len:
+                return
+            yield t
+            produced += 1
+            if t == eos_id:
+                return
+        if bool(np.asarray(done)[0]):
+            return

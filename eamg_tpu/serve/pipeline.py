@@ -135,10 +135,14 @@ class Pipeline:
 
 
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
-                  n_layer: int = 2, seed: int = 0) -> Pipeline:
+                  n_layer: int = 2, seed: int = 0, corrected: bool = False,
+                  coalesce: bool = False) -> Pipeline:
     """Self-contained pipeline with a randomly-initialized Scheme-A model
     over a synthetic-corpus vocabulary — runs end-to-end with no trained
-    checkpoint (the reference cannot start without its gitignored .pt)."""
+    checkpoint (the reference cannot start without its gitignored .pt).
+
+    corrected=True builds the causal (non-reference-quirk) architecture —
+    required for request coalescing and speculative decoding."""
     import jax
 
     from ..models import GPTConfig, init_params
@@ -149,10 +153,12 @@ def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
     corpus = [json.loads(js) for js in synthetic_corpus(64, seed=seed)]
     vocab = Vocab.from_sequences(corpus, pad_last=False)
     cfg = GPTConfig(vocab_size=len(vocab), seq_len=seq_len, d_model=d_model,
-                    n_head=n_head, n_layer=n_layer, pos_rows=seq_len)
+                    n_head=n_head, n_layer=n_layer, pos_rows=seq_len,
+                    causal=corrected)
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, vocab)
-    return Pipeline(gen, EmotionClassifier(backend="lexicon"))
+    return Pipeline(gen, EmotionClassifier(backend="lexicon"),
+                    coalesce=coalesce)
 
 
 def demo_pipeline_b3(seq_len: int = 96, d_model: int = 64, n_head: int = 4,

@@ -156,3 +156,40 @@ def test_scheme_b3_pipeline_end_to_end():
     # reproducible
     res2 = pipe.generate("I am so happy and glad today", seed=4)
     assert res2.tokens == res.tokens
+
+
+def test_http_coalesced_pipeline():
+    """Corrected-causal demo with request coalescing: concurrent HTTP
+    requests share device programs and stay seed-reproducible."""
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True, coalesce=True)
+    srv = make_server(pipe, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results, errors = {}, []
+
+        def hit(seed):
+            try:
+                r = _post_form(f"{base}/generate?format=midi",
+                               {"prompt": "I am happy", "seed": str(seed)})
+                results[seed] = r.read()
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(s,))
+                   for s in (1, 2, 3, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors
+        assert all(v[:4] == b"MThd" for v in results.values())
+        assert pipe.batcher.stats["requests"] >= 4
+        # same seed twice -> same MIDI even when coalesced differently
+        r2 = _post_form(f"{base}/generate?format=midi",
+                        {"prompt": "I am happy", "seed": "1"}).read()
+        assert r2 == results[1]
+    finally:
+        srv.shutdown()
