@@ -101,6 +101,21 @@ class EAMGHandler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif path == "/stats":
             self._json(200, self.stats.summary())
+        elif path == "/profile":
+            # capture a jax.profiler trace of one representative request
+            import tempfile
+
+            from ..utils.logging import profiler_trace
+
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path)
+                                       .query)
+            out_dir = qs.get("dir", [tempfile.mkdtemp(
+                prefix="eamg_profile_")])[0]
+            with profiler_trace(out_dir):
+                self.pipeline.generate("profile trace request", seed=0,
+                                       render_audio=False)
+            self._json(200, {"trace_dir": out_dir,
+                             "view": "tensorboard --logdir " + out_dir})
         else:
             self._json(404, {"error": "not found"})
 

@@ -193,3 +193,15 @@ def test_http_coalesced_pipeline():
         assert r2 == results[1]
     finally:
         srv.shutdown()
+
+
+def test_http_profile_endpoint(server, tmp_path):
+    resp = urllib.request.urlopen(
+        f"{server}/profile?dir={tmp_path}/trace", timeout=300)
+    out = json.loads(resp.read())
+    assert out["trace_dir"].endswith("trace")
+    import os
+    found = []
+    for root, _, files in os.walk(out["trace_dir"]):
+        found.extend(files)
+    assert found  # trace files written
