@@ -29,6 +29,7 @@ class GenerationResult:
     midi_bytes: bytes
     wav_bytes: bytes | None
     timings_ms: dict = field(default_factory=dict)
+    dropped_tokens: list = field(default_factory=list)
 
 
 class Pipeline:
@@ -79,6 +80,7 @@ class Pipeline:
 
         t0 = time.perf_counter()
         mapping = get_music_params(label, seed=seed)
+        dropped = []
         if self.scheme == "b3":
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
@@ -86,6 +88,14 @@ class Pipeline:
         else:
             gen_prompt = assemble_prompt(self.generator.vocab, mapping,
                                          full_gm=self.full_gm)
+            # data-dependent Scheme-A vocabularies may lack a control token
+            # (e.g. an EATS key the corpus never contained). The reference
+            # crashed with a KeyError (api_cache.py:162); we degrade
+            # gracefully: drop the token and report it.
+            known = [t for t in gen_prompt if t in self.generator.vocab]
+            dropped = [t for t in gen_prompt if t not in
+                       self.generator.vocab]
+            gen_prompt = known
         timings["map_and_prompt"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -131,7 +141,8 @@ class Pipeline:
         return GenerationResult(label=label, mapping=mapping,
                                 prompt_tokens=gen_prompt, tokens=tokens,
                                 midi_bytes=midi_io.getvalue(),
-                                wav_bytes=wav_bytes, timings_ms=timings)
+                                wav_bytes=wav_bytes, timings_ms=timings,
+                                dropped_tokens=dropped)
 
 
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,

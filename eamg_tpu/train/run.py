@@ -120,6 +120,7 @@ def run_training(preset: str, csv_path: str | None = None,
         for x, y in PrefetchIterator(
                 batches(encoded, cfg.seq_len, vocab.pad_id,
                         tcfg.micro_batch, tcfg.accum_steps,
+                        drop_last=False,  # small corpora must still train
                         shuffle_seed=seed + epoch), depth=2,
                 device_put=staging):
             m = trainer.train_step(x, y)
