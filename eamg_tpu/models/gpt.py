@@ -451,13 +451,15 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
                               zero))
         k_all, v_all = ks[li], vs[li]
         if cfg.kernels == "pallas":
-            from ..ops.decode_attention import flash_decode_vmem
+            # scalar-prefetch flash-decode: HBM cache reads scale with the
+            # true prefix length (index_map clamping skips re-copies)
+            from ..ops.decode_attention import flash_decode_sp
 
             if cfg.kv_heads != cfg.n_head:  # kernel is MHA; expand groups
                 g = cfg.n_head // cfg.kv_heads
                 k_all = jnp.repeat(k_all, g, axis=1)
                 v_all = jnp.repeat(v_all, g, axis=1)
-            attn_out = _unheads(flash_decode_vmem(q, k_all, v_all, t))
+            attn_out = _unheads(flash_decode_sp(q, k_all, v_all, t))
         else:
             scores = _gqa_scores(q, k_all, 1.0 / math.sqrt(cfg.head_dim))
             scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)

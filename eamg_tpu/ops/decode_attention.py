@@ -171,6 +171,101 @@ def flash_decode_vmem(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.reshape(B, H, 1, Dh)
 
 
+def _decode_sp_kernel(n_ref, len_ref, q_ref, k_ref, v_ref, o_ref, acc_ref,
+                      m_ref, l_ref, *, block_k: int, sm_scale: float):
+    """Grid (BH, max_blocks): online softmax, one K/V block per program.
+
+    The index_map clamps the block index to the valid range (driven by the
+    scalar-prefetched block count), so out-of-range grid steps revisit the
+    last valid block — the pallas pipeline skips the re-copy, making HBM
+    traffic scale with the true prefix length without manual DMA.
+    """
+    t = len_ref[0]
+    kb = pl.program_id(1)
+    n_blocks = n_ref[0]
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb < n_blocks)
+    def _():
+        q = q_ref[0]                                   # [1, Dh]
+        k = k_ref[0]                                   # [Bk, Dh]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        s = jnp.where(k_pos <= t, s, -jnp.inf)
+        m_prev, l_prev = m_ref[...], l_ref[...]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        p = jnp.where(k_pos <= t, p, 0.0)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        m_ref[...] = m_cur
+
+    @pl.when(kb == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode_sp(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                    t, block_k: int = 128,
+                    interpret: bool | None = None) -> jax.Array:
+    """Scalar-prefetch flash-decode: like :func:`flash_decode` but built on
+    PrefetchScalarGridSpec index clamping instead of manual DMA."""
+    B, H, _, Dh = q.shape
+    M = k_cache.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_k = min(block_k, M)
+    assert M % block_k == 0
+    sm_scale = 1.0 / math.sqrt(Dh)
+    qf = q.reshape(B * H, 1, Dh)
+    kf = k_cache.reshape(B * H, M, Dh)
+    vf = v_cache.reshape(B * H, M, Dh)
+    t_arr = jnp.asarray(t, jnp.int32).reshape(1)
+    n_blocks = (t_arr + block_k) // block_k            # cdiv(t+1, Bk)
+    max_blocks = M // block_k
+
+    def kv_index(b, kb, n_ref, len_ref):
+        # clamp: out-of-range steps revisit the last valid block (no copy)
+        return (b, jnp.minimum(kb, n_ref[0] - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * H, max_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, Dh), lambda b, kb, n, ln: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, Dh), kv_index),
+            pl.BlockSpec((1, block_k, Dh), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Dh), lambda b, kb, n, ln: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, Dh), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_sp_kernel, block_k=block_k,
+                          sm_scale=sm_scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, Dh), q.dtype),
+        interpret=interpret,
+    )(n_blocks, t_arr, qf, kf, vf)
+    return out.reshape(B, H, 1, Dh)
+
+
 def xla_decode_attention(q, k_cache, v_cache, t):
     """Reference XLA path (parity bisect): full-cache masked softmax."""
     Dh = q.shape[-1]

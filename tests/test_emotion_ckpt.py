@@ -66,7 +66,7 @@ def test_hf_export_round_trip(ckpt_dir, tmp_path):
         "from eamg_tpu.tools.convert import convert_hf_distilbert\n"
         f"export_emotion_hf({ckpt_dir!r}, {str(hf_dir)!r})\n"
         f"convert_hf_distilbert({str(hf_dir)!r}, {str(back_dir)!r})\n")
-    subprocess.run([sys.executable, "-c", script], check=True, timeout=300)
+    subprocess.run([sys.executable, "-c", script], check=True, timeout=900)
 
     assert (hf_dir / "config.json").exists()
     assert (hf_dir / "pytorch_model.bin").exists()

@@ -172,3 +172,19 @@ def test_pallas_kv_generation_matches_xla_decode_steps():
     b, _ = generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg_p, 32,
                        greedy=True, eos_id=-1, pad_id=0)
     assert np.asarray(a).tolist() == np.asarray(b).tolist()
+
+
+def test_flash_decode_sp_matches_xla():
+    from eamg_tpu.ops.decode_attention import (flash_decode_sp,
+                                               xla_decode_attention)
+
+    rng = np.random.default_rng(10)
+    B, H, M, Dh = 2, 2, 64, 16
+    q = jnp.asarray(rng.normal(size=(B, H, 1, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, M, Dh)).astype(np.float32))
+    for t in (0, 9, 31, 63):
+        got = flash_decode_sp(q, k, v, t, block_k=16)
+        ref = xla_decode_attention(q, k, v, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"t={t}")
