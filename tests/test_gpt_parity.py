@@ -182,3 +182,21 @@ def test_causal_mode_prefix_invariance():
     la = np.asarray(forward(params, jnp.asarray(a), cfg))
     lb = np.asarray(forward(params, jnp.asarray(b), cfg))
     np.testing.assert_allclose(la[0, :8], lb[0, :8], atol=1e-5)
+
+
+def test_presets_cover_reference_geometries():
+    from eamg_tpu.models import preset
+
+    mini = preset("mini", vocab_size=100)
+    assert (mini.d_model, mini.n_head, mini.n_layer) == (256, 4, 2)
+    assert mini.batch_first_bug and mini.n_pos == 512
+    large = preset("large", vocab_size=100)
+    assert (large.d_model, large.n_head, large.n_layer) == (256, 8, 4)
+    assert large.seq_len == 256 and large.n_pos == 255
+    large2 = preset("large2", vocab_size=100)
+    assert (large2.d_model, large2.n_head, large2.n_layer) == (512, 8, 6)
+    kv = preset("kv_server", vocab_size=100)
+    assert kv.ln_placement == "pre" and kv.activation == "gelu"
+    assert kv.pos_broadcast_bug and kv.n_pos == 512
+    lf = preset("longform", vocab_size=100)
+    assert lf.seq_len == 2048 and lf.causal

@@ -205,3 +205,16 @@ def test_http_profile_endpoint(server, tmp_path):
     for root, _, files in os.walk(out["trace_dir"]):
         found.extend(files)
     assert found  # trace files written
+
+
+def test_pipeline_uncached_mode():
+    """use_cache=False serves through the uncached O(T^2) path
+    (the reference api.py server) and still produces valid output."""
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(seq_len=64, d_model=64)
+    pipe.use_cache = False
+    res = pipe.generate("thank you so much", seed=2, render_audio=False)
+    assert res.label == "gratitude"
+    assert res.midi_bytes[:4] == b"MThd"
+    assert len(res.tokens) > 3
