@@ -54,7 +54,7 @@ def main():
 
     run(0)  # compile
     times = []
-    for i in range(1, 4):
+    for i in range(1, 6):
         t0 = time.perf_counter()
         run(i)
         times.append(time.perf_counter() - t0)

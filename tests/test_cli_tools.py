@@ -159,3 +159,87 @@ def test_cli_speculative_generate(tmp_path, capsys):
                   "--draft", str(drf / "final"), "--bpm", "120",
                   "--key", "C major", "--instruments", "Violin",
                   "--max-len", "48", "--out", str(mid)])
+
+
+def test_export_reference_pt_contract(tmp_path):
+    """Our .pt export loads strict=True into the reference's own
+    architecture (torch, in a subprocess) — the backward interop
+    contract."""
+    import jax
+
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.utils import export_reference_pt
+
+    cfg = GPTConfig(vocab_size=41, seq_len=16, d_model=32, n_head=4,
+                    n_layer=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    pt = tmp_path / "ours.pt"
+
+    # export runs in a subprocess too (torch+jax process isolation)
+    import pickle
+
+    blob = tmp_path / "args.pkl"
+    with open(blob, "wb") as f:
+        import numpy as np
+
+        pickle.dump({"params": jax.tree.map(np.asarray, params),
+                     "vocab": {"[PAD]": 0},
+                     "cfg_kwargs": dict(vocab_size=41, seq_len=16,
+                                        d_model=32, n_head=4, n_layer=2)},
+                    f)
+    script = f"""
+import pickle, sys
+sys.path.insert(0, '/root/repo')
+with open({str(blob)!r}, 'rb') as f:
+    a = pickle.load(f)
+from eamg_tpu.models.gpt import GPTConfig
+from eamg_tpu.utils.checkpoint import export_reference_pt
+cfg = GPTConfig(**a['cfg_kwargs'])
+export_reference_pt({str(pt)!r}, a['params'], a['vocab'], cfg)
+
+# now rebuild the reference architecture and load strict=True
+import torch, torch.nn as nn
+ckpt = torch.load({str(pt)!r}, map_location='cpu', weights_only=True)
+c = ckpt['cfg']
+class GPT(nn.Module):
+    def __init__(s):
+        super().__init__()
+        s.emb = nn.Embedding(41, c['d_model'])
+        s.pos = nn.Parameter(torch.zeros(c['seq_len'] - 1, c['d_model']))
+        blk = nn.TransformerEncoderLayer(c['d_model'], c['n_head'],
+                                         c['d_model'] * 4, batch_first=True)
+        s.tr = nn.TransformerEncoder(blk, c['n_layer'])
+        s.fc = nn.Linear(c['d_model'], 41)
+m = GPT()
+m.load_state_dict(ckpt['model'], strict=True)
+print('STRICT_LOAD_OK')
+"""
+    import subprocess
+    import sys
+
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, timeout=900, text=True)
+    assert "STRICT_LOAD_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_native_loader_python_fallback(tmp_path, monkeypatch):
+    """When the toolchain is unavailable, explode_csv falls back to the
+    Python tokenizer with identical results."""
+    import numpy as np
+
+    from eamg_tpu.tools import native_loader
+    from eamg_tpu.train.data import write_synthetic_csv
+
+    csv_path = tmp_path / "c.csv"
+    write_synthetic_csv(str(csv_path), 6, seed=5, n_notes=5)
+    native_ids, native_lens = native_loader.explode_csv(
+        str(csv_path), "b2", seq_len=64)
+
+    def boom(*a, **k):
+        raise native_loader.NativeUnavailable("forced")
+
+    monkeypatch.setattr(native_loader, "explode_csv_native", boom)
+    py_ids, py_lens = native_loader.explode_csv(str(csv_path), "b2",
+                                                seq_len=64)
+    np.testing.assert_array_equal(native_ids, py_ids)
+    np.testing.assert_array_equal(native_lens, py_lens)
