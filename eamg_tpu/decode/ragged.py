@@ -20,8 +20,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..models.gpt import (GPTConfig, _gqa_scores, _gqa_values, _heads,
-                          _layer_norm, _linear, _mlp, _split_qkv, _unheads)
+from ..models.gpt import (GPTConfig, _attn_input, _finish_block,
+                          _gqa_scores, _gqa_values, _heads, _linear,
+                          _split_qkv, _unheads)
 from .sampling import sample_token
 
 
@@ -47,9 +48,7 @@ def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
     ks, vs = cache["k"], cache["v"]
     zero = jnp.asarray(0, jnp.int32)
     for li, p in enumerate(params["layers"]):
-        eps = cfg.ln_eps
-        attn_in = x if cfg.ln_placement == "post" else \
-            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        attn_in = _attn_input(p, x, cfg)
         (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
         q = _heads(_linear(attn_in, wq, bq), cfg.n_head)
         k = _heads(_linear(attn_in, wk, bk), cfg.kv_heads)
@@ -65,15 +64,7 @@ def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
         attn_out = _linear(_unheads(_gqa_values(probs, v)),
                            p["attn"]["out_w"], p["attn"]["out_b"])
-        if cfg.ln_placement == "post":
-            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
-            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
-                            p["ln2"]["g"], p["ln2"]["b"], eps)
-        else:
-            x = x + attn_out
-            x = x + _mlp(p["mlp"],
-                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
-                         cfg)
+        x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
     return logits, {"k": ks, "v": vs,
@@ -100,9 +91,7 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
     key_valid = (jnp.arange(max_len)[None, :] <=
                  t[:, None])[:, None, None, :]
     for li, p in enumerate(params["layers"]):
-        eps = cfg.ln_eps
-        attn_in = x if cfg.ln_placement == "post" else \
-            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        attn_in = _attn_input(p, x, cfg)
         qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
         D, KVD = cfg.d_model, cfg.kv_dim
         q = _heads(qkv[..., :D], cfg.n_head)
@@ -115,15 +104,7 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
         attn_out = _linear(_unheads(_gqa_values(probs, vs[li])),
                            p["attn"]["out_w"], p["attn"]["out_b"])
-        if cfg.ln_placement == "post":
-            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
-            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
-                            p["ln2"]["g"], p["ln2"]["b"], eps)
-        else:
-            x = x + attn_out
-            x = x + _mlp(p["mlp"],
-                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
-                         cfg)
+        x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])[:, 0]
     return logits, {"k": ks, "v": vs, "lengths": t + 1}

@@ -300,22 +300,32 @@ def _mlp(p, x, cfg):
                    p["w2"], p["b2"])
 
 
+def _attn_input(p: dict, x, cfg: GPTConfig):
+    """The tensor attention consumes: x itself for post-LN (torch
+    TransformerEncoderLayer), LN1(x) for pre-LN (api_cache GPTBlock)."""
+    if cfg.ln_placement == "post":
+        return x
+    return _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.ln_eps)
+
+
+def _finish_block(p: dict, x, attn_out, cfg: GPTConfig):
+    """Residual + FFN wiring after attention, for both LN placements."""
+    eps = cfg.ln_eps
+    if cfg.ln_placement == "post":
+        x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
+        return _layer_norm(x + _mlp(p["mlp"], x, cfg),
+                           p["ln2"]["g"], p["ln2"]["b"], eps)
+    x = x + attn_out
+    return x + _mlp(p["mlp"],
+                    _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps), cfg)
+
+
 def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None):
     """One transformer block; post-LN (torch TransformerEncoderLayer,
     norm_first=False) or pre-LN (api_cache GPTBlock)."""
-    eps = cfg.ln_eps
-    if cfg.ln_placement == "post":
-        x = _layer_norm(x + attention(p["attn"], x, x, x, cfg, causal,
-                                      valid_len),
-                        p["ln1"]["g"], p["ln1"]["b"], eps)
-        x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
-                        p["ln2"]["g"], p["ln2"]["b"], eps)
-    else:
-        xn = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
-        x = x + attention(p["attn"], xn, xn, xn, cfg, causal, valid_len)
-        x = x + _mlp(p["mlp"],
-                     _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps), cfg)
-    return x
+    xn = _attn_input(p, x, cfg)
+    attn_out = attention(p["attn"], xn, xn, xn, cfg, causal, valid_len)
+    return _finish_block(p, x, attn_out, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -389,10 +399,7 @@ def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
     new_k, new_v = [], []
     for li, p in enumerate(params["layers"]):
-        if cfg.ln_placement == "post":
-            attn_in = x
-        else:
-            attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.ln_eps)
+        attn_in = _attn_input(p, x, cfg)
         (_, _), (wk, bk), (wv, bv) = _split_qkv(p["attn"])
         new_k.append(_heads(_linear(attn_in, wk, bk), cfg.kv_heads))
         new_v.append(_heads(_linear(attn_in, wv, bv), cfg.kv_heads))
@@ -432,11 +439,7 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
     key_valid = (jnp.arange(max_len) <= t)[None, None, None, :]
     zero = jnp.asarray(0, jnp.int32)
     for li, p in enumerate(params["layers"]):
-        eps = cfg.ln_eps
-        if cfg.ln_placement == "post":
-            attn_in = x
-        else:
-            attn_in = _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        attn_in = _attn_input(p, x, cfg)
         # one fused QKV matmul (the projections are [1, D] x [D, 3D])
         qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
         D, KVD = cfg.d_model, cfg.kv_dim
@@ -467,15 +470,7 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
                                    -1).astype(dt)
             attn_out = _unheads(_gqa_values(probs, v_all))
         attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
-        if cfg.ln_placement == "post":
-            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
-            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
-                            p["ln2"]["g"], p["ln2"]["b"], eps)
-        else:
-            x = x + attn_out
-            x = x + _mlp(p["mlp"],
-                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
-                         cfg)
+        x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])[:, 0]
     return logits, {"k": ks, "v": vs, "length": t + 1}
@@ -504,9 +499,7 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
     q_pos = (t + jnp.arange(G))[None, None, :, None]         # [1,1,G,1]
     valid = key_pos <= q_pos
     for li, p in enumerate(params["layers"]):
-        eps = cfg.ln_eps
-        attn_in = x if cfg.ln_placement == "post" else \
-            _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], eps)
+        attn_in = _attn_input(p, x, cfg)
         qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
         D, KVD = cfg.d_model, cfg.kv_dim
         q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,G,Dh]
@@ -523,15 +516,7 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
         attn_out = _unheads(_gqa_values(probs, vs[li]))
         attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
-        if cfg.ln_placement == "post":
-            x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
-            x = _layer_norm(x + _mlp(p["mlp"], x, cfg),
-                            p["ln2"]["g"], p["ln2"]["b"], eps)
-        else:
-            x = x + attn_out
-            x = x + _mlp(p["mlp"],
-                         _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
-                         cfg)
+        x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
     return logits, {"k": ks, "v": vs, "length": t + G}
