@@ -81,7 +81,7 @@ def cmd_generate(args):
             draft, gen.vocab.encode(prompt), max_len=args.max_len,
             gamma=args.gamma, temperature=args.temperature,
             top_k=args.top_k, seed=args.seed)[0]
-        tokens = gen._trim(ids)
+        tokens = gen.trim_at_eos(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,

@@ -104,7 +104,7 @@ class Generator:
         row = self.generate_ids(ids, max_len=max_len,
                                 temperature=temperature, top_k=top_k,
                                 seed=seed, greedy=greedy)[0]
-        return self._trim(row)
+        return self.trim_at_eos(row)
 
     def sample(self, prompt: list[str], max_len: int | None = None,
                temperature: float = 1.0, top_k: int = 50, seed: int = 0,
@@ -115,9 +115,10 @@ class Generator:
                                 temperature=temperature, top_k=top_k,
                                 seed=seed, greedy=greedy,
                                 use_cache=False)[0]
-        return self._trim(row)
+        return self.trim_at_eos(row)
 
-    def _trim(self, row) -> list[str]:
+    def trim_at_eos(self, row) -> list[str]:
+        """ids -> token strings, truncated at the first EOS (inclusive)."""
         toks = []
         for i in row:
             toks.append(self.vocab.id2tok[int(i)])

@@ -110,7 +110,7 @@ class Pipeline:
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed)
-            tokens = self.generator._trim(ids)
+            tokens = self.generator.trim_at_eos(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,
