@@ -206,6 +206,45 @@ def scenario_7_train_throughput():
             "step_ms": round(dt * 1000, 1), "batch": 16, "seq": 511}
 
 
+def scenario_8_optimized_serving():
+    """Opt-in serving modes beyond reference parity: int8 weights and GQA
+    (newly-trained models only) on the flagship geometry."""
+    from eamg_tpu.decode import generate_kv
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.models.quant import quantize_params
+
+    results = {}
+    base = dict(vocab_size=8324, seq_len=512, d_model=512, n_head=8,
+                n_layer=6, causal=True, dtype="bfloat16")
+    prompt = np.zeros((8, 16), np.int32)
+    prompt[:, :3] = [[1, 2, 3]]
+    pj = jnp.asarray(prompt)
+    for name, kv_heads, quant in (("int8", None, True),
+                                  ("gqa2", 2, False),
+                                  ("int8+gqa2", 2, True)):
+        cfg = GPTConfig(**base, n_kv_heads=kv_heads)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        params = quantize_params(params) if quant else jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), params)
+
+        def run(seed):
+            buf, _ = generate_kv(params, pj, 3, jax.random.PRNGKey(seed),
+                                 cfg, 512, temperature=1.0, top_k=50,
+                                 eos_id=-1, pad_id=0,
+                                 refeed_last_prompt=False)
+            return _fetch(buf)
+
+        run(0)
+        ts = []
+        for s in range(1, 4):
+            t0 = time.perf_counter()
+            run(s)
+            ts.append(time.perf_counter() - t0)
+        results[name] = round(509 * 8 / min(ts), 1)
+    return {"scenario": "optimized_serving_modes",
+            "tokens_per_s": results}
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -214,6 +253,7 @@ SCENARIOS = {
     "5": scenario_5_service_replay,
     "6": scenario_6_first_token_latency,
     "7": scenario_7_train_throughput,
+    "8": scenario_8_optimized_serving,
 }
 
 
