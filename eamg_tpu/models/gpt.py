@@ -378,11 +378,15 @@ def forward_masked(params: dict, ids: jax.Array, cfg: GPTConfig,
 # ------------------------------------------------------------ KV decoding
 
 def init_kv_cache(cfg: GPTConfig, batch: int, max_len: int | None = None):
-    """Preallocated HBM cache: [n_layer, B, H, max_len, Dh] keys + values."""
+    """Preallocated HBM cache: per-layer tuples of [B, H, max_len, Dh] keys
+    and values. Per-layer arrays (instead of one stacked [L, ...] tensor)
+    keep every dynamic_update_slice trivially aliasable inside the
+    while_loop (measured neutral-to-better vs the stacked layout)."""
     max_len = max_len or cfg.seq_len
-    shape = (cfg.n_layer, batch, cfg.kv_heads, max_len, cfg.head_dim)
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
     dt = cfg.jnp_dtype
-    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+    return {"k": tuple(jnp.zeros(shape, dt) for _ in range(cfg.n_layer)),
+            "v": tuple(jnp.zeros(shape, dt) for _ in range(cfg.n_layer)),
             "length": jnp.zeros((), jnp.int32)}
 
 
@@ -407,10 +411,10 @@ def prefill(params: dict, ids: jax.Array, cfg: GPTConfig, cache: dict,
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
     plen = prompt_len if prompt_len is not None else T
-    k = jnp.stack([jax.lax.dynamic_update_slice(
-        cache["k"][i], new_k[i], (0, 0, 0, 0)) for i in range(cfg.n_layer)])
-    v = jnp.stack([jax.lax.dynamic_update_slice(
-        cache["v"][i], new_v[i], (0, 0, 0, 0)) for i in range(cfg.n_layer)])
+    k = tuple(jax.lax.dynamic_update_slice(
+        cache["k"][i], new_k[i], (0, 0, 0, 0)) for i in range(cfg.n_layer))
+    v = tuple(jax.lax.dynamic_update_slice(
+        cache["v"][i], new_v[i], (0, 0, 0, 0)) for i in range(cfg.n_layer))
     return logits, {"k": k, "v": v,
                     "length": jnp.asarray(plen, jnp.int32)}
 
@@ -428,14 +432,14 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
     B = last_ids.shape[0]
     dt = cfg.jnp_dtype
     t = cache["length"]
-    max_len = cache["k"].shape[3]
+    max_len = cache["k"][0].shape[2]
     pos_idx = jnp.zeros_like(t) if cfg.pos_broadcast_bug else t
     x = (params["tok_emb"][last_ids]
          + jax.lax.dynamic_slice_in_dim(params["pos"], pos_idx, 1,
                                         0)).astype(dt)
-    # stacked [L, B, H, M, Dh] caches updated in place per layer — the
-    # while_loop donates them, so each update is a true in-HBM write
-    ks, vs = cache["k"], cache["v"]
+    # per-layer cache arrays: each dynamic_update_slice aliases in place
+    # inside the while_loop
+    ks, vs = list(cache["k"]), list(cache["v"])
     key_valid = (jnp.arange(max_len) <= t)[None, None, None, :]
     zero = jnp.asarray(0, jnp.int32)
     for li, p in enumerate(params["layers"]):
@@ -446,12 +450,10 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
         q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,1,Dh]
         k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
         v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
-        ks = jax.lax.dynamic_update_slice(
-            ks, k_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
-                              zero))
-        vs = jax.lax.dynamic_update_slice(
-            vs, v_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
-                              zero))
+        ks[li] = jax.lax.dynamic_update_slice(ks[li], k_new,
+                                              (zero, zero, t, zero))
+        vs[li] = jax.lax.dynamic_update_slice(vs[li], v_new,
+                                              (zero, zero, t, zero))
         k_all, v_all = ks[li], vs[li]
         if cfg.kernels == "pallas":
             # scalar-prefetch flash-decode: HBM cache reads scale with the
@@ -473,7 +475,7 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
         x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])[:, 0]
-    return logits, {"k": ks, "v": vs, "length": t + 1}
+    return logits, {"k": tuple(ks), "v": tuple(vs), "length": t + 1}
 
 
 def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
@@ -490,10 +492,10 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
     B, G = ids.shape
     dt = cfg.jnp_dtype
     t = cache["length"]
-    max_len = cache["k"].shape[3]
+    max_len = cache["k"][0].shape[2]
     pos = jax.lax.dynamic_slice_in_dim(params["pos"], t, G, 0)
     x = (params["tok_emb"][ids] + pos[None]).astype(dt)
-    ks, vs = cache["k"], cache["v"]
+    ks, vs = list(cache["k"]), list(cache["v"])
     zero = jnp.asarray(0, jnp.int32)
     key_pos = jnp.arange(max_len)[None, None, None, :]       # [1,1,1,M]
     q_pos = (t + jnp.arange(G))[None, None, :, None]         # [1,1,G,1]
@@ -505,12 +507,10 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
         q = _heads(qkv[..., :D], cfg.n_head)                 # [B,H,G,Dh]
         k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
         v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
-        ks = jax.lax.dynamic_update_slice(
-            ks, k_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
-                              zero))
-        vs = jax.lax.dynamic_update_slice(
-            vs, v_new[None], (jnp.asarray(li, jnp.int32), zero, zero, t,
-                              zero))
+        ks[li] = jax.lax.dynamic_update_slice(ks[li], k_new,
+                                              (zero, zero, t, zero))
+        vs[li] = jax.lax.dynamic_update_slice(vs[li], v_new,
+                                              (zero, zero, t, zero))
         scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
         scores = jnp.where(valid, scores, jnp.finfo(dt).min)
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
@@ -519,7 +519,7 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
         x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
-    return logits, {"k": ks, "v": vs, "length": t + G}
+    return logits, {"k": tuple(ks), "v": tuple(vs), "length": t + G}
 
 
 def count_params(params) -> int:

@@ -30,7 +30,8 @@ def test_gqa_param_and_cache_shapes():
     D, KVD = 32, 2 * (32 // 4)
     assert params["layers"][0]["attn"]["in_w"].shape == (D + 2 * KVD, D)
     cache = init_kv_cache(cfg, batch=3, max_len=16)
-    assert cache["k"].shape == (2, 3, 2, 16, 8)  # kv_heads=2, not 4
+    assert len(cache["k"]) == 2  # per-layer tuples
+    assert cache["k"][0].shape == (3, 2, 16, 8)  # kv_heads=2, not 4
 
 
 def test_gqa_forward_runs_and_is_causal():
