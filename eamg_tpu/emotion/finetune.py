@@ -138,6 +138,24 @@ def finetune(params: dict, cfg: db.DistilBertConfig, tokenizer,
     step, optimizer = make_finetune_step(cfg, spec)
     opt_state = optimizer.init(trainable)
 
+    def evaluate(trainable):
+        """Eval loss/accuracy over the held-out split (whole-set batch;
+        mirrors the notebook's per-epoch eval, cell 9)."""
+        import jax
+
+        sel = eval_idx
+        logits = db.forward(
+            {**params, "pre_classifier": trainable["pre_classifier"],
+             "classifier": trainable["classifier"]},
+            jnp.asarray(ids[sel]), jnp.asarray(mask[sel]), cfg,
+            lora=trainable["lora"], lora_scale=spec.scale)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        lbl = jnp.asarray(labels[sel])
+        nll = -jnp.take_along_axis(logp, lbl[:, None], axis=1)[:, 0]
+        return {"eval_loss": float(jnp.mean(nll)),
+                "eval_accuracy": float(jnp.mean(
+                    jnp.argmax(logits, -1) == lbl))}
+
     history = []
     it = 0
     for epoch in range(spec.epochs):
@@ -153,6 +171,13 @@ def finetune(params: dict, cfg: db.DistilBertConfig, tokenizer,
                        f"loss={float(m['loss']):.4f} "
                        f"acc={float(m['accuracy']):.3f}")
             history.append({k: float(v) for k, v in m.items()})
+        if n_eval:
+            ev = evaluate(trainable)
+            history.append(ev)
+            if log_every:
+                log_fn(f"epoch {epoch + 1}: eval_loss="
+                       f"{ev['eval_loss']:.4f} "
+                       f"eval_acc={ev['eval_accuracy']:.3f}")
 
     merged = merge_lora(params, trainable["lora"], spec)
     merged["pre_classifier"] = trainable["pre_classifier"]

@@ -109,3 +109,15 @@ def test_first_label_and_tsv(tmp_path):
     texts, labels = load_label_tsv(str(p))
     assert texts == ["i am happy", "so sad"]
     assert labels == [17, 25]
+
+
+def test_finetune_eval_split():
+    params = db.init_params(jax.random.PRNGKey(5), CFG)
+    texts, labels = make_toy_data(64)
+    _, _, history = finetune(
+        params, CFG, ToyTokenizer(), texts, labels,
+        spec=LoraSpec(r=4, alpha=8.0, batch=16, epochs=2, lr=5e-3, seed=0,
+                      max_length=12), eval_fraction=0.25)
+    evals = [h for h in history if "eval_loss" in h]
+    assert len(evals) == 2  # one per epoch
+    assert all(0.0 <= e["eval_accuracy"] <= 1.0 for e in evals)
