@@ -49,7 +49,8 @@ def cmd_train(args):
         max_rows=args.max_rows, out_dir=args.out, scheme=args.scheme,
         epochs=args.epochs, save_every_steps=args.save_every,
         save_hours=args.save_hours, mesh=mesh, seed=args.seed,
-        log_every=args.log_every, resume_from=args.resume)
+        log_every=args.log_every, resume_from=args.resume,
+        corrected=args.corrected)
     print(json.dumps(summary))
 
 
@@ -209,6 +210,10 @@ def main(argv=None):
     t.add_argument("--resume", default=None,
                    help="checkpoint dir to resume from (step + optimizer "
                         "state restored)")
+    t.add_argument("--corrected", action="store_true",
+                   help="train the corrected causal architecture (no "
+                        "reference quirks; enables speculative decoding "
+                        "and request coalescing)")
     t.set_defaults(fn=cmd_train)
 
     g = sub.add_parser("generate", help="generate MIDI (batch/interactive)")

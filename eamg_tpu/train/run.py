@@ -61,7 +61,8 @@ def run_training(preset: str, csv_path: str | None = None,
                  save_every_steps: int = 500,
                  save_hours: float | None = None, mesh=None,
                  seed: int = 0, log_every: int = 0, log_fn=print,
-                 resume_from: str | None = None) -> dict:
+                 resume_from: str | None = None,
+                 corrected: bool = False) -> dict:
     scheme = scheme or PRESET_SCHEME[preset]
     tcfg = reference_preset(preset)
     if epochs is not None:
@@ -77,6 +78,13 @@ def run_training(preset: str, csv_path: str | None = None,
     encoded, vocab = encode_corpus(rows, scheme, geom.seq_len)
     cfg = model_preset(preset if preset != "paper" else "large2",
                        vocab_size=len(vocab))
+    if corrected:
+        # corrected architecture: causal attention, no reference quirks —
+        # required for speculative decoding and request coalescing
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, causal=True, batch_first_bug=False,
+                                  pos_broadcast_bug=False)
     tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id})
 
     if resume_from:

@@ -243,3 +243,27 @@ def test_native_loader_python_fallback(tmp_path, monkeypatch):
                                                 seq_len=64)
     np.testing.assert_array_equal(native_ids, py_ids)
     np.testing.assert_array_equal(native_lens, py_lens)
+
+
+def test_cli_corrected_speculative_success(tmp_path, capsys):
+    """Corrected-mode training + speculative generation end-to-end: two
+    causal minis over the same vocab, draft-accelerated generation
+    succeeds and writes a valid MIDI."""
+    tgt = tmp_path / "t"
+    drf = tmp_path / "d"
+    for out, seed in ((tgt, "0"), (drf, "0")):
+        cli_main(["train", "--preset", "mini", "--synthetic", "12",
+                  "--epochs", "1", "--out", str(out), "--log-every", "0",
+                  "--corrected", "--seed", seed])
+    capsys.readouterr()
+    mid = tmp_path / "g.mid"
+    cli_main(["generate", "--checkpoint", str(tgt / "final"),
+              "--draft", str(drf / "final"), "--bpm", "120",
+              "--key", "C major", "--instruments", "Violin",
+              "--max-len", "48", "--gamma", "3", "--out", str(mid),
+              "--seed", "2"])
+    assert mid.read_bytes()[:4] == b"MThd"
+
+    from eamg_tpu.utils import load_checkpoint
+
+    assert load_checkpoint(str(tgt / "final"))["cfg"].causal
