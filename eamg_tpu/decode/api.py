@@ -47,8 +47,12 @@ class Generator:
                      temperature: float = 1.0, top_k: int = 50,
                      seed: int = 0, greedy: bool = False, batch: int = 1,
                      use_cache: bool = True,
-                     refeed_last_prompt: bool = True) -> np.ndarray:
-        """Returns [batch, n_tokens] generated id rows (prompt included)."""
+                     refeed_last_prompt: bool = True,
+                     mask_value: float = -1e10) -> np.ndarray:
+        """Returns [batch, n_tokens] generated id rows (prompt included).
+
+        mask_value: top-k mask constant — the servers use -1e10
+        (api.py:85), generate2.py uses -1e9 (SURVEY.md §2.3.6)."""
         max_len = max_len or self.cfg.seq_len
         p = len(prompt_ids)
         bucket = min(_bucket(p), max_len)
@@ -60,12 +64,13 @@ class Generator:
                 self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
                 temperature=temperature, top_k=top_k, eos_id=self.eos_id,
                 pad_id=self.pad_id, greedy=greedy,
-                refeed_last_prompt=refeed_last_prompt)
+                refeed_last_prompt=refeed_last_prompt,
+                mask_value=mask_value)
         else:
             buf, pos = generate_full(
                 self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
                 temperature=temperature, top_k=top_k, eos_id=self.eos_id,
-                pad_id=self.pad_id, greedy=greedy)
+                pad_id=self.pad_id, greedy=greedy, mask_value=mask_value)
         return np.asarray(buf)[:, :int(pos)]
 
     def generate_ids_speculative(self, draft: "Generator",
