@@ -96,13 +96,6 @@ def cmd_generate(args):
         print("WAV saved ->", args.wav)
 
 
-def cmd_serve(args):
-    from .serve.server import main as serve_main
-
-    sys.argv = ["serve"] + args.rest
-    serve_main()
-
-
 def cmd_analyze(args):
     from .tools.analysis import analyze_corpus, write_report
 
@@ -186,6 +179,15 @@ def cmd_finetune_emotion(args):
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "serve":
+        # argparse.REMAINDER mis-parses leading --flags; hand the rest to
+        # the server's own parser directly
+        from .serve.server import main as serve_main
+
+        sys.argv = ["serve"] + argv[1:]
+        return serve_main()
+
     p = argparse.ArgumentParser(prog="eamg_tpu",
                                 description="EAMG-TPU framework CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,10 +239,6 @@ def main(argv=None):
     g.add_argument("--gamma", type=int, default=4,
                    help="speculative proposals per verify step")
     g.set_defaults(fn=cmd_generate)
-
-    s = sub.add_parser("serve", help="run the HTTP service")
-    s.add_argument("rest", nargs=argparse.REMAINDER)
-    s.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser("analyze", help="corpus key/instrument histograms")
     a.add_argument("--csv", required=True)

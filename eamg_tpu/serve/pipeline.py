@@ -65,8 +65,9 @@ class Pipeline:
         self.scheme_b = scheme_b
 
     def warmup(self) -> None:
-        """Compile the decode program before the first request."""
-        self.generate("warm up the compiler", seed=0, render_audio=False)
+        """Compile the decode AND synth programs before the first request."""
+        self.generate("warm up the compiler", seed=0,
+                      render_audio=self.render_audio)
 
     def generate(self, prompt_text: str, temperature: float = 1.0,
                  top_k: int = 50, seed: int | None = None,
