@@ -215,7 +215,9 @@ def main():  # pragma: no cover - CLI entry
     else:
         from .pipeline import demo_pipeline
 
-        pipeline = demo_pipeline()
+        # --coalesce needs the corrected causal demo architecture
+        pipeline = demo_pipeline(corrected=args.coalesce,
+                                 coalesce=args.coalesce)
     print("warming up (first compile)...")
     pipeline.warmup()
     server = make_server(pipeline, args.host, args.port, quiet=False)
