@@ -28,8 +28,9 @@ from .sampling import sample_token
 
 def init_ragged_cache(cfg: GPTConfig, batch: int, max_len: int):
     dt = cfg.jnp_dtype
-    shape = (cfg.n_layer, batch, cfg.kv_heads, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return {"k": tuple(jnp.zeros(shape, dt) for _ in range(cfg.n_layer)),
+            "v": tuple(jnp.zeros(shape, dt) for _ in range(cfg.n_layer)),
             "lengths": jnp.zeros((batch,), jnp.int32)}
 
 
@@ -45,7 +46,7 @@ def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
     valid = (key_pos[None, :] < prompt_lens[:, None])[:, None, None, :]
     causal = (key_pos[None, :] <= key_pos[:, None])[None, None]
     mask = valid & causal
-    ks, vs = cache["k"], cache["v"]
+    ks, vs = list(cache["k"]), list(cache["v"])
     zero = jnp.asarray(0, jnp.int32)
     for li, p in enumerate(params["layers"]):
         attn_in = _attn_input(p, x, cfg)
@@ -53,12 +54,10 @@ def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
         q = _heads(_linear(attn_in, wq, bq), cfg.n_head)
         k = _heads(_linear(attn_in, wk, bk), cfg.kv_heads)
         v = _heads(_linear(attn_in, wv, bv), cfg.kv_heads)
-        ks = jax.lax.dynamic_update_slice(
-            ks, k[None], (jnp.asarray(li, jnp.int32), zero, zero, zero,
-                          zero))
-        vs = jax.lax.dynamic_update_slice(
-            vs, v[None], (jnp.asarray(li, jnp.int32), zero, zero, zero,
-                          zero))
+        ks[li] = jax.lax.dynamic_update_slice(ks[li], k,
+                                              (zero, zero, zero, zero))
+        vs[li] = jax.lax.dynamic_update_slice(vs[li], v,
+                                              (zero, zero, zero, zero))
         scores = _gqa_scores(q, k, 1.0 / math.sqrt(cfg.head_dim))
         scores = jnp.where(mask, scores, jnp.finfo(dt).min)
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
@@ -67,7 +66,7 @@ def prefill_ragged(params: dict, ids: jax.Array, prompt_lens: jax.Array,
         x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
-    return logits, {"k": ks, "v": vs,
+    return logits, {"k": tuple(ks), "v": tuple(vs),
                     "lengths": prompt_lens.astype(jnp.int32)}
 
 
@@ -84,10 +83,10 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
     B = last.shape[0]
     dt = cfg.jnp_dtype
     t = cache["lengths"]                                  # [B]
-    max_len = cache["k"].shape[3]
+    max_len = cache["k"][0].shape[2]
     x = (params["tok_emb"][last[:, None]]
          + params["pos"][t][:, None]).astype(dt)          # [B,1,D]
-    ks, vs = cache["k"], cache["v"]
+    ks, vs = list(cache["k"]), list(cache["v"])
     key_valid = (jnp.arange(max_len)[None, :] <=
                  t[:, None])[:, None, None, :]
     for li, p in enumerate(params["layers"]):
@@ -97,8 +96,8 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
         q = _heads(qkv[..., :D], cfg.n_head)
         k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
         v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
-        ks = ks.at[li].set(_row_update(ks[li], k_new, t))
-        vs = vs.at[li].set(_row_update(vs[li], v_new, t))
+        ks[li] = _row_update(ks[li], k_new, t)
+        vs[li] = _row_update(vs[li], v_new, t)
         scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
         scores = jnp.where(key_valid, scores, jnp.finfo(dt).min)
         probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
@@ -107,7 +106,7 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
         x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])[:, 0]
-    return logits, {"k": ks, "v": vs, "lengths": t + 1}
+    return logits, {"k": tuple(ks), "v": tuple(vs), "lengths": t + 1}
 
 
 def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy):

@@ -61,11 +61,10 @@ def test_ragged_prefill_matches_uniform():
                      prompt_len=6)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-4,
                                rtol=2e-4)
-    # ragged cache is stacked [L, ...]; plain cache is per-layer tuples
-    np.testing.assert_allclose(np.asarray(ca["k"][:, :, :, :6]),
-                               np.stack([np.asarray(k[:, :, :6])
-                                         for k in cb["k"]]), atol=1e-4,
-                               rtol=1e-4)
+    for a, b in zip(ca["k"], cb["k"]):
+        np.testing.assert_allclose(np.asarray(a[:, :, :6]),
+                                   np.asarray(b[:, :, :6]), atol=1e-4,
+                                   rtol=1e-4)
 
 
 def test_ragged_eos_per_row():
