@@ -218,3 +218,19 @@ def test_pipeline_uncached_mode():
     assert res.label == "gratitude"
     assert res.midi_bytes[:4] == b"MThd"
     assert len(res.tokens) > 3
+
+
+def test_http_malformed_body_no_crash(server):
+    """Garbage multipart bodies must produce a clean error, not a hung or
+    crashed server."""
+    req = urllib.request.Request(
+        f"{server}/generate", data=b"\x00\xff garbage \x13\x37",
+        headers={"Content-Type": "multipart/form-data; boundary=xyz"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP error"
+    except urllib.error.HTTPError as e:
+        assert e.code in (422, 500)
+    # server still alive
+    resp = urllib.request.urlopen(f"{server}/healthz", timeout=30)
+    assert json.loads(resp.read())["status"] == "ok"
