@@ -35,6 +35,7 @@ class _Pending:
     top_k: int
     greedy: bool
     seed: int
+    max_len: int
     event: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: Exception | None = None
@@ -56,11 +57,13 @@ class RequestBatcher:
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                top_k: int = 50, greedy: bool = False,
-               seed: int | None = None, timeout: float = 600.0) -> list:
+               seed: int | None = None, timeout: float = 600.0,
+               max_len: int | None = None) -> list:
         req = _Pending(prompt_ids, float(temperature), int(top_k),
                        bool(greedy),
                        int(seed) if seed is not None
-                       else int(time.time_ns() % 2**31))
+                       else int(time.time_ns() % 2**31),
+                       int(min(max_len or self.max_len, self.max_len)))
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -83,26 +86,30 @@ class RequestBatcher:
                     group.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            # split by sampling params (one compiled call per combo)
+            # split by sampling params (one compiled call per combo);
+            # max_len buckets to powers of two so programs are reused
             by_params: dict = {}
             for r in group:
+                ml = 1 << (r.max_len - 1).bit_length()
+                ml = min(ml, self.max_len)
                 by_params.setdefault(
-                    (r.temperature, r.top_k, r.greedy), []).append(r)
-            for (temp, top_k, greedy), reqs in by_params.items():
+                    (r.temperature, r.top_k, r.greedy, ml), []).append(r)
+            for (temp, top_k, greedy, ml), reqs in by_params.items():
                 try:
-                    self._run(reqs, temp, top_k, greedy)
+                    self._run(reqs, temp, top_k, greedy, ml)
                 except Exception as exc:  # pragma: no cover - defensive
                     for r in reqs:
                         r.error = exc
                         r.event.set()
 
-    def _run(self, reqs, temperature, top_k, greedy):
+    def _run(self, reqs, temperature, top_k, greedy, max_len=None):
+        max_len = max_len or self.max_len
         n = len(reqs)
         bs = 1
         while bs < n:
             bs *= 2
         width = min(_bucket(max(len(r.prompt_ids) for r in reqs)),
-                    self.max_len)
+                    max_len)
         prompt = np.full((bs, width), self.gen.pad_id, np.int32)
         lens = np.ones((bs,), np.int32)  # dummy rows: 1-token prompts
         seeds = np.zeros((bs,), np.uint32)
@@ -114,7 +121,7 @@ class RequestBatcher:
         rngs = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
         buf, pos = generate_kv_ragged(
             self.gen.params, jnp.asarray(prompt), jnp.asarray(lens), rngs,
-            self.gen.cfg, self.max_len, temperature=temperature,
+            self.gen.cfg, max_len, temperature=temperature,
             top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
             greedy=greedy)
         buf = np.asarray(buf)
@@ -123,5 +130,5 @@ class RequestBatcher:
         self.stats["requests"] += n
         self.stats["max_group"] = max(self.stats["max_group"], n)
         for i, r in enumerate(reqs):
-            r.result = buf[i, :int(pos[i])].tolist()
+            r.result = buf[i, :min(int(pos[i]), r.max_len)].tolist()
             r.event.set()

@@ -84,3 +84,21 @@ def test_mixed_params_split_groups(generator):
         t.join(timeout=600)
     assert len(results["a"]) > 2 and len(results["b"]) > 2
     assert results["a"] != results["b"]
+
+
+def test_per_request_max_len(generator):
+    batcher = RequestBatcher(generator, max_batch=4, window_ms=150,
+                             max_len=32)
+    results = {}
+
+    def hit(name, ml):
+        results[name] = batcher.submit([1, 2], seed=3, max_len=ml)
+
+    threads = [threading.Thread(target=hit, args=("short", 10)),
+               threading.Thread(target=hit, args=("long", 30))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results["short"]) <= 10
+    assert len(results["long"]) > 10
