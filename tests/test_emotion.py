@@ -106,3 +106,12 @@ def test_transitions():
         "I am so happy today. But I am scared of tomorrow.")
     assert len(out) == 2
     assert out[0][1] == "joy" and out[1][1] == "fear"
+
+
+def test_module_level_predict():
+    """inference.predict-style module convenience (the reference's
+    module-global pattern, without import-time model loading)."""
+    from eamg_tpu.emotion import predict
+
+    assert predict("I am so happy and glad today") == "joy"
+    assert predict("I am terrified of the dark") == "fear"
