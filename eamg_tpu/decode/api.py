@@ -41,6 +41,16 @@ class Generator:
         self.eos_id = vocab.get(eos_token, -1)
         self.pad_id = vocab.get(pad_token, 0)
 
+    def max_supported_len(self, use_cache: bool = True) -> int:
+        """Longest total (prompt + generation) length the positional table
+        supports. The cached path looks positions up to max_len-1
+        (loop.py::generate_kv); the uncached path only re-encodes the first
+        max_len-1 tokens, so it tolerates one more. The pos-broadcast quirk
+        (api_cache.py:99) always reads row 0 during decode."""
+        if self.cfg.pos_broadcast_bug or not use_cache:
+            return self.cfg.seq_len if use_cache else self.cfg.n_pos + 1
+        return min(self.cfg.seq_len, self.cfg.n_pos)
+
     # -- id-level ---------------------------------------------------------
 
     def generate_ids(self, prompt_ids: list[int], max_len: int | None = None,
@@ -54,7 +64,14 @@ class Generator:
         mask_value: top-k mask constant — the servers use -1e10
         (api.py:85), generate2.py uses -1e9 (SURVEY.md §2.3.6)."""
         max_len = max_len or self.cfg.seq_len
+        max_len = min(max_len, self.max_supported_len(use_cache))
         p = len(prompt_ids)
+        if p >= max_len:
+            # Reference semantics: sample_kvcache's loop runs
+            # range(max_len - len(prompt)) times — zero for over-length
+            # prompts, prompt returned unchanged (api_cache.py:166-182).
+            return np.tile(np.asarray(prompt_ids, np.int32)[None],
+                           (batch, 1))
         bucket = min(_bucket(p), max_len)
         prompt = np.full((batch, bucket), self.pad_id, np.int32)
         prompt[:, :p] = prompt_ids

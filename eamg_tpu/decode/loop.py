@@ -52,6 +52,13 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
     pad_id.
     """
     B, P = prompt.shape
+    # Without the pos-broadcast quirk, decode_step reads params["pos"][t]
+    # for t up to max_len-1; trainer presets allocate only seq_len-1 rows
+    # (train/train_large2.py:87), so decoding to seq_len would silently
+    # clamp the last position lookup.
+    assert cfg.pos_broadcast_bug or max_len <= cfg.n_pos, (
+        f"max_len={max_len} exceeds the positional table "
+        f"(n_pos={cfg.n_pos}); cap decode length at cfg.n_pos")
     cache = init_kv_cache(cfg, B, max_len)
     logits0, cache = prefill(params, prompt, cfg, cache,
                              prompt_len=prompt_len)

@@ -134,6 +134,13 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
     its generation, PAD elsewhere. Each row's stream is a pure function of
     (params, its prompt, its key) — independent of the other rows."""
     B, P = prompt.shape
+    # decode_step_ragged reads params["pos"][t] for t up to max_len-1;
+    # trainer presets allocate seq_len-1 rows (train/train_large2.py:87),
+    # so a max_len == seq_len decode would silently clamp the final
+    # position lookup.
+    assert max_len <= cfg.n_pos, (
+        f"max_len={max_len} exceeds the positional table "
+        f"(n_pos={cfg.n_pos}); cap decode length at cfg.n_pos")
     if rngs.ndim == 1:  # single key: fan out per row
         rngs = jax.vmap(lambda i: jax.random.fold_in(rngs, i))(
             jnp.arange(B))
@@ -153,11 +160,19 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
             logits0.shape[-1], 2), axis=1)[:, 0]
     first = _sample_per_row(subs, last_logits, temperature, top_k,
                             mask_value, greedy)
+    # A row whose prompt already fills the buffer (prompt_lens == max_len)
+    # has no slot left: it starts done, its position stays put, and the
+    # write below re-writes the existing value instead of clobbering the
+    # final prompt token (reference semantics: zero generation steps,
+    # api_cache.py:166 range(max_len - len) is empty).
+    active0 = prompt_lens < max_len
     buf = jax.vmap(
-        lambda b, w, pos: jax.lax.dynamic_update_slice(b, w, (pos,))
-    )(buf, first[:, None], prompt_lens)
-    pos = prompt_lens + 1
-    done = first == eos_id
+        lambda b, w, p_, a: jax.lax.dynamic_update_slice(
+            b, jnp.where(a, w, b[jnp.minimum(p_, max_len - 1)])[None],
+            (jnp.minimum(p_, max_len - 1),))
+    )(buf, first, prompt_lens, active0)
+    pos = jnp.where(active0, prompt_lens + 1, prompt_lens)
+    done = (first == eos_id) | ~active0
 
     def cond(state):
         buf, pos, last, done, rngs, cache = state
@@ -188,4 +203,4 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
 
     buf, pos, _, _, _, _ = jax.lax.while_loop(
         cond, body, (buf, pos.astype(jnp.int32), first, done, rngs, cache))
-    return buf, pos
+    return buf, jnp.minimum(pos, max_len)

@@ -74,9 +74,14 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     subsequent tokens arrive in compiled ``chunk``-step batches.
     """
     p = len(prompt_ids)
-    width = min(max(bucket, 1), max_len)
+    if p >= max_len:
+        # No slot left to generate into (reference: zero loop iterations,
+        # api_cache.py:166); the cache would otherwise overflow.
+        return
+    width = max(bucket, 1)
     while width < p:
         width *= 2
+    width = min(width, max_len)
     prompt = np.full((1, width), pad_id, np.int32)
     prompt[0, :p] = prompt_ids
     rng = jax.random.PRNGKey(seed)

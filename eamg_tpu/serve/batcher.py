@@ -47,7 +47,8 @@ class RequestBatcher:
         self.gen = generator
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
-        self.max_len = max_len or generator.cfg.seq_len
+        self.max_len = min(max_len or generator.cfg.seq_len,
+                           generator.max_supported_len())
         self._q: queue.Queue = queue.Queue()
         self.stats = {"calls": 0, "requests": 0, "max_group": 0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -114,7 +115,9 @@ class RequestBatcher:
         lens = np.ones((bs,), np.int32)  # dummy rows: 1-token prompts
         seeds = np.zeros((bs,), np.uint32)
         for i, r in enumerate(reqs):
-            p = r.prompt_ids[:width]
+            # Leave at least one generation slot: a prompt that fills the
+            # request's whole budget would otherwise produce nothing.
+            p = r.prompt_ids[:min(width, max(1, r.max_len - 1))]
             prompt[i, :len(p)] = p
             lens[i] = len(p)
             seeds[i] = r.seed

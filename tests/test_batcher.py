@@ -86,6 +86,32 @@ def test_mixed_params_split_groups(generator):
     assert results["a"] != results["b"]
 
 
+def test_full_budget_prompt_still_generates(generator):
+    """A prompt that consumes its whole per-request budget is truncated to
+    leave one generation slot (ADVICE r1): the result is prompt[:ml-1] plus
+    at least one generated token, never a corrupted prompt tail."""
+    batcher = RequestBatcher(generator, max_batch=2, window_ms=5,
+                             max_len=32)
+    prompt = list(range(1, 13))          # 12 tokens, budget 12
+    out = batcher.submit(prompt, seed=1, max_len=12, greedy=True)
+    assert out[:11] == prompt[:11]
+    assert len(out) == 12                # 11 prompt + 1 generated
+
+
+def test_batcher_caps_max_len_at_pos_table(generator):
+    # CFG has pos_rows == seq_len == 48, so n_pos == 48; a config without
+    # pos_rows would cap at seq_len-1.
+    cfg = GPTConfig(vocab_size=64, seq_len=48, d_model=32, n_head=4,
+                    n_layer=2, causal=True)  # n_pos = 47
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    gen = Generator(params, cfg, generator.vocab, eos_token="none",
+                    pad_token="0")
+    batcher = RequestBatcher(gen, max_batch=2, window_ms=5)
+    assert batcher.max_len == 47
+    out = batcher.submit([1, 2, 3], seed=0, greedy=True)  # must not crash
+    assert len(out) <= 47
+
+
 def test_per_request_max_len(generator):
     batcher = RequestBatcher(generator, max_batch=4, window_ms=150,
                              max_len=32)

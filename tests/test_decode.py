@@ -179,3 +179,42 @@ def test_full_vs_kv_equivalence_causal():
                          jax.random.PRNGKey(0), cfg, 16, greedy=True,
                          eos_id=-1, pad_id=0)
     assert np.asarray(a).tolist() == np.asarray(b).tolist()
+
+
+def test_overlength_prompt_returns_prompt_unchanged():
+    """A prompt with no room to generate comes back verbatim, matching the
+    reference's empty range(max_len - len) loop (api_cache.py:166)."""
+    cfg = GPTConfig(vocab_size=V, seq_len=SEQ, d_model=D, n_head=H,
+                    n_layer=L, causal=True)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    gen = Generator(params, cfg, Vocab({str(i): i for i in range(V)}),
+                    eos_token="none", pad_token="0")
+    prompt = list(range(1, 25))
+    for use_cache in (True, False):
+        row = gen.generate_ids(prompt, max_len=16, greedy=True,
+                               use_cache=use_cache)[0]
+        assert row.tolist() == prompt
+
+
+def test_generate_ids_caps_max_len_at_pos_table():
+    """Trainer presets allocate seq_len-1 pos rows; asking the cached path
+    for a seq_len decode silently capped the last position lookup before
+    (ADVICE r1) — now the Generator caps max_len instead of crashing."""
+    cfg = GPTConfig(vocab_size=V, seq_len=SEQ, d_model=D, n_head=H,
+                    n_layer=L, causal=True)  # n_pos = SEQ-1
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    gen = Generator(params, cfg, Vocab({str(i): i for i in range(V)}),
+                    eos_token="none", pad_token="0")
+    row = gen.generate_ids([1, 2, 3], max_len=SEQ, greedy=True)[0]
+    assert len(row) <= SEQ - 1
+
+
+def test_stream_overlength_prompt_yields_nothing():
+    from eamg_tpu.decode.stream import stream_tokens
+
+    cfg = GPTConfig(vocab_size=V, seq_len=SEQ, d_model=D, n_head=H,
+                    n_layer=L, pos_rows=SEQ, ln_placement="pre",
+                    activation="gelu", causal=True)
+    params = init_params(jax.random.PRNGKey(8), cfg)
+    assert list(stream_tokens(params, cfg, list(range(1, 18)), 16,
+                              chunk=4, greedy=True, eos_id=-1)) == []

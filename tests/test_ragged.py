@@ -107,6 +107,35 @@ def test_ragged_step_lengths_advance():
     assert cache["lengths"].tolist() == [3, 4]
 
 
+def test_ragged_full_buffer_prompt_preserved():
+    """A row whose prompt fills the whole buffer must come back unchanged
+    (zero generation steps) instead of having its last token overwritten
+    by a sampled token (ADVICE r1, medium)."""
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    max_len = 8
+    full = list(range(1, 9))          # exactly max_len tokens
+    short = [11, 12]
+    prompt, lens = ragged_batch([full, short], width=8)
+    buf, pos = generate_kv_ragged(params, prompt, lens,
+                                  jax.random.PRNGKey(0), CFG, max_len,
+                                  greedy=True, eos_id=-1, pad_id=0)
+    buf, pos = np.asarray(buf), np.asarray(pos)
+    assert buf[0].tolist() == full          # untouched
+    assert int(pos[0]) == max_len           # clamped, not max_len+1
+    assert int(pos[1]) == max_len           # short row generated to the end
+    assert buf[1, :2].tolist() == short
+
+
+def test_ragged_rejects_max_len_beyond_pos_table():
+    cfg = GPTConfig(vocab_size=64, seq_len=16, d_model=32, n_head=4,
+                    n_layer=1, causal=True)  # n_pos = 15
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt, lens = ragged_batch([[1, 2]], width=4)
+    with pytest.raises(AssertionError, match="positional table"):
+        generate_kv_ragged(params, prompt, lens, jax.random.PRNGKey(0),
+                           cfg, 16, greedy=True, eos_id=-1, pad_id=0)
+
+
 def test_ragged_row_rng_independent_of_batch_composition():
     """With per-row keys, a row's sampled stream is identical whether it
     runs alone or coalesced with other requests — the property server-side
