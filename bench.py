@@ -37,7 +37,9 @@ def main():
     # read otherwise)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    batch, max_len = 8, 512
+    # decode to the positional-table limit (seq_len-1 rows on trainer
+    # geometries; decoding to 512 would clamp the final position lookup)
+    batch, max_len = 8, cfg.n_pos
     prompt_len = 3
     prompt = np.zeros((batch, 16), np.int32)
     prompt[:, :prompt_len] = [[1, 2, 3]]  # [START_SEQ] + control tokens
@@ -47,7 +49,7 @@ def main():
         buf, pos = generate_kv(
             params, prompt_j, prompt_len, jax.random.PRNGKey(seed), cfg,
             max_len, temperature=1.0, top_k=50, eos_id=-1, pad_id=0,
-            refeed_last_prompt=False)
+            refeed_last_prompt=False, top_k_impl="pallas")
         # fetch to host: on the tunneled axon backend block_until_ready
         # returns before execution completes, so time the D2H fetch
         return np.asarray(buf), pos
@@ -65,7 +67,8 @@ def main():
         "metric": "midi_tokens_per_sec_per_chip",
         "value": round(tok_per_s, 1),
         "unit": "tokens/s (d512 L6 V8324, KV-cache top-50 sampling, "
-                "batch 8, 512-token generations, bf16)",
+                "batch 8, 511-token generations, bf16, pallas top-k "
+                "threshold)",
         "vs_baseline": round(tok_per_s / BASELINE_TOKENS_PER_S, 2),
     }))
 

@@ -51,6 +51,7 @@ def _gen(cfg_name, batch, max_len, greedy, vocab_size=None, **kw):
     vocab_size = vocab_size or len(SchemeB2().vocab)
     cfg = preset(cfg_name, vocab_size=vocab_size)
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16", "causal": True})
+    max_len = min(max_len, cfg.n_pos)  # positional-table limit
     params = init_params(jax.random.PRNGKey(0), cfg)
     prompt = np.zeros((batch, 16), np.int32)
     prompt[:, :3] = [[1, 2, 3]]

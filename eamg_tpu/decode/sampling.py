@@ -3,10 +3,21 @@
 Reproduces the reference sampler's math (api_cache.py:166-178): logits are
 divided by temperature, a top-k additive mask (0 at the top-k indices,
 ``mask_value`` elsewhere) is applied, then softmax + multinomial. On device
-this is ``jax.lax.top_k`` + ``jax.random.categorical`` — mathematically the
+this is a top-k threshold + ``jax.random.categorical`` — mathematically the
 same distribution, with the PRNG threaded explicitly so every sampled run is
 reproducible by construction (a property the reference lacks: its host RNG
 is unseeded, EATS.py:27-28).
+
+``top_k_impl`` selects how the k-th-value threshold is found:
+- ``"sort"`` — ``lax.top_k`` (sort-based selection; ~76 µs/step over the
+  8,324-token vocab on v5e);
+- ``"bitsearch"`` — exact radix binary search, pure XLA (ops/topk.py);
+- ``"pallas"`` — the same search as one Pallas VMEM kernel;
+- ``"approx"`` — ``lax.approx_max_k`` (recall 0.99; compiles pathologically
+  slowly on the axon backend, kept for standard runtimes).
+
+All exact impls produce the same threshold, hence the same mask, hence —
+given the same PRNG key — *bit-identical* sampled streams (tested).
 
 The reference uses mask constant -1e10 (api.py:85) in the servers and -1e9
 in generate2.py:36; the constant is a parameter.
@@ -18,34 +29,49 @@ import jax
 import jax.numpy as jnp
 
 
+def _kth_threshold(logits: jax.Array, top_k: int, impl: str) -> jax.Array:
+    """[B, V] -> [B, 1] k-th largest value per row."""
+    if impl == "bitsearch":
+        from ..ops.topk import kth_value_bitsearch
+
+        return kth_value_bitsearch(logits, top_k)
+    if impl == "pallas":
+        from ..ops.topk import kth_value_pallas
+
+        return kth_value_pallas(logits, top_k)
+    if impl == "approx":
+        vals, _ = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
+    else:  # "sort"
+        vals, _ = jax.lax.top_k(logits, top_k)
+    return vals[..., -1:]
+
+
 def apply_top_k(logits: jax.Array, top_k: int,
                 mask_value: float = -1e10,
-                approx: bool = False) -> jax.Array:
+                approx: bool = False,
+                impl: str = "bitsearch") -> jax.Array:
     """Additive top-k mask, reference semantics: logits + (0 at top-k,
     mask_value elsewhere). k is static (compiled into the program).
-
-    approx=True uses the TPU-optimized ``lax.approx_max_k`` (recall 0.99)
-    to find the k-th threshold — measurably faster per decode step on large
-    vocabularies; exact is the default (reference semantics)."""
+    ``approx=True`` is a back-compat alias for ``impl="approx"``."""
     if top_k is None or top_k <= 0 or top_k >= logits.shape[-1]:
         return logits
     if approx:
-        vals, _ = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
-    else:
-        vals, _ = jax.lax.top_k(logits, top_k)
-    thresh = vals[..., -1:]
+        impl = "approx"
+    thresh = _kth_threshold(logits, top_k, impl)
     return logits + jnp.where(logits >= thresh, 0.0, mask_value)
 
 
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_k: int, mask_value: float = -1e10,
                  greedy: bool = False,
-                 approx_top_k: bool = False) -> jax.Array:
+                 approx_top_k: bool = False,
+                 top_k_impl: str = "bitsearch") -> jax.Array:
     """[B, V] logits -> [B] sampled token ids."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
-    logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k)
+    logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k,
+                         impl=top_k_impl)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 

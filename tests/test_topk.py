@@ -1,0 +1,96 @@
+"""Exact top-k threshold kernels (ops/topk.py): the radix binary search —
+pure-XLA and Pallas — must match ``lax.top_k``'s k-th value bit-for-bit,
+including ties, negatives, signed zeros and bf16 inputs; and swapping the
+impl inside the decode loop must leave sampled streams bit-identical
+(same threshold => same mask => same categorical draw)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eamg_tpu.decode.sampling import apply_top_k, sample_token
+from eamg_tpu.ops.topk import kth_value_bitsearch, kth_value_pallas
+
+CASES = [
+    ("normal", lambda r: r.normal(size=(8, 8324)).astype(np.float32) * 10),
+    ("ties", lambda r: np.round(r.normal(size=(4, 513)), 1)
+     .astype(np.float32)),
+    ("allneg", lambda r: -np.abs(r.normal(size=(2, 128)))
+     .astype(np.float32)),
+    ("zeros", lambda r: np.concatenate(
+        [np.zeros((2, 64), np.float32), -np.zeros((2, 64), np.float32)],
+        axis=1)),
+    ("tiny", lambda r: r.normal(size=(1, 50)).astype(np.float32)),
+    ("const", lambda r: np.full((3, 200), 2.5, np.float32)),
+]
+
+
+@pytest.mark.parametrize("name,make", CASES)
+@pytest.mark.parametrize("impl", ["bitsearch", "pallas"])
+def test_kth_value_exact(name, make, impl):
+    x = jnp.asarray(make(np.random.default_rng(0)))
+    fn = kth_value_bitsearch if impl == "bitsearch" else kth_value_pallas
+    for k in sorted({1, 2, 50, x.shape[1] // 2, x.shape[1]}):
+        if not 0 < k <= x.shape[1]:
+            continue
+        ref = jax.lax.top_k(x, k)[0][..., -1:]
+        got = fn(x, k)
+        assert np.array_equal(np.asarray(got), np.asarray(ref)), (name, k)
+
+
+def test_kth_value_bfloat16():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 300))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    ref = jax.lax.top_k(x.astype(jnp.float32), 7)[0][..., -1:]
+    for fn in (kth_value_bitsearch, kth_value_pallas):
+        got = fn(x, 7)
+        assert got.dtype == jnp.bfloat16
+        assert np.array_equal(np.asarray(got, np.float32),
+                              np.asarray(ref, np.float32))
+
+
+def test_apply_top_k_mask_identical_across_impls():
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(4, 997))
+                    .astype(np.float32))
+    ref = apply_top_k(x, 50, impl="sort")
+    for impl in ("bitsearch", "pallas"):
+        got = apply_top_k(x, 50, impl=impl)
+        assert np.array_equal(np.asarray(got), np.asarray(ref)), impl
+
+
+def test_sampled_stream_bit_identical_across_impls():
+    """Same threshold + same PRNG key => identical categorical draws, so
+    swapping the threshold impl must not change any sampled stream."""
+    from eamg_tpu.decode import generate_kv
+    from eamg_tpu.models import GPTConfig, init_params
+
+    cfg = GPTConfig(vocab_size=300, seq_len=40, d_model=32, n_head=4,
+                    n_layer=2, causal=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(np.asarray([[1, 2, 3, 0]], np.int32))
+    outs = {}
+    for impl in ("sort", "bitsearch", "pallas"):
+        buf, pos = generate_kv(params, prompt, 3, jax.random.PRNGKey(9),
+                               cfg, 32, temperature=0.9, top_k=50,
+                               eos_id=-1, pad_id=0, top_k_impl=impl)
+        outs[impl] = (np.asarray(buf).tolist(), int(pos))
+    assert outs["sort"] == outs["bitsearch"] == outs["pallas"]
+
+
+def test_sample_token_distribution_unchanged():
+    """Top-50 sampling frequencies with the bitsearch threshold match the
+    sort-based ones within noise (chi-square-ish tolerance)."""
+    logits = jnp.asarray(np.random.default_rng(3)
+                         .normal(size=(1, 200)).astype(np.float32) * 2)
+    n = 2000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    draws = {}
+    for impl in ("sort", "bitsearch"):
+        toks = jax.vmap(
+            lambda k: sample_token(k, logits, 1.0, 50,
+                                   top_k_impl=impl)[0])(keys)
+        draws[impl] = np.asarray(toks)
+    # identical keys + identical masked logits => identical draws
+    assert np.array_equal(draws["sort"], draws["bitsearch"])
