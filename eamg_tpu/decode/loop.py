@@ -38,19 +38,28 @@ from .sampling import sample_token
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "refeed_last_prompt", "mask_value",
-                                   "approx_top_k", "top_k_impl"))
+                                   "approx_top_k", "top_k_impl", "eos_id",
+                                   "presplit_keys"))
 def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                 top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                 greedy: bool = False, refeed_last_prompt: bool = True,
                 mask_value: float = -1e10, approx_top_k: bool = False,
-                top_k_impl: str = "bitsearch"):
+                top_k_impl: str = "bitsearch", presplit_keys: bool = False):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
     number of real prompt tokens (same for all rows). Returns
     (tokens [B, max_len], n_tokens scalar) where positions >= n_tokens are
     pad_id.
+
+    ``eos_id`` is static: a negative value compiles the EOS bookkeeping
+    (done mask, write masking, the all-rows-done loop predicate) out of the
+    hot loop entirely — fixed-length generation (measured ~13 µs/step on
+    v5e). ``presplit_keys=True`` draws all per-step PRNG keys with one
+    ``jax.random.split`` before the loop instead of one split per step;
+    sampled streams remain deterministic per seed but differ from the
+    per-step-split sequence.
     """
     B, P = prompt.shape
     # Without the pos-broadcast quirk, decode_step reads params["pos"][t]
@@ -73,19 +82,19 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
     if refeed_last_prompt:
         # Reference mode: discard warm-up logits; first step re-feeds the
         # last prompt token.
-        last0 = jnp.take_along_axis(
-            prompt.astype(jnp.int32),
-            jnp.broadcast_to(prompt_len - 1, (B,))[:, None], axis=1)[:, 0]
+        last0 = jax.lax.dynamic_slice_in_dim(
+            prompt.astype(jnp.int32), prompt_len - 1, 1, axis=1)[:, 0]
         pos0 = prompt_len
         rng0 = rng
     else:
         # Efficient mode: the warm-up logits at the last real prompt
         # position directly yield the first token.
         rng0, sub = jax.random.split(rng)
-        idx = jnp.broadcast_to(prompt_len - 1, (B,))[:, None, None]
-        last_logits = jnp.take_along_axis(
-            logits0, jnp.broadcast_to(idx, (B, 1, logits0.shape[-1])),
-            axis=1)[:, 0]
+        # dynamic_slice, NOT take_along_axis: a gather whose index is
+        # broadcast across the vocab axis lowers to a ~25 ms scalar-core
+        # gather on this backend (measured; amortized ~50 us/step)
+        last_logits = jax.lax.dynamic_slice_in_dim(
+            logits0, prompt_len - 1, 1, axis=1)[:, 0]
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl)
         buf = jax.lax.dynamic_update_slice(buf, first[:, None],
@@ -94,19 +103,33 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         last0 = first
         pos0 = prompt_len + 1
 
+    track_eos = eos_id >= 0           # static: compiled in or out
+    if presplit_keys and not greedy:
+        step_keys = jax.random.split(rng0, max_len)       # [max_len, 2]
+
     def cond(state):
         buf, pos, last, done, rng, cache = state
-        return jnp.logical_and(pos < max_len, ~jnp.all(done))
+        if track_eos:
+            return jnp.logical_and(pos < max_len, ~jnp.all(done))
+        return pos < max_len
 
     def body(state):
         buf, pos, last, done, rng, cache = state
-        rng, sub = jax.random.split(rng)
+        if greedy:
+            sub = rng
+        elif presplit_keys:
+            sub = step_keys[pos]
+        else:
+            rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl)
-        write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+        if track_eos:
+            write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+            done = jnp.logical_or(done, nxt == eos_id)
+        else:
+            write = nxt.astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
-        done = jnp.logical_or(done, nxt == eos_id)
         return buf, pos + 1, nxt, done, rng, cache
 
     buf, pos, _, _, _, _ = jax.lax.while_loop(
@@ -142,10 +165,8 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
         buf, pos, done, rng = state
         rng, sub = jax.random.split(rng)
         logits = forward_masked(params, buf[:, :T], cfg, valid_len=pos)
-        idx = jnp.broadcast_to(pos - 1, (B,))[:, None, None]
-        last_logits = jnp.take_along_axis(
-            logits, jnp.broadcast_to(idx, (B, 1, logits.shape[-1])),
-            axis=1)[:, 0]
+        last_logits = jax.lax.dynamic_slice_in_dim(logits, pos - 1, 1,
+                                                   axis=1)[:, 0]
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl)
         write = jnp.where(done, pad_id, nxt).astype(jnp.int32)

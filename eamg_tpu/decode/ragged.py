@@ -155,9 +155,11 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
     split = jax.vmap(lambda k: jax.random.split(k))
     keys = split(rngs)                      # [B, 2, 2]
     rngs, subs = keys[:, 0], keys[:, 1]
-    last_logits = jnp.take_along_axis(
-        logits0, (prompt_lens - 1)[:, None, None].repeat(
-            logits0.shape[-1], 2), axis=1)[:, 0]
+    # one-hot contraction, NOT take_along_axis: vocab-broadcast gathers
+    # hit the scalar core (~25 ms on this backend, measured)
+    onehot = (jnp.arange(P)[None, :] ==
+              (prompt_lens - 1)[:, None]).astype(logits0.dtype)
+    last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
     first = _sample_per_row(subs, last_logits, temperature, top_k,
                             mask_value, greedy)
     # A row whose prompt already fills the buffer (prompt_lens == max_len)

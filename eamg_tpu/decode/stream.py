@@ -32,10 +32,8 @@ def start_stream(params: dict, prompt: jax.Array, prompt_len,
     cache = init_kv_cache(cfg, B, max_len)
     logits, cache = prefill(params, prompt, cfg, cache,
                             prompt_len=prompt_len)
-    idx = jnp.broadcast_to(prompt_len - 1, (B,))[:, None, None]
-    last_logits = jnp.take_along_axis(
-        logits, jnp.broadcast_to(idx, (B, 1, logits.shape[-1])),
-        axis=1)[:, 0]
+    last_logits = jax.lax.dynamic_slice_in_dim(logits, prompt_len - 1, 1,
+                                               axis=1)[:, 0]
     return last_logits, cache
 
 
