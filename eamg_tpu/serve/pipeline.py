@@ -14,7 +14,7 @@ import io
 import time
 from dataclasses import dataclass, field
 
-from ..audio import render_to_wav
+from ..audio import render_to_wav_auto
 from ..decode import Generator
 from ..emotion import EmotionClassifier, get_music_params
 from ..tokenizer import assemble_prompt, tokens_to_song
@@ -135,7 +135,9 @@ class Pipeline:
         if render:
             t0 = time.perf_counter()
             wav_io = io.BytesIO()
-            render_to_wav(song, wav_io, seed=seed or 0)
+            # FluidSynth when the host has it (reference api_cache.py:234),
+            # on-device additive synth otherwise
+            render_to_wav_auto(song, wav_io, seed=seed or 0)
             wav_bytes = wav_io.getvalue()
             timings["render_wav"] = (time.perf_counter() - t0) * 1000
 

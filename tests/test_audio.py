@@ -89,3 +89,64 @@ def test_fixture_song_renders(fixture_mid):
     wave = render_song(song)
     assert np.abs(wave).max() > 0.01
     assert np.isfinite(wave).all()
+
+# ---------------------------------------------------------------- fluidsynth
+
+def test_auto_render_falls_back_to_synth(monkeypatch):
+    """Without a fluidsynth binary the auto adapter must produce the same
+    bytes as the additive synth."""
+    from eamg_tpu.audio import render_to_wav_auto
+
+    monkeypatch.setenv("EAMG_NO_FLUIDSYNTH", "1")
+    song = song_with([Note(100, 69, 0.0, 0.4)], program=40)
+    a, b = io.BytesIO(), io.BytesIO()
+    render_to_wav_auto(song, a, seed=1)
+    render_to_wav(song, b, seed=1)
+    assert a.getvalue() == b.getvalue()
+
+
+def test_find_fluidsynth_env_override(tmp_path, monkeypatch):
+    from eamg_tpu.audio import find_fluidsynth
+
+    fake_bin = tmp_path / "fluidsynth"
+    fake_bin.write_text("#!/bin/sh\n")
+    fake_bin.chmod(0o755)
+    sf2 = tmp_path / "gm.sf2"
+    sf2.write_bytes(b"RIFF")
+    monkeypatch.setenv("EAMG_FLUIDSYNTH", str(fake_bin))
+    monkeypatch.setenv("EAMG_SOUNDFONT", str(sf2))
+    assert find_fluidsynth() == (str(fake_bin), str(sf2))
+
+
+def test_fluidsynth_render_when_available():
+    """Runs the real CLI path only on hosts that have binary + soundfont
+    (reference api_cache.py:234-235)."""
+    import pytest
+
+    from eamg_tpu.audio import find_fluidsynth, render_to_wav_fluidsynth
+
+    found = find_fluidsynth()
+    if found is None:
+        pytest.skip("no fluidsynth binary / soundfont on this host")
+    song = song_with([Note(100, 69, 0.0, 0.4)], program=40)
+    buf = io.BytesIO()
+    render_to_wav_fluidsynth(song, buf, *found)
+    assert buf.getvalue()[:4] == b"RIFF"
+
+
+def test_auto_render_recovers_from_broken_binary(tmp_path, monkeypatch):
+    """A present-but-broken fluidsynth install must not break requests."""
+    from eamg_tpu.audio import render_to_wav_auto
+
+    fake_bin = tmp_path / "fluidsynth"
+    fake_bin.write_text("#!/bin/sh\nexit 1\n")
+    fake_bin.chmod(0o755)
+    sf2 = tmp_path / "gm.sf2"
+    sf2.write_bytes(b"RIFF")
+    monkeypatch.delenv("EAMG_NO_FLUIDSYNTH", raising=False)
+    monkeypatch.setenv("EAMG_FLUIDSYNTH", str(fake_bin))
+    monkeypatch.setenv("EAMG_SOUNDFONT", str(sf2))
+    song = song_with([Note(100, 69, 0.0, 0.4)], program=40)
+    buf = io.BytesIO()
+    render_to_wav_auto(song, buf, seed=1)
+    assert buf.getvalue()[:4] == b"RIFF"  # fell back to the synth WAV

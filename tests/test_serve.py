@@ -234,3 +234,16 @@ def test_http_malformed_body_no_crash(server):
     # server still alive
     resp = urllib.request.urlopen(f"{server}/healthz", timeout=30)
     assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_static_page_has_custom_player_affordances():
+    """Frontend parity with the reference player (App.tsx:56-120):
+    explicit play/pause control, seek bar, time display."""
+    from pathlib import Path
+
+    import eamg_tpu.serve.server as srv
+
+    page = (Path(srv.__file__).parent / "static" / "index.html").read_text()
+    for needle in ("playBtn", 'type="range"', "currentTime", "duration",
+                   "play()", "pause()"):
+        assert needle in page
