@@ -96,6 +96,24 @@ def cmd_generate(args):
         print("WAV saved ->", args.wav)
 
 
+def cmd_ablate(args):
+    """Paper §10.4 ablation table: full / −KV / −emotion / −fine-bins."""
+    from .tools.ablation import AblationConfig, markdown_table, run_ablation
+
+    acfg = AblationConfig(
+        csv_path=args.csv, n_rows=args.synthetic, max_rows=args.max_rows,
+        seq_len=args.seq_len, d_model=args.d_model, n_head=args.n_head,
+        n_layer=args.n_layer, epochs=args.epochs, seed=args.seed,
+        dtype=args.dtype)
+    rows = run_ablation(acfg)
+    table = markdown_table(rows)
+    print(table)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write("# §10.4 ablation table\n\n" + table + "\n")
+        print("written ->", args.out)
+
+
 def cmd_analyze(args):
     from .tools.analysis import analyze_corpus, write_report
 
@@ -239,6 +257,24 @@ def main(argv=None):
     g.add_argument("--gamma", type=int, default=4,
                    help="speculative proposals per verify step")
     g.set_defaults(fn=cmd_generate)
+
+    ab = sub.add_parser("ablate",
+                        help="paper §10.4 ablation table (PPL / MSE-Tune)")
+    ab.add_argument("--csv", default=None,
+                    help="real Lakh corpus CSV (paper scale); default: "
+                         "synthetic tempo-locked corpus")
+    ab.add_argument("--synthetic", type=int, default=384)
+    ab.add_argument("--max-rows", type=int, default=None)
+    ab.add_argument("--seq-len", type=int, default=96)
+    ab.add_argument("--d-model", type=int, default=128)
+    ab.add_argument("--n-head", type=int, default=4)
+    ab.add_argument("--n-layer", type=int, default=2)
+    ab.add_argument("--epochs", type=int, default=4)
+    ab.add_argument("--seed", type=int, default=0)
+    ab.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ab.add_argument("--out", default=None, help="write markdown table here")
+    ab.set_defaults(fn=cmd_ablate)
 
     a = sub.add_parser("analyze", help="corpus key/instrument histograms")
     a.add_argument("--csv", required=True)

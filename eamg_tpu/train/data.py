@@ -80,16 +80,28 @@ _INSTRUMENTS = ["Violin", "Acoustic Grand Piano", "Flute"]
 
 
 def synthetic_song(rng: random.Random, n_notes: int = 24,
-                   key: str | None = None) -> list[str]:
-    """One fake Scheme-A token sequence with the exact string grammar."""
+                   key: str | None = None,
+                   tempo_locked: bool = False) -> list[str]:
+    """One fake Scheme-A token sequence with the exact string grammar.
+
+    tempo_locked=True makes note timing an actual function of the BPM token
+    (inter-onset intervals are beat fractions) so models trained on the
+    corpus can *learn* tempo conditioning — required for the MSE-Tune
+    metric (paper §10.4) to be meaningful on synthetic data.
+    """
+    bpm = rng.randint(60, 180)
     toks = ["[START_SEQUENCE]",
-            f"[BPM] {float(rng.randint(60, 180))}",
+            f"[BPM] {float(bpm)}",
             f"[KEY_SIGNATURE] {key or rng.choice(_KEYS)}"]
+    beat = 60.0 / bpm
     for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
         toks.append(f"[INSTRUMENT] {inst}")
         t = 0.0
         for _ in range(n_notes):
-            dur = rng.choice([0.125, 0.25, 0.5, 1.0])
+            if tempo_locked:
+                dur = beat * rng.choice([0.5, 0.5, 1.0, 1.0, 1.0, 2.0])
+            else:
+                dur = rng.choice([0.125, 0.25, 0.5, 1.0])
             start, end = round(t, 3), round(t + dur, 3)
             toks.append(
                 f"[NOTE] [PITCH:{rng.choice(_PITCHES)}] [START:{start}] "
@@ -99,14 +111,15 @@ def synthetic_song(rng: random.Random, n_notes: int = 24,
     return toks
 
 
-def synthetic_corpus(n_rows: int, seed: int = 0,
-                     n_notes: int = 24) -> list[str]:
+def synthetic_corpus(n_rows: int, seed: int = 0, n_notes: int = 24,
+                     tempo_locked: bool = False) -> list[str]:
     """JSON-encoded rows shaped like the lmd CSV 'tokens' column."""
     rng = random.Random(seed)
     # the first len(_KEYS) rows cycle through every key so a vocabulary
     # built from the corpus can encode any EATS mapping
     return [json.dumps(synthetic_song(
-        rng, n_notes, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None))
+        rng, n_notes, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None,
+        tempo_locked=tempo_locked))
         for i in range(n_rows)]
 
 

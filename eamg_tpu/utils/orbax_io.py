@@ -31,10 +31,13 @@ def save_checkpoint_orbax(path: str, params: dict, vocab_tok2id: dict,
         ckptr.save(os.path.join(path, "params"),
                    jax.tree.map(np.asarray, params), force=True)
         if opt_state is not None:
-            opt_np = jax.tree.map(
-                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
-                opt_state)
-            ckptr.save(os.path.join(path, "opt_state"), opt_np, force=True)
+            # optax states are nested namedtuples, which orbax restores as
+            # plain dicts; persist the ordered leaf list instead so any
+            # structure can be rebuilt against a template (coerce_opt_state)
+            leaves = [np.asarray(x) if hasattr(x, "shape") else np.asarray(x)
+                      for x in jax.tree.leaves(opt_state)]
+            ckptr.save(os.path.join(path, "opt_state"),
+                       {"leaves": leaves}, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"cfg": dataclasses.asdict(cfg), "step": step,
                    "extra": extra or {}, "format": "orbax"}, f)
@@ -58,6 +61,23 @@ def load_checkpoint_orbax(path: str) -> dict:
     return {"params": params, "vocab": vocab,
             "cfg": GPTConfig(**meta["cfg"]), "opt_state": opt_state,
             "step": meta["step"], "extra": meta["extra"]}
+
+
+def coerce_opt_state(restored, template):
+    """Rebuild an optax state structure (nested namedtuples) from a
+    restored opt_state payload. Accepts the ordered-leaves format written
+    by :func:`save_checkpoint_orbax` or any pytree with the same leaf
+    order; ``template`` is a freshly-initialized state of the right
+    structure (``optimizer.init(params)``)."""
+    if isinstance(restored, dict) and set(restored) == {"leaves"}:
+        leaves = [restored["leaves"][k]
+                  for k in sorted(restored["leaves"],
+                                  key=lambda s: int(s))] \
+            if isinstance(restored["leaves"], dict) else restored["leaves"]
+    else:
+        leaves = jax.tree.leaves(restored)
+    treedef = jax.tree.structure(template)
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def load_any_checkpoint(path: str) -> dict:
