@@ -86,13 +86,15 @@ def scenario_2_greedy_256():
 def scenario_3_e2e_512_batch4():
     from eamg_tpu.emotion import EmotionClassifier, get_music_params
 
-    clf = EmotionClassifier(backend="lexicon")
+    clf = EmotionClassifier()  # auto: packaged neural ckpt when shipped
+    clf.predict("warm up")     # compile the classifier forward
     t0 = time.perf_counter()
     label = clf.predict("I am thrilled and excited about tonight!")
     mapping = get_music_params(label, seed=0)
     classify_ms = (time.perf_counter() - t0) * 1000
     dt, n = _gen("large2", batch=4, max_len=512, greedy=False)
     return {"scenario": "e2e_512_kv_topk_batch4",
+            "classifier_backend": clf.backend,
             "classify_ms": round(classify_ms, 2),
             "tokens_per_s": round(n / dt, 1),
             "emotion": label, "bpm": mapping["bpm"]}
@@ -153,7 +155,7 @@ def scenario_6_first_token_latency():
                                  prefill, preset)
     from eamg_tpu.tokenizer import SchemeB2
 
-    clf = EmotionClassifier(backend="lexicon")
+    clf = EmotionClassifier()  # auto: packaged neural ckpt when shipped
     cfg = preset("large2", vocab_size=len(SchemeB2().vocab))
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16", "causal": True})
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -177,6 +179,7 @@ def scenario_6_first_token_latency():
         first_token(f"I am so happy today {i}")
         ts.append(time.perf_counter() - t0)
     return {"scenario": "first_midi_token_latency",
+            "classifier_backend": clf.backend,
             "p50_ms": round(sorted(ts)[len(ts) // 2] * 1000, 2),
             "target_ms": 300}
 
@@ -246,6 +249,67 @@ def scenario_8_optimized_serving():
             "tokens_per_s": results}
 
 
+def scenario_9_continuous_batching():
+    """Staggered-arrival serving (VERDICT r1 item 2): requests arriving
+    mid-decode JOIN the running ragged decode (serve/continuous.py) instead
+    of waiting out the current generation. Same traffic through the window
+    batcher (serve/batcher.py) for comparison. Flagship corrected geometry."""
+    import threading
+
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.serve.batcher import RequestBatcher
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+    from eamg_tpu.tokenizer import Vocab
+
+    cfg = GPTConfig(vocab_size=8324, seq_len=512, d_model=512, n_head=8,
+                    n_layer=6, causal=True, dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    gen = Generator(params, cfg, Vocab({str(i): i for i in range(8324)}),
+                    eos_token="none", pad_token="0")
+    n_req, gap_s, req_max = 16, 0.025, 480
+
+    def staggered(submit_fn):
+        results = [None] * n_req
+        lat = [0.0] * n_req
+
+        def hit(i):
+            t0 = time.perf_counter()
+            results[i] = submit_fn([1, 2, 3], seed=100 + i,
+                                   max_len=req_max)
+            lat[i] = time.perf_counter() - t0
+
+        threads = [threading.Thread(target=hit, args=(i,), daemon=True)
+                   for i in range(n_req)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+            time.sleep(gap_s)
+        for t in threads:
+            t.join(timeout=600)
+        wall = time.perf_counter() - t0
+        toks = sum(len(r) - 3 for r in results)
+        return {"wall_s": round(wall, 2),
+                "agg_tok_per_s": round(toks / wall, 1),
+                "p50_request_s": round(sorted(lat)[n_req // 2], 2)}
+
+    eng = ContinuousBatcher(gen, slots=8, chunk=64, max_len=req_max)
+    eng.submit([1, 2, 3], seed=0, max_len=req_max)   # compile admit+chunk
+    cont = staggered(eng.submit)
+    join_ms = eng.stats["join_delay_ms"][1:]         # skip the warm compile
+    cont["p50_join_ms"] = round(sorted(join_ms)[len(join_ms) // 2], 1)
+    eng.close()
+
+    win = RequestBatcher(gen, max_batch=8, max_len=req_max)
+    win.submit([1, 2, 3], seed=0, max_len=req_max)   # compile
+    window = staggered(lambda p, seed, max_len: win.submit(
+        p, seed=seed, max_len=max_len))
+
+    return {"scenario": "continuous_batching_staggered",
+            "requests": n_req, "arrival_gap_ms": gap_s * 1000,
+            "continuous": cont, "window": window}
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -255,6 +319,7 @@ SCENARIOS = {
     "6": scenario_6_first_token_latency,
     "7": scenario_7_train_throughput,
     "8": scenario_8_optimized_serving,
+    "9": scenario_9_continuous_batching,
 }
 
 

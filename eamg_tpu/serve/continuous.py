@@ -1,0 +1,324 @@
+"""Continuous batching: requests join and leave a RUNNING ragged decode.
+
+The window batcher (serve/batcher.py) groups requests that arrive within
+10 ms; anything landing mid-decode waits out the running generation
+(~0.5 s for 512 tokens). Here the engine owns a persistent device-resident
+decode state — a fixed pool of row slots over one shared ragged KV cache —
+and advances it in compiled ``chunk``-step programs. Between chunks the
+host admits queued requests into free slots (a compiled per-row prefill
+scatters the new row's K/V into the shared cache) and harvests finished
+rows, so a request arriving mid-decode starts within ~one chunk instead of
+one full generation. The reference handled requests strictly serially
+(api_cache.py:186-241 module-scope model + uvicorn worker).
+
+Correctness contract (tested): every row's token stream is bit-identical
+to the same request decoded alone through decode/ragged.py — per-row PRNG
+keys advance once per step of *that row's* life, independent of batch
+composition, admission timing, or chunk boundaries.
+
+Throughput: host syncs are pipelined — chunk k+1 is dispatched before
+chunk k's flags are fetched, so the ~25 ms tunnel RPC latency overlaps
+device compute (depth-1 lookahead; harvest therefore lags completion by
+at most one chunk).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..decode.api import Generator, _bucket
+from ..decode.ragged import (decode_step_ragged, init_ragged_cache,
+                             prefill_ragged)
+from ..decode.sampling import sample_token
+
+_split_rows = jax.vmap(lambda k: jax.random.split(k))
+
+
+def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy):
+    """Per-row key AND per-row temperature (rows are independent requests).
+    Bit-matches decode/ragged.py's _sample_per_row for equal temperature."""
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.vmap(
+        lambda k, lg, t: sample_token(k, lg[None], t, top_k, mask_value,
+                                      greedy)[0]
+    )(rngs, logits, temps)
+
+
+def init_state(cfg, slots: int, max_len: int):
+    """Device-resident engine state; free slots start done with no budget."""
+    return {
+        "cache": init_ragged_cache(cfg, slots, max_len),
+        "buf": jnp.zeros((slots, max_len), jnp.int32),
+        "pos": jnp.zeros((slots,), jnp.int32),
+        "last": jnp.zeros((slots,), jnp.int32),
+        "done": jnp.ones((slots,), bool),
+        "rngs": jnp.zeros((slots, 2), jnp.uint32),
+        "row_max": jnp.zeros((slots,), jnp.int32),
+        "temps": jnp.ones((slots,), jnp.float32),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
+                                   "eos_id", "pad_id"))
+def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
+              cfg, top_k=50, greedy=False, mask_value=-1e10,
+              eos_id=-1, pad_id=0):
+    """Prefill ONE request into slot ``slot`` of the running state.
+
+    prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
+    a handful of compiled programs). Reproduces generate_kv_ragged's
+    startup exactly: split key once, sample the first token from the
+    prefill logits, write it at position plen.
+    """
+    max_len = state["buf"].shape[1]
+    row_cache = init_ragged_cache(cfg, 1, prompt.shape[1])
+    logits0, row_cache = prefill_ragged(params, prompt, plen[None], cfg,
+                                        row_cache)
+
+    cache = state["cache"]
+    ks, vs = list(cache["k"]), list(cache["v"])
+    zero = jnp.asarray(0, jnp.int32)
+    for li in range(cfg.n_layer):
+        ks[li] = jax.lax.dynamic_update_slice(
+            ks[li], row_cache["k"][li].astype(ks[li].dtype),
+            (slot, zero, zero, zero))
+        vs[li] = jax.lax.dynamic_update_slice(
+            vs[li], row_cache["v"][li].astype(vs[li].dtype),
+            (slot, zero, zero, zero))
+    lengths = cache["lengths"].at[slot].set(plen)
+
+    key2 = jax.random.split(key)
+    rng_next, sub = key2[0], key2[1]
+    P = prompt.shape[1]
+    onehot = (jnp.arange(P) == plen - 1).astype(logits0.dtype)[None]
+    last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
+    first = _sample_rows(sub[None], last_logits, temp[None], top_k,
+                         mask_value, greedy)[0]
+
+    # buffer row: prompt, then (when a slot remains) the first token
+    active0 = plen < rmax
+    row = jnp.full((max_len,), pad_id, jnp.int32)
+    row = jax.lax.dynamic_update_slice(row, prompt[0].astype(jnp.int32),
+                                       (zero,))
+    row = jnp.where(jnp.arange(max_len) < plen, row, pad_id)
+    wpos = jnp.minimum(plen, max_len - 1)
+    row = jax.lax.dynamic_update_slice(
+        row, jnp.where(active0, first, row[wpos])[None], (wpos,))
+
+    return {
+        "cache": {"k": tuple(ks), "v": tuple(vs), "lengths": lengths},
+        "buf": jax.lax.dynamic_update_slice(state["buf"], row[None],
+                                            (slot, zero)),
+        "pos": state["pos"].at[slot].set(
+            jnp.where(active0, plen + 1, plen)),
+        "last": state["last"].at[slot].set(first),
+        "done": state["done"].at[slot].set((first == eos_id) | ~active0),
+        "rngs": state["rngs"].at[slot].set(rng_next),
+        "row_max": state["row_max"].at[slot].set(rmax),
+        "temps": state["temps"].at[slot].set(temp),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
+                                   "mask_value", "eos_id", "pad_id"))
+def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
+                 mask_value=-1e10, eos_id=-1, pad_id=0):
+    """Advance every live row ``chunk`` steps (done/free rows are inert).
+    Same per-step math as generate_kv_ragged's while_loop body."""
+    max_len = state["buf"].shape[1]
+
+    def body(carry, _):
+        buf, pos, last, done, rngs, cache, row_max, temps = carry
+        keys = _split_rows(rngs)
+        rngs, subs = keys[:, 0], keys[:, 1]
+        logits, new_cache = decode_step_ragged(params, last, cache, cfg)
+        nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy)
+        active = ~(done | (pos >= row_max))
+        write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
+        buf = jax.vmap(
+            lambda b, w, p_, a: jax.lax.dynamic_update_slice(
+                b, jnp.where(a, w, b[jnp.minimum(p_, max_len - 1)])[None],
+                (jnp.minimum(p_, max_len - 1),))
+        )(buf, write, pos, active)
+        cache = {"k": new_cache["k"], "v": new_cache["v"],
+                 "lengths": jnp.where(active, new_cache["lengths"],
+                                      cache["lengths"])}
+        pos = jnp.where(active, pos + 1, pos)
+        done = done | (active & (nxt == eos_id)) | (pos >= row_max)
+        last = jnp.where(active, nxt, last)
+        return (buf, pos, last, done, rngs, cache, row_max, temps), None
+
+    (buf, pos, last, done, rngs, cache, row_max, temps), _ = jax.lax.scan(
+        body, (state["buf"], state["pos"], state["last"], state["done"],
+               state["rngs"], state["cache"], state["row_max"],
+               state["temps"]), None, length=chunk)
+    return {"cache": cache, "buf": buf, "pos": pos, "last": last,
+            "done": done, "rngs": rngs, "row_max": row_max, "temps": temps}
+
+
+@dataclass
+class _Pending:
+    prompt_ids: list
+    temperature: float
+    seed: int
+    max_len: int
+    submitted: float
+    admit_seq: int = -1          # chunks dispatched when the row joined
+    started: float | None = None
+    finished: float | None = None
+    event: threading.Event = field(default_factory=threading.Event)
+    result: list | None = None
+    error: Exception | None = None
+
+
+class ContinuousBatcher:
+    """Persistent decode engine with slot admission.
+
+    top_k/greedy are engine-wide (compiled into the chunk program);
+    temperature and seed are per-request. Requests longer than the engine's
+    max_len budget return the prompt unchanged (reference semantics,
+    api_cache.py:166)."""
+
+    def __init__(self, generator: Generator, slots: int = 8,
+                 chunk: int = 64, max_len: int | None = None,
+                 top_k: int = 50, greedy: bool = False,
+                 mask_value: float = -1e10):
+        assert generator.cfg.causal and not generator.cfg.pos_broadcast_bug,\
+            "continuous batching requires the corrected causal config"
+        self.gen = generator
+        self.slots = slots
+        self.chunk = chunk
+        self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
+        self.max_len = min(max_len or generator.cfg.seq_len,
+                           generator.max_supported_len())
+        self.state = init_state(generator.cfg, slots, self.max_len)
+        self._q: queue.Queue = queue.Queue()
+        self._live: dict[int, _Pending] = {}
+        self._free = list(range(slots))
+        self.stats = {"chunks": 0, "admitted": 0, "served": 0,
+                      "join_delay_ms": []}
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, prompt_ids: list[int], temperature: float = 1.0,
+               seed: int | None = None, max_len: int | None = None,
+               timeout: float = 600.0, top_k: int | None = None,
+               greedy: bool | None = None) -> list:
+        if top_k is not None and top_k != self.top_k:
+            raise ValueError(
+                f"engine compiled for top_k={self.top_k}, got {top_k}")
+        if greedy is not None and greedy != self.greedy:
+            raise ValueError(
+                f"engine compiled for greedy={self.greedy}, got {greedy}")
+        ml = int(min(max_len or self.max_len, self.max_len))
+        if len(prompt_ids) >= ml:
+            return list(prompt_ids)  # zero generation steps (reference)
+        req = _Pending(list(prompt_ids), float(temperature),
+                       int(seed) if seed is not None
+                       else int(time.time_ns() % 2**31), ml,
+                       submitted=time.monotonic())
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+
+    # ------------------------------------------------------------- engine
+
+    def _admit(self, req: _Pending, slot: int):
+        p = len(req.prompt_ids)
+        width = min(_bucket(p), self.max_len)
+        prompt = np.full((1, width), self.gen.pad_id, np.int32)
+        prompt[0, :p] = req.prompt_ids
+        self.state = admit_row(
+            self.gen.params, self.state, jnp.asarray(prompt),
+            jnp.asarray(p, jnp.int32), jnp.asarray(slot, jnp.int32),
+            jax.random.PRNGKey(req.seed),
+            jnp.asarray(req.max_len, jnp.int32),
+            jnp.asarray(req.temperature, jnp.float32),
+            self.gen.cfg, top_k=self.top_k, greedy=self.greedy,
+            mask_value=self.mask_value, eos_id=self.gen.eos_id,
+            pad_id=self.gen.pad_id)
+        req.started = time.monotonic()
+        req.admit_seq = self.stats["chunks"]
+        self._live[slot] = req
+        self.stats["admitted"] += 1
+        self.stats["join_delay_ms"].append(
+            (req.started - req.submitted) * 1000)
+
+    def _harvest(self, snapshot, seq):
+        """Fetch flags from an older state snapshot; fulfill finished rows.
+        A done row's buffer is immutable afterwards, so reading it from any
+        later snapshot is safe — the host frees the slot only here. A slot
+        whose occupant was admitted at or after this snapshot's dispatch
+        (admit_seq >= seq) is skipped: the snapshot's done flag still
+        describes the slot's previous life (free slots read done=True)."""
+        done = np.asarray(snapshot["done"])
+        pos = np.asarray(snapshot["pos"])
+        finished = [s for s, r in list(self._live.items())
+                    if done[s] and r.admit_seq < seq]
+        if not finished:
+            return
+        # fetch the whole buffer (a few KB): a per-subset device gather
+        # would recompile for every distinct finished-row count
+        buf = np.asarray(snapshot["buf"])
+        for slot in finished:
+            req = self._live.pop(slot)
+            req.result = buf[slot, :min(int(pos[slot]),
+                                        req.max_len)].tolist()
+            req.finished = time.monotonic()
+            req.event.set()
+            self._free.append(slot)
+            self.stats["served"] += 1
+
+    def _worker(self):
+        pending_fetch = None
+        while not self._stop:
+            # admit as many queued requests as there are free slots
+            try:
+                while self._free:
+                    block = not self._live and pending_fetch is None
+                    req = self._q.get(block=block, timeout=None)
+                    if req is None:
+                        return
+                    self._admit(req, self._free.pop())
+            except queue.Empty:
+                pass
+            if not self._live and pending_fetch is None:
+                continue
+
+            if self._live:
+                self.state = ragged_chunk(
+                    self.gen.params, self.state, self.gen.cfg,
+                    chunk=self.chunk, top_k=self.top_k, greedy=self.greedy,
+                    mask_value=self.mask_value, eos_id=self.gen.eos_id,
+                    pad_id=self.gen.pad_id)
+                self.stats["chunks"] += 1
+                # depth-1 lookahead: fetch the PREVIOUS chunk's flags while
+                # this one computes — the tunnel RPC overlaps device time
+                prev, pending_fetch = (pending_fetch,
+                                       (self.state, self.stats["chunks"]))
+                if prev is not None:
+                    self._harvest(*prev)
+            else:
+                # nothing live: drain the outstanding fetch
+                prev, pending_fetch = pending_fetch, None
+                self._harvest(*prev)

@@ -50,10 +50,16 @@ class Pipeline:
         # use_cache=False serves through the uncached O(T^2) re-encode path
         # — the reference's api.py server; True is api_cache.py.
         self.use_cache = use_cache
-        # coalesce=True batches concurrent requests into one ragged decode
-        # (serve/batcher.py); requires the corrected causal config.
+        # coalesce=True/"window" batches requests arriving within a window
+        # into one ragged decode (serve/batcher.py); "continuous" runs the
+        # persistent engine where requests join/leave a RUNNING decode
+        # (serve/continuous.py). Both require the corrected causal config.
         self.batcher = None
-        if coalesce:
+        if coalesce == "continuous":
+            from .continuous import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(generator)
+        elif coalesce:
             from .batcher import RequestBatcher
 
             self.batcher = RequestBatcher(generator)

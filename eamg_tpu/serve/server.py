@@ -198,9 +198,14 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--full-gm", action="store_true",
                         help="map all instrument families, not just the "
                              "reference's three")
-    parser.add_argument("--coalesce", action="store_true",
+    parser.add_argument("--coalesce", nargs="?", const=True, default=False,
+                        choices=[True, False, "window", "continuous"],
                         help="batch concurrent requests into one ragged "
-                             "decode (requires a causal model)")
+                             "decode (requires a causal model). "
+                             "'--coalesce' / '--coalesce window' = 10 ms "
+                             "grouping window; '--coalesce continuous' = "
+                             "persistent engine, requests join a RUNNING "
+                             "decode mid-generation")
     args = parser.parse_args()
 
     if args.checkpoint:
