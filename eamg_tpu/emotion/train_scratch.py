@@ -1,0 +1,173 @@
+"""Train the product-path neural emotion classifier from scratch.
+
+The reference serves a LoRA-finetuned pretrained DistilBERT pulled from the
+HF Hub (emotion_analysis/modeling.py:8-25). With no network and no
+pretrained weights available, this trains the same architecture family
+(models/distilbert.py, compact geometry) from random init on the
+template-distillation corpus (emotion/distill_data.py) and ships the
+checkpoint in-repo, so the live pipeline classifies with a real on-device
+neural forward instead of the keyword lexicon. The LoRA finetuner
+(emotion/finetune.py) remains the reference-recipe path for when real
+GoEmotions data / pretrained weights are present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import distilbert as db
+from .config import ID2LABEL
+from .distill_data import build_wordpiece_vocab, make_corpus, \
+    tokenizer_corpus
+from .lexicon import predict_label as lexicon_predict
+
+
+@dataclasses.dataclass(frozen=True)
+class ScratchSpec:
+    dim: int = 192
+    n_layers: int = 3
+    n_heads: int = 4
+    hidden_dim: int = 512
+    max_length: int = 64
+    lr: float = 3e-4
+    weight_decay: float = 0.01
+    batch: int = 64
+    epochs: int = 12
+    seed: int = 42
+    n_per_label: int = 800   # each surface form needs ~10 template contexts
+    label_smoothing: float = 0.05
+    pool: str = "cls"
+    piece_dropout: float = 0.15  # P(word -> random stem split) in training
+
+
+def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0):
+    enc = [tok.encode(t, max_length, rng=rng, piece_dropout=piece_dropout)
+           for t in texts]
+    return (np.stack([e["input_ids"] for e in enc]),
+            np.stack([e["attention_mask"] for e in enc]))
+
+
+def _accuracy(params, cfg, tok, texts, labels, max_length, batch=256):
+    ids, mask = _encode_all(tok, texts, max_length)
+    hits = 0
+    for s in range(0, len(texts), batch):
+        logits = db.forward(params, jnp.asarray(ids[s:s + batch]),
+                            jnp.asarray(mask[s:s + batch]), cfg)
+        hits += int(jnp.sum(jnp.argmax(logits, -1)
+                            == jnp.asarray(labels[s:s + batch])))
+    return hits / max(len(texts), 1)
+
+
+def _lexicon_accuracy(texts, labels):
+    return sum(lexicon_predict(t) == ID2LABEL[l]
+               for t, l in zip(texts, labels)) / max(len(texts), 1)
+
+
+def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
+                       log_fn=print) -> dict:
+    """Generate corpus, train, evaluate vs the lexicon, save checkpoint dir
+    ({params.pkl (f16), config.pkl, vocab.txt, metrics.json})."""
+    t_start = time.time()
+    data = make_corpus(n_per_label=spec.n_per_label, seed=spec.seed)
+    train_x, train_y = data["train"]
+    vocab = build_wordpiece_vocab(tokenizer_corpus(train_x))
+    tok = db.WordPieceTokenizer(vocab)
+    cfg = db.DistilBertConfig(
+        vocab_size=len(vocab), max_position_embeddings=spec.max_length,
+        dim=spec.dim, n_layers=spec.n_layers, n_heads=spec.n_heads,
+        hidden_dim=spec.hidden_dim, num_labels=len(ID2LABEL),
+        pool=spec.pool)
+    log_fn(f"[distill] corpus {len(train_x)} train / "
+           f"{len(data['eval'][0])} eval, vocab {len(vocab)}, "
+           f"model d{cfg.dim} L{cfg.n_layers}")
+
+    params = db.init_params(jax.random.PRNGKey(spec.seed), cfg)
+    steps_per_epoch = max(len(train_x) // spec.batch, 1)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, spec.lr, warmup_steps=steps_per_epoch,
+        decay_steps=spec.epochs * steps_per_epoch)
+    optimizer = optax.adamw(schedule, weight_decay=spec.weight_decay)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, mask, labels):
+        def loss_fn(p):
+            logits = db.forward(p, ids, mask, cfg)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            onehot = jax.nn.one_hot(labels, cfg.num_labels)
+            sm = spec.label_smoothing
+            target = onehot * (1 - sm) + sm / cfg.num_labels
+            loss = -jnp.mean(jnp.sum(target * logp, axis=-1))
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    import random as _random
+
+    labels = np.asarray(train_y, np.int32)
+    rng = np.random.default_rng(spec.seed)
+    enc_rng = _random.Random(spec.seed + 1)
+    n = len(train_x)
+    # pad the tail batch so one compiled program covers every step
+    loss = acc = 0.0
+    for epoch in range(spec.epochs):
+        # re-encode each epoch: piece_dropout re-samples stem splits, so
+        # stem-piece embeddings see many (stem, ##suffix) routings
+        ids, mask = _encode_all(tok, train_x, spec.max_length, rng=enc_rng,
+                                piece_dropout=spec.piece_dropout)
+        order = rng.permutation(n)
+        for s in range(0, n - spec.batch + 1, spec.batch):
+            sel = order[s:s + spec.batch]
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(ids[sel]),
+                jnp.asarray(mask[sel]), jnp.asarray(labels[sel]))
+        ev = _accuracy(params, cfg, tok, *data["eval"], spec.max_length)
+        log_fn(f"[distill] epoch {epoch + 1}/{spec.epochs}: "
+               f"train_loss={float(loss):.4f} "
+               f"train_acc={float(acc):.3f} eval_acc={ev:.3f}")
+
+    metrics = {
+        "train_seconds": round(time.time() - t_start, 1),
+        "eval_acc_distilbert": _accuracy(params, cfg, tok, *data["eval"],
+                                         spec.max_length),
+        "eval_acc_lexicon": _lexicon_accuracy(*data["eval"]),
+        "unseen_forms_acc_distilbert": _accuracy(
+            params, cfg, tok, *data["eval_unseen_forms"], spec.max_length),
+        "unseen_forms_acc_lexicon": _lexicon_accuracy(
+            *data["eval_unseen_forms"]),
+        "ood_acc_distilbert": _accuracy(params, cfg, tok, *data["ood"],
+                                        spec.max_length),
+        "ood_acc_lexicon": _lexicon_accuracy(*data["ood"]),
+        "n_train": n, "vocab_size": len(vocab),
+        "params": int(sum(np.prod(x.shape)
+                          for x in jax.tree.leaves(params))),
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    params_np = jax.tree.map(
+        lambda x: np.asarray(x, np.float16), params)
+    with open(os.path.join(out_dir, "params.pkl"), "wb") as f:
+        pickle.dump(params_np, f)
+    with open(os.path.join(out_dir, "config.pkl"), "wb") as f:
+        pickle.dump(dataclasses.asdict(cfg), f)
+    with open(os.path.join(out_dir, "vocab.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(vocab) + "\n")
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    log_fn(f"[distill] saved -> {out_dir}: {json.dumps(metrics)}")
+    return metrics

@@ -35,6 +35,10 @@ class DistilBertConfig:
     num_labels: int = 28
     pad_token_id: int = 0
     ln_eps: float = 1e-12
+    # "cls" = HF DistilBertForSequenceClassification pooling (first token);
+    # "mean" = masked mean over tokens — better inductive bias for the
+    # from-scratch distilled classifier (emotion/train_scratch.py)
+    pool: str = "cls"
 
     @property
     def head_dim(self) -> int:
@@ -98,7 +102,12 @@ def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
         x = _ln(x + _lin(h, p["lin2"]), p["out_ln"]["g"], p["out_ln"]["b"],
                 cfg.ln_eps)
 
-    pooled = x[:, 0]
+    if cfg.pool == "mean":
+        w = attention_mask[..., None].astype(x.dtype)
+        pooled = jnp.sum(x * w, axis=1) / jnp.maximum(
+            jnp.sum(w, axis=1), 1.0)
+    else:
+        pooled = x[:, 0]
     pooled = jax.nn.relu(_lin(pooled, params["pre_classifier"]))
     return _lin(pooled, params["classifier"])
 
@@ -261,10 +270,53 @@ class WordPieceTokenizer:
             out.extend(self._wordpiece(word))
         return out
 
-    def encode(self, text: str, max_length: int = 128) -> dict:
+    def _random_split(self, word: str, rng) -> list[str]:
+        """Decompose a whole-vocab word at a RANDOM valid stem boundary
+        (stem + greedy ##pieces). Training-time subword regularization:
+        stem-piece embeddings only receive gradient if train encodes
+        sometimes route through them."""
+        splits = [s for s in range(4, len(word))
+                  if word[:s] in self.vocab]
+        if not splits:
+            return [word]
+        s = splits[rng.randrange(len(splits))]
+        stem, rest = word[:s], word[s:]
+        pieces, start = [stem], 0
+        while start < len(rest):
+            end = len(rest)
+            cur = None
+            while start < end:
+                sub = "##" + rest[start:end]
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [word]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize_dropout(self, text: str, rng, p: float = 0.1) -> list[str]:
+        """tokenize() with BPE-dropout-style piece regularization: each
+        in-vocab word is decomposed through a random stem split with
+        probability p (rng: random.Random — host-side, deterministic)."""
+        out = []
+        for word in self._basic(text):
+            if len(word) >= 5 and word in self.vocab and rng.random() < p:
+                out.extend(self._random_split(word, rng))
+            else:
+                out.extend(self._wordpiece(word))
+        return out
+
+    def encode(self, text: str, max_length: int = 128, rng=None,
+               piece_dropout: float = 0.0) -> dict:
         """-> {"input_ids": [T], "attention_mask": [T]} padded to
-        max_length, truncated with [CLS]/[SEP] preserved."""
-        toks = self.tokenize(text)[:max_length - 2]
+        max_length, truncated with [CLS]/[SEP] preserved. rng +
+        piece_dropout > 0 enables training-time subword regularization."""
+        toks = (self.tokenize_dropout(text, rng, piece_dropout)
+                if rng is not None and piece_dropout > 0
+                else self.tokenize(text))[:max_length - 2]
         toks = [self.cls] + toks + [self.sep]
         ids = [self.vocab.get(t, self.vocab.get(self.unk, 0)) for t in toks]
         mask = [1] * len(ids)

@@ -177,7 +177,7 @@ def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
                     causal=corrected)
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, vocab)
-    return Pipeline(gen, EmotionClassifier(backend="lexicon"),
+    return Pipeline(gen, EmotionClassifier(),  # auto: neural when shipped
                     coalesce=coalesce)
 
 
@@ -195,5 +195,5 @@ def demo_pipeline_b3(seq_len: int = 96, d_model: int = 64, n_head: int = 4,
                     pos_rows=seq_len, causal=True)
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, b3.vocab, eos_token="[END_SEQ]")
-    return Pipeline(gen, EmotionClassifier(backend="lexicon"), scheme="b3",
+    return Pipeline(gen, EmotionClassifier(), scheme="b3",
                     scheme_b=b3)

@@ -1,0 +1,122 @@
+"""Distilled neural emotion classifier: corpus generator, scratch trainer,
+packaged-checkpoint product path (VERDICT round-1 item 3 — the live
+pipeline must classify with a real on-device neural forward)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eamg_tpu.emotion.config import ID2LABEL
+from eamg_tpu.emotion.distill_data import (OOD_EVAL, build_wordpiece_vocab,
+                                           label_banks, make_corpus)
+
+PACKAGED = os.path.join(os.path.dirname(__file__), "..", "eamg_tpu",
+                        "emotion", "ckpt_distilbert")
+
+
+def test_label_banks_cover_all_labels():
+    banks = label_banks()
+    assert set(banks) == set(ID2LABEL.values())
+    for label, forms in banks.items():
+        assert len(forms) >= 10, label
+
+
+def test_make_corpus_splits_are_disjoint_pairs():
+    data = make_corpus(n_per_label=20, seed=3)
+    train_x, train_y = data["train"]
+    eval_x, eval_y = data["eval"]
+    assert len(train_x) == len(train_y)
+    assert set(train_y) == set(range(len(ID2LABEL)))
+    # eval sentences use held-out templates: no exact overlap with train
+    assert not set(eval_x) & set(train_x)
+    assert len(data["eval_unseen_forms"][0]) > 0
+    assert len(data["ood"][0]) == len(OOD_EVAL)
+
+
+def test_make_corpus_deterministic():
+    a = make_corpus(n_per_label=10, seed=7)
+    b = make_corpus(n_per_label=10, seed=7)
+    assert a["train"] == b["train"] and a["eval"] == b["eval"]
+
+
+def test_wordpiece_vocab_char_fallback():
+    vocab = build_wordpiece_vocab(["happy days are here"])
+    from eamg_tpu.models.distilbert import WordPieceTokenizer
+
+    tok = WordPieceTokenizer(vocab)
+    # unseen word decomposes into subword pieces, not [UNK]
+    pieces = tok.tokenize("happier")
+    assert "[UNK]" not in pieces and len(pieces) > 1
+
+
+def test_scratch_training_learns_tiny_problem():
+    from eamg_tpu.emotion.train_scratch import ScratchSpec, distill_classifier
+
+    import tempfile
+
+    spec = ScratchSpec(dim=32, n_layers=1, n_heads=2, hidden_dim=64,
+                       max_length=24, batch=32, epochs=2, n_per_label=24)
+    with tempfile.TemporaryDirectory() as td:
+        metrics = distill_classifier(td, spec=spec, log_fn=lambda *_: None)
+        assert metrics["eval_acc_distilbert"] >= 0.0
+        assert os.path.isfile(os.path.join(td, "params.pkl"))
+        assert os.path.isfile(os.path.join(td, "vocab.txt"))
+        # the saved dir loads through the product path
+        from eamg_tpu.emotion import EmotionClassifier
+
+        clf = EmotionClassifier(backend="distilbert", checkpoint_dir=td)
+        assert clf.backend == "distilbert"
+        label = clf.predict("i am so happy today")
+        assert label in ID2LABEL.values()
+
+
+@pytest.mark.skipif(not os.path.isdir(PACKAGED),
+                    reason="packaged checkpoint not shipped")
+class TestPackagedCheckpoint:
+    def test_default_classifier_is_neural(self):
+        from eamg_tpu.emotion.infer import EmotionClassifier
+
+        clf = EmotionClassifier()  # backend="auto", no env var needed
+        assert clf.backend == "distilbert"
+
+    def test_all_prediction_modes(self):
+        from eamg_tpu.emotion.infer import EmotionClassifier
+
+        clf = EmotionClassifier()
+        text = "thank you so much, this made my whole week"
+        assert clf.predict(text) in ID2LABEL.values()
+        allp = clf.predict_all_labels(text)
+        assert len(allp) == len(ID2LABEL)
+        np.testing.assert_allclose(sum(allp.values()), 1.0, atol=0.02)
+        top3 = clf.predict_top_k_labels(text, k=3)
+        assert len(top3) == 3 and top3[0][1] >= top3[1][1]
+        thr = clf.predict_labels_above_threshold(text, threshold=0.01)
+        assert thr
+        trans = clf.analyze_emotion_transitions(
+            "i love this. the spider terrified me.")
+        assert len(trans) == 2
+
+    def test_packaged_accuracy_floor(self):
+        """The shipped checkpoint must beat the keyword lexicon it replaces
+        on every split of its accuracy table (metrics.json), not just
+        chance — the neural product path must be an upgrade, not a
+        simulation (VERDICT r1 item 3)."""
+        import json
+
+        with open(os.path.join(PACKAGED, "metrics.json")) as f:
+            m = json.load(f)
+        assert m["eval_acc_distilbert"] > 0.9
+        assert m["eval_acc_distilbert"] > m["eval_acc_lexicon"]
+        assert m["unseen_forms_acc_distilbert"] > \
+            m["unseen_forms_acc_lexicon"]
+        assert m["ood_acc_distilbert"] > m["ood_acc_lexicon"]
+
+    def test_sanity_predictions(self):
+        from eamg_tpu.emotion.infer import EmotionClassifier
+
+        clf = EmotionClassifier()
+        # unambiguous trained surface forms must classify correctly
+        assert clf.predict("i am grateful, thank you") == "gratitude"
+        assert clf.predict("thank you so much") == "gratitude"
+        assert clf.predict("i am furious and full of rage") == "anger"
