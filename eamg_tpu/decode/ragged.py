@@ -168,11 +168,12 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
     # final prompt token (reference semantics: zero generation steps,
     # api_cache.py:166 range(max_len - len) is empty).
     active0 = prompt_lens < max_len
-    buf = jax.vmap(
-        lambda b, w, p_, a: jax.lax.dynamic_update_slice(
-            b, jnp.where(a, w, b[jnp.minimum(p_, max_len - 1)])[None],
-            (jnp.minimum(p_, max_len - 1),))
-    )(buf, first, prompt_lens, active0)
+    cols = jnp.arange(max_len)[None, :]
+    # masked one-hot write — same values as a per-row dynamic_update_slice,
+    # but the vmapped-scatter form compiles 2-3x slower on this backend's
+    # remote-compile helper (measured on the continuous-engine chunk)
+    hit0 = (cols == prompt_lens[:, None]) & active0[:, None]
+    buf = jnp.where(hit0, first[:, None].astype(jnp.int32), buf)
     pos = jnp.where(active0, prompt_lens + 1, prompt_lens)
     done = (first == eos_id) | ~active0
 
@@ -189,11 +190,8 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                               greedy)
         active = ~(done | (pos >= max_len))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
-        buf = jax.vmap(
-            lambda b, w, p_, a: jax.lax.dynamic_update_slice(
-                b, jnp.where(a, w, b[jnp.minimum(p_, max_len - 1)])[None],
-                (jnp.minimum(p_, max_len - 1),))
-        )(buf, write, pos, active)
+        hit = (cols == pos[:, None]) & active[:, None]
+        buf = jnp.where(hit, write[:, None], buf)
         # inactive rows must not advance their cache length
         cache = {"k": new_cache["k"], "v": new_cache["v"],
                  "lengths": jnp.where(active, new_cache["lengths"],
