@@ -329,12 +329,10 @@ def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
-    """Full-sequence forward: [B, T] ids -> [B, T, V] logits.
-
-    Matches reference ``GPT.forward`` (api.py:49-50): embed + learned pos,
-    transformer stack (bidirectional unless cfg.causal), linear head.
-    """
+def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig):
+    """Transformer stack WITHOUT the head: [B, T] ids -> [B, T, D] states.
+    The training stack's chunked cross-entropy applies the head per
+    time-chunk so the [B, T, V] logits tensor never materializes."""
     B, T = ids.shape
     dt = cfg.jnp_dtype
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
@@ -346,6 +344,17 @@ def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
         x = block(p, x, cfg, causal=cfg.causal)
     if cfg.batch_first_bug:
         x = x.swapaxes(0, 1)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(params: dict, ids: jax.Array, cfg: GPTConfig) -> jax.Array:
+    """Full-sequence forward: [B, T] ids -> [B, T, V] logits.
+
+    Matches reference ``GPT.forward`` (api.py:49-50): embed + learned pos,
+    transformer stack (bidirectional unless cfg.causal), linear head.
+    """
+    x = forward_hidden(params, ids, cfg)
     return _linear(x.astype(jnp.float32), params["head"]["w"],
                    params["head"]["b"])
 

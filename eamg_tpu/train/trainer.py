@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.gpt import GPTConfig, forward
+from ..models.gpt import GPTConfig, forward, forward_hidden
 from ..parallel.mesh import shard_params
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -42,6 +42,11 @@ class TrainConfig:
     total_steps: int | None = None  # for cosine decay
     schedule: str = "constant"    # "constant" | "warmup_cosine"
     tp: bool = False              # tensor-parallel params over 'model' axis
+    # Time-chunked cross-entropy: the head + CE run per ``loss_chunk``
+    # positions under jax.checkpoint, so the [B, T, V] logits tensor never
+    # materializes (2.2 GB at micro_batch 128 on the flagship vocab —
+    # the OOM wall for micro_batch >= 256 on one v5e). None = monolithic.
+    loss_chunk: int | None = None
 
 
 def reference_preset(name: str) -> TrainConfig:
@@ -92,6 +97,46 @@ def loss_fn(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
     return total / count, count
 
 
+def loss_fn_chunked(params: dict, x: jax.Array, y: jax.Array,
+                    cfg: GPTConfig, pad_id: int, chunk: int):
+    """Same CE, but the head + log-softmax run per time-chunk inside a
+    rematerialized scan: peak logits memory is [B, chunk, V] instead of
+    [B, T, V], and the backward pass recomputes each chunk's logits
+    (one extra head matmul, ~8% of model FLOPs) instead of storing them."""
+    h = forward_hidden(params, x, cfg)                  # [B, T, D]
+    B, T, D = h.shape
+    pad = (-T) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=pad_id)
+    n = (T + pad) // chunk
+    hs = h.reshape(B, n, chunk, D).swapaxes(0, 1)       # [n, B, chunk, D]
+    ys = y.reshape(B, n, chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def ce_chunk(carry, hy):
+        total, count = carry
+        hc, yc = hy
+        logits = _head(params, hc)
+        mask = yc != pad_id
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, yc[..., None], axis=-1)[..., 0]
+        return (total + jnp.sum(nll * mask),
+                count + jnp.sum(mask)), None
+
+    (total, count), _ = jax.lax.scan(
+        ce_chunk, (jnp.zeros(()), jnp.zeros((), jnp.int32)), (hs, ys))
+    count = jnp.maximum(count, 1)
+    return total / count, count
+
+
+def _head(params, h):
+    from ..models.gpt import _linear
+
+    return _linear(h.astype(jnp.float32), params["head"]["w"],
+                   params["head"]["b"])
+
+
 def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
     """Returns a jitted step: (params, opt_state, x, y) -> (params,
     opt_state, metrics).
@@ -104,11 +149,19 @@ def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
 
     @jax.jit
     def step(params, opt_state, x, y):
+        if tcfg.loss_chunk:
+            def lfn(p, xi, yi):
+                return loss_fn_chunked(p, xi, yi, cfg, tcfg.pad_id,
+                                       tcfg.loss_chunk)
+        else:
+            def lfn(p, xi, yi):
+                return loss_fn(p, xi, yi, cfg, tcfg.pad_id)
+
         def micro(carry, xy):
             grad_acc, loss_acc, count_acc = carry
             xi, yi = xy
             (loss, count), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, xi, yi, cfg, tcfg.pad_id)
+                lfn, has_aux=True)(params, xi, yi)
             grad_acc = jax.tree.map(
                 lambda a, g: a + g * count, grad_acc, grads)
             return (grad_acc, loss_acc + loss * count,

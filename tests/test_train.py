@@ -180,3 +180,39 @@ def test_checkpoint_round_trip(tmp_path):
     m1 = trainer.train_step(x, y)
     m2 = resumed.train_step(x, y)
     assert m1["loss"] == pytest.approx(m2["loss"], abs=1e-6)
+
+
+def test_chunked_loss_matches_monolithic():
+    """loss_fn_chunked (time-chunked head+CE under jax.checkpoint — the
+    micro_batch >= 256 memory enabler) must match loss_fn's value, token
+    count, and gradients, including the non-divisible-chunk pad path."""
+    from eamg_tpu.train.trainer import loss_fn_chunked
+
+    cfg = GPTConfig(vocab_size=64, seq_len=24, d_model=32, n_head=4,
+                    n_layer=2, causal=True)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    x, y = make_batch(rng, 1, 3, t=23)
+    x, y = jnp.asarray(x[0]), jnp.asarray(y[0])
+    (l1, c1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, x, y, cfg, 0)
+    for chunk in (8, 7, 23):  # even split, padded split, single chunk
+        (l2, c2), g2 = jax.value_and_grad(
+            loss_fn_chunked, has_aux=True)(params, x, y, cfg, 0, chunk)
+        assert int(c1) == int(c2)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+
+def test_trainer_with_loss_chunk_runs():
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    t_mono = Trainer(CFG, TrainConfig(micro_batch=2), params)
+    t_chunk = Trainer(CFG, TrainConfig(micro_batch=2, loss_chunk=8), params)
+    rng = np.random.default_rng(2)
+    x, y = make_batch(rng, 1, 2)
+    m1 = t_mono.train_step(x, y)
+    m2 = t_chunk.train_step(x, y)
+    assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-4)
+    assert m1["tokens"] == m2["tokens"]
