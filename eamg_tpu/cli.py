@@ -50,7 +50,9 @@ def cmd_train(args):
         epochs=args.epochs, save_every_steps=args.save_every,
         save_hours=args.save_hours, mesh=mesh, seed=args.seed,
         log_every=args.log_every, resume_from=args.resume,
-        corrected=args.corrected)
+        corrected=args.corrected,
+        geometry={"d_model": args.d_model, "n_head": args.n_head,
+                  "n_layer": args.n_layer, "seq_len": args.seq_len})
     print(json.dumps(summary))
 
 
@@ -240,6 +242,11 @@ def main(argv=None):
     t.add_argument("--resume", default=None,
                    help="checkpoint dir to resume from (step + optimizer "
                         "state restored)")
+    t.add_argument("--d-model", type=int, default=None,
+                   help="override the preset's model width")
+    t.add_argument("--n-head", type=int, default=None)
+    t.add_argument("--n-layer", type=int, default=None)
+    t.add_argument("--seq-len", type=int, default=None)
     t.add_argument("--corrected", action="store_true",
                    help="train the corrected causal architecture (no "
                         "reference quirks; enables speculative decoding "

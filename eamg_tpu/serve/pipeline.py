@@ -55,6 +55,10 @@ class Pipeline:
         # persistent engine where requests join/leave a RUNNING decode
         # (serve/continuous.py). Both require the corrected causal config.
         self.batcher = None
+        if coalesce and scheme != "a":
+            # coalescing paths are wired for the Scheme-A product flow;
+            # B3 serves through the single-request compiled decode
+            coalesce = False
         if coalesce == "continuous":
             from .continuous import ContinuousBatcher
 
@@ -152,6 +156,46 @@ class Pipeline:
                                 midi_bytes=midi_io.getvalue(),
                                 wav_bytes=wav_bytes, timings_ms=timings,
                                 dropped_tokens=dropped)
+
+
+def pipeline_from_checkpoint(path: str, full_gm: bool = False,
+                             coalesce=False,
+                             classifier: EmotionClassifier | None = None
+                             ) -> Pipeline:
+    """Build a serving pipeline from ANY checkpoint directory: the token
+    scheme is inferred from the stored vocabulary (checkpoints carry
+    {params, vocab, cfg} but no scheme tag — reference layout,
+    train/train_large2.py:100-110), so Scheme-A text-token models and
+    Scheme-B3 control-token models both serve through POST /generate."""
+    from ..tokenizer import SchemeB3, Vocab, detect_scheme
+    from ..utils.orbax_io import load_any_checkpoint
+
+    ckpt = load_any_checkpoint(path)
+    vocab = Vocab(ckpt["vocab"])
+    scheme = detect_scheme(vocab)
+    if scheme in ("b2", "b3"):
+        gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
+                        eos_token="[END_SEQ]")
+        b3 = SchemeB3(seq_len=ckpt["cfg"].seq_len) if scheme == "b3" \
+            else None
+        if scheme == "b2":
+            raise ValueError(
+                "Scheme-B2 checkpoints have no control tokens to condition "
+                "on; serve a b3 (train_no_inst) or Scheme-A checkpoint")
+        return Pipeline(gen, classifier, scheme="b3", scheme_b=b3,
+                        coalesce=coalesce)
+    gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
+    return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce)
+
+
+def packaged_demo_checkpoint() -> str:
+    """The in-repo trained demo checkpoint (serve/demo_ckpt), '' if not
+    shipped. The reference's demo_checkpoint.pt was gitignored — a fresh
+    clone could not serve at all; here a compact trained model ships."""
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "demo_ckpt")
+    return d if os.path.isdir(d) and os.listdir(d) else ""
 
 
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,

@@ -195,6 +195,10 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--checkpoint", default=None,
                         help="checkpoint dir (utils.checkpoint format); "
                              "omit for the synthetic demo model")
+    parser.add_argument("--random-demo", action="store_true",
+                        help="serve the randomly-initialized demo model "
+                             "even when the packaged trained demo "
+                             "checkpoint is present")
     parser.add_argument("--full-gm", action="store_true",
                         help="map all instrument families, not just the "
                              "reference's three")
@@ -208,15 +212,17 @@ def main():  # pragma: no cover - CLI entry
                              "decode mid-generation")
     args = parser.parse_args()
 
-    if args.checkpoint:
-        from ..decode import Generator
-        from ..tokenizer import Vocab
-        from ..utils.orbax_io import load_any_checkpoint
+    from .pipeline import packaged_demo_checkpoint, pipeline_from_checkpoint
 
-        ckpt = load_any_checkpoint(args.checkpoint)
-        gen = Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
-        pipeline = Pipeline(gen, full_gm=args.full_gm,
-                            coalesce=args.coalesce)
+    ckpt_dir = args.checkpoint or (not args.random_demo
+                                   and packaged_demo_checkpoint())
+    if ckpt_dir:
+        # scheme (A text-token vs B3 control-token) inferred from the
+        # checkpoint's vocabulary
+        pipeline = pipeline_from_checkpoint(ckpt_dir, full_gm=args.full_gm,
+                                            coalesce=args.coalesce)
+        print(f"serving checkpoint {ckpt_dir} "
+              f"(scheme {pipeline.scheme})")
     else:
         from .pipeline import demo_pipeline
 

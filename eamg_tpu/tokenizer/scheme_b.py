@@ -236,3 +236,19 @@ class SchemeB3(SchemeB2):
         bpm = max(self.min_bpm, min(self.max_bpm, int(round(bpm))))
         key_idx = key if isinstance(key, int) else key_to_idx(key)
         return [t2i["[START_SEQ]"], t2i[f"BPM_{bpm}"], t2i[f"KEY_{key_idx}"]]
+
+
+def detect_scheme(vocab) -> str:
+    """Infer the token scheme a checkpoint was trained with from its
+    vocabulary — checkpoints carry {vocab, params, cfg} but no scheme tag
+    (reference layout, train/train_large2.py:100-110). 'b3' = fixed vocab
+    with BPM/KEY controls (train_no_inst.py:22-29), 'b2' = fixed 8,324
+    vocab (train_large2.py:23-29), 'b1' = data-dependent exploded subtokens
+    (train_large.py:39-55), 'a' = text tokens (the serving checkpoints)."""
+    if "BPM_20" in vocab and "KEY_0" in vocab:
+        return "b3"
+    if "P_0" in vocab and "T_0" in vocab:
+        return "b2"
+    if "[START_T]" in vocab or "[DUR_T]" in vocab:
+        return "b1"
+    return "a"

@@ -62,7 +62,13 @@ def run_training(preset: str, csv_path: str | None = None,
                  save_hours: float | None = None, mesh=None,
                  seed: int = 0, log_every: int = 0, log_fn=print,
                  resume_from: str | None = None,
-                 corrected: bool = False) -> dict:
+                 corrected: bool = False,
+                 geometry: dict | None = None) -> dict:
+    """``geometry``: optional overrides for the preset's model shape —
+    any of d_model / n_head / n_layer / seq_len (e.g. to train a compact
+    shippable demo model on a large-preset recipe)."""
+    import dataclasses as _dc
+
     scheme = scheme or PRESET_SCHEME[preset]
     tcfg = reference_preset(preset)
     if epochs is not None:
@@ -73,11 +79,19 @@ def run_training(preset: str, csv_path: str | None = None,
     else:
         rows = synthetic_corpus(synthetic_rows or 256, seed=seed)
 
+    geometry = {k: v for k, v in (geometry or {}).items() if v}
     geom = model_preset(preset if preset != "paper" else "large2",
                         vocab_size=1)  # placeholder vocab, rebuilt below
-    encoded, vocab = encode_corpus(rows, scheme, geom.seq_len)
+    seq_len = geometry.get("seq_len", geom.seq_len)
+    encoded, vocab = encode_corpus(rows, scheme, seq_len)
     cfg = model_preset(preset if preset != "paper" else "large2",
                        vocab_size=len(vocab))
+    if geometry:
+        if "seq_len" in geometry and cfg.pos_rows is not None:
+            # presets with an explicit pos table size tie it to seq_len;
+            # pos_rows=None keeps tracking seq_len-1 automatically
+            geometry["pos_rows"] = geometry["seq_len"]
+        cfg = _dc.replace(cfg, **geometry)
     if corrected:
         # corrected architecture: causal attention, no reference quirks —
         # required for speculative decoding and request coalescing
