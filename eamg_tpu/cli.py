@@ -23,17 +23,31 @@ import sys
 
 
 def _load_generator(checkpoint: str | None):
+    """-> (Generator, scheme, scheme_b|None). No --checkpoint serves the
+    packaged trained demo (serve/demo_ckpt) when shipped, else the
+    random-init demo pipeline."""
     from .decode import Generator
-    from .tokenizer import Vocab
+    from .tokenizer import SchemeB3, Vocab, detect_scheme
 
+    if not checkpoint:
+        from .serve.pipeline import packaged_demo_checkpoint
+
+        checkpoint = packaged_demo_checkpoint()
     if checkpoint:
         from .utils import load_checkpoint
 
         ckpt = load_checkpoint(checkpoint)
-        return Generator(ckpt["params"], ckpt["cfg"], Vocab(ckpt["vocab"]))
+        vocab = Vocab(ckpt["vocab"])
+        scheme = detect_scheme(vocab)
+        if scheme == "b3":
+            gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
+                            eos_token="[END_SEQ]")
+            return gen, "b3", SchemeB3(seq_len=ckpt["cfg"].seq_len)
+        return (Generator(ckpt["params"], ckpt["cfg"], vocab), scheme,
+                None)
     from .serve.pipeline import demo_pipeline
 
-    return demo_pipeline().generator
+    return demo_pipeline().generator, "a", None
 
 
 def cmd_train(args):
@@ -61,7 +75,8 @@ def cmd_generate(args):
     from .tokenizer import (assemble_prompt, closest_bpm_token,
                             normalize_key_signature, tokens_to_song)
 
-    gen = _load_generator(args.checkpoint)
+    gen, scheme, scheme_b = _load_generator(args.checkpoint)
+    bpm, key = args.bpm, args.key
     if args.interactive:
         # generate_adi.py flow: free text -> emotion -> mapping -> music
         from .emotion import EmotionClassifier, get_music_params
@@ -71,26 +86,45 @@ def cmd_generate(args):
         label = clf.predict(text)
         mapping = get_music_params(label, seed=args.seed)
         print("Music Mapping:", mapping)
-        prompt = assemble_prompt(gen.vocab, mapping, full_gm=args.full_gm)
+        bpm, key = mapping["bpm"], mapping["key"]
+        prompt = None if scheme == "b3" else assemble_prompt(
+            gen.vocab, mapping, full_gm=args.full_gm)
+    elif scheme == "b3":
+        prompt = None
     else:
         # generate_music/generate.py flow: fixed controls
         prompt = ["[START_SEQUENCE]",
-                  closest_bpm_token(gen.vocab, args.bpm),
-                  normalize_key_signature(args.key)]
+                  closest_bpm_token(gen.vocab, bpm),
+                  normalize_key_signature(key)]
         prompt += [f"[INSTRUMENT] {i}" for i in args.instruments]
+    if scheme == "b3":
+        # control-token conditioning; [INSTRUMENT] has no B3 equivalent
+        if args.instruments != ["Violin", "Acoustic Grand Piano"] and \
+                not args.interactive:
+            print("note: --instruments ignored (B3 checkpoints have no "
+                  "instrument tokens)")
+        prompt_ids = scheme_b.control_prefix(bpm, key)
+    else:
+        prompt_ids = gen.vocab.encode(prompt)
     if args.draft:
-        draft = _load_generator(args.draft)
+        draft, _, _ = _load_generator(args.draft)
         ids = gen.generate_ids_speculative(
-            draft, gen.vocab.encode(prompt), max_len=args.max_len,
+            draft, prompt_ids, max_len=args.max_len,
             gamma=args.gamma, temperature=args.temperature,
             top_k=args.top_k, seed=args.seed)[0]
         tokens = gen.trim_at_eos(ids)
+    elif scheme == "b3":
+        ids = gen.generate_ids(prompt_ids, max_len=args.max_len,
+                               temperature=args.temperature,
+                               top_k=args.top_k, seed=args.seed)[0]
+        tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,
                                     top_k=args.top_k, seed=args.seed)
     print("Generated token snippet:", tokens[:20], "...")
-    song = tokens_to_song(tokens)
+    song = scheme_b.decode_to_song(ids) if scheme == "b3" \
+        else tokens_to_song(tokens)
     song.write(args.out)
     print("MIDI saved ->", args.out)
     if args.wav:

@@ -267,3 +267,25 @@ def test_cli_corrected_speculative_success(tmp_path, capsys):
     from eamg_tpu.utils import load_checkpoint
 
     assert load_checkpoint(str(tgt / "final"))["cfg"].causal
+
+
+def test_cli_b3_train_geometry_and_generate(tmp_path, capsys):
+    """Geometry-overridden B3 training + scheme-detected generation (the
+    packaged-demo recipe, tiny): cli train --scheme b3 --d-model ... then
+    cli generate --checkpoint picks the control-token path from the
+    vocab."""
+    ckpt = tmp_path / "b3ckpt"
+    cli_main(["train", "--preset", "no_inst", "--synthetic", "12",
+              "--epochs", "1", "--corrected", "--d-model", "32",
+              "--n-head", "4", "--n-layer", "1", "--seq-len", "48",
+              "--out", str(ckpt), "--log-every", "0"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["steps"] >= 1
+
+    mid = tmp_path / "b3.mid"
+    cli_main(["generate", "--checkpoint", str(ckpt / "final"),
+              "--bpm", "140", "--key", "D minor", "--max-len", "48",
+              "--out", str(mid), "--seed", "2"])
+    out = capsys.readouterr().out
+    assert "BPM_140" in out          # conditioned control prefix
+    assert mid.read_bytes()[:4] == b"MThd"
