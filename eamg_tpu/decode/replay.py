@@ -103,7 +103,11 @@ def perplexity(params: dict, cfg: GPTConfig, ids, pad_id: int = 0) -> float:
     x, y = ids[:, :-1], ids[:, 1:]
     logits = forward(params, x, cfg)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, y[..., None], -1)[..., 0]
+    # one-hot contraction, NOT take_along_axis: vocab-axis gathers hit the
+    # scalar core on this backend and FailedPrecondition at some shapes
+    # (same convention as decode/ragged.py's last-logit selection)
+    onehot = jax.nn.one_hot(y, logits.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     mask = y != pad_id
     mean_nll = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
     return float(jnp.exp(mean_nll))

@@ -188,14 +188,27 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce)
 
 
-def packaged_demo_checkpoint() -> str:
-    """The in-repo trained demo checkpoint (serve/demo_ckpt), '' if not
-    shipped. The reference's demo_checkpoint.pt was gitignored — a fresh
-    clone could not serve at all; here a compact trained model ships."""
+def packaged_demo_checkpoints() -> dict:
+    """{scheme: path} for the in-repo trained demo checkpoints
+    (serve/demo_ckpt_a, serve/demo_ckpt_b3). The reference's
+    demo_checkpoint.pt was gitignored — a fresh clone could not serve at
+    all; here compact trained models ship for BOTH product paths."""
     import os
 
-    d = os.path.join(os.path.dirname(__file__), "demo_ckpt")
-    return d if os.path.isdir(d) and os.listdir(d) else ""
+    base = os.path.dirname(__file__)
+    out = {}
+    for scheme in ("a", "b3"):
+        d = os.path.join(base, f"demo_ckpt_{scheme}")
+        if os.path.isdir(d) and os.listdir(d):
+            out[scheme] = d
+    return out
+
+
+def packaged_demo_checkpoint() -> str:
+    """Default demo: the reference-faithful Scheme-A model when shipped,
+    else the B3 control-token model, else ''."""
+    demos = packaged_demo_checkpoints()
+    return demos.get("a") or demos.get("b3") or ""
 
 
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,

@@ -12,12 +12,12 @@ import pytest
 import jax
 
 from eamg_tpu.models import GPTConfig, init_params
-from eamg_tpu.serve.pipeline import (packaged_demo_checkpoint,
+from eamg_tpu.serve.pipeline import (packaged_demo_checkpoints,
                                      pipeline_from_checkpoint)
 from eamg_tpu.tokenizer import SchemeB2, SchemeB3, Vocab, detect_scheme
 from eamg_tpu.utils import save_checkpoint
 
-PACKAGED = packaged_demo_checkpoint()
+PACKAGED = packaged_demo_checkpoints()
 
 
 def test_detect_scheme():
@@ -77,20 +77,23 @@ def test_b2_checkpoint_rejected(tmp_path):
         pipeline_from_checkpoint(path)
 
 
-@pytest.mark.skipif(not PACKAGED, reason="packaged demo ckpt not shipped")
+@pytest.mark.skipif(not PACKAGED, reason="packaged demo ckpts not shipped")
+@pytest.mark.parametrize("scheme", sorted(PACKAGED) or ["none"])
 class TestPackagedDemo:
-    def test_loads_and_generates_conditioned_music(self):
-        pipe = pipeline_from_checkpoint(PACKAGED)
-        assert pipe.scheme == "b3"
+    def test_loads_and_generates_conditioned_music(self, scheme):
+        pipe = pipeline_from_checkpoint(PACKAGED[scheme])
+        assert pipe.scheme == ("b3" if scheme == "b3" else "a")
         res = pipe.generate("I feel wonderful and full of joy", seed=7,
                             render_audio=False)
         assert res.midi_bytes[:4] == b"MThd"
         # a TRAINED model emits real notes, not just specials
-        assert sum(t.startswith("P_") for t in res.tokens) >= 5
+        note_marker = "P_" if scheme == "b3" else "[NOTE]"
+        assert sum(t.startswith(note_marker) for t in res.tokens) >= 5
 
-    def test_metrics_recorded(self):
+    def test_metrics_recorded(self, scheme):
         import json
 
-        with open(os.path.join(PACKAGED, "train_metrics.json")) as f:
+        with open(os.path.join(PACKAGED[scheme],
+                               "train_metrics.json")) as f:
             m = json.load(f)
         assert m["final_ppl"] < 10.0  # trained, not random (random ~ vocab)

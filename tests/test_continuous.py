@@ -169,3 +169,38 @@ def test_slot_reuse_after_harvest(generator):
             assert got == solo(generator, [2, 3], seed, 16), seed
     finally:
         eng.close()
+
+
+def test_randomized_stress_all_rows_match_solo(generator):
+    """Fuzz the admission machinery: many requests with random prompt
+    lengths, budgets, temperatures, and arrival jitter, over few slots —
+    EVERY result must still bit-match its solo ragged stream."""
+    rng = np.random.default_rng(123)
+    eng = ContinuousBatcher(generator, slots=3, chunk=8, max_len=40)
+    reqs = []
+    for i in range(24):
+        plen = int(rng.integers(1, 20))
+        reqs.append({
+            "prompt": rng.integers(1, 64, plen).tolist(),
+            "seed": int(rng.integers(0, 2**31)),
+            "max_len": int(rng.integers(plen + 2, 41)),
+            "temperature": float(rng.choice([0.7, 1.0, 1.3])),
+        })
+    results = [None] * len(reqs)
+
+    def hit(i, r):
+        time.sleep(float(rng.integers(0, 20)) / 1000)
+        results[i] = eng.submit(r["prompt"], temperature=r["temperature"],
+                                seed=r["seed"], max_len=r["max_len"])
+
+    threads = [threading.Thread(target=hit, args=(i, r), daemon=True)
+               for i, r in enumerate(reqs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    eng.close()
+    for i, r in enumerate(reqs):
+        want = solo(generator, r["prompt"], r["seed"], r["max_len"],
+                    temperature=r["temperature"])
+        assert results[i] == want, f"request {i} diverged"
