@@ -79,45 +79,32 @@ class Pipeline:
         self.generate("warm up the compiler", seed=0,
                       render_audio=self.render_audio)
 
-    def generate(self, prompt_text: str, temperature: float = 1.0,
-                 top_k: int = 50, seed: int | None = None,
-                 render_audio: bool | None = None) -> GenerationResult:
-        render = self.render_audio if render_audio is None else render_audio
-        timings = {}
-
-        t0 = time.perf_counter()
-        label = self.classifier.predict(prompt_text)
-        timings["classify"] = (time.perf_counter() - t0) * 1000
-
-        t0 = time.perf_counter()
-        mapping = get_music_params(label, seed=seed)
+    def _decode_for_mapping(self, mapping: dict, temperature: float,
+                            top_k: int, run_seed: int):
+        """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
+        compiled decode, detokenized MidiSong — shared by single-shot and
+        multi-section generation."""
         dropped = []
         if self.scheme == "b3":
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
             gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
-        else:
-            gen_prompt = assemble_prompt(self.generator.vocab, mapping,
-                                         full_gm=self.full_gm)
-            # data-dependent Scheme-A vocabularies may lack a control token
-            # (e.g. an EATS key the corpus never contained). The reference
-            # crashed with a KeyError (api_cache.py:162); we degrade
-            # gracefully: drop the token and report it.
-            known = [t for t in gen_prompt if t in self.generator.vocab]
-            dropped = [t for t in gen_prompt if t not in
-                       self.generator.vocab]
-            gen_prompt = known
-        timings["map_and_prompt"] = (time.perf_counter() - t0) * 1000
-
-        t0 = time.perf_counter()
-        run_seed = seed if seed is not None else \
-            int(time.time_ns() % 2**31)
-        if self.scheme == "b3":
             ids = self.generator.generate_ids(
                 prompt_ids, temperature=temperature, top_k=top_k,
                 seed=run_seed, use_cache=self.use_cache)[0]
             tokens = self.scheme_b.vocab.decode(ids)
-        elif self.batcher is not None:
+            song = self.scheme_b.decode_to_song(ids)
+            return gen_prompt, tokens, song, dropped
+        gen_prompt = assemble_prompt(self.generator.vocab, mapping,
+                                     full_gm=self.full_gm)
+        # data-dependent Scheme-A vocabularies may lack a control token
+        # (e.g. an EATS key the corpus never contained). The reference
+        # crashed with a KeyError (api_cache.py:162); we degrade
+        # gracefully: drop the token and report it.
+        known = [t for t in gen_prompt if t in self.generator.vocab]
+        dropped = [t for t in gen_prompt if t not in self.generator.vocab]
+        gen_prompt = known
+        if self.batcher is not None:
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed)
@@ -130,13 +117,30 @@ class Pipeline:
             tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed)
+        return gen_prompt, tokens, tokens_to_song(tokens), dropped
+
+    def generate(self, prompt_text: str, temperature: float = 1.0,
+                 top_k: int = 50, seed: int | None = None,
+                 render_audio: bool | None = None) -> GenerationResult:
+        render = self.render_audio if render_audio is None else render_audio
+        timings = {}
+
+        t0 = time.perf_counter()
+        label = self.classifier.predict(prompt_text)
+        timings["classify"] = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        mapping = get_music_params(label, seed=seed)
+        timings["map_and_prompt"] = (time.perf_counter() - t0) * 1000
+
+        t0 = time.perf_counter()
+        run_seed = seed if seed is not None else \
+            int(time.time_ns() % 2**31)
+        gen_prompt, tokens, song, dropped = self._decode_for_mapping(
+            mapping, temperature, top_k, run_seed)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
-        if self.scheme == "b3":
-            song = self.scheme_b.decode_to_song(ids)
-        else:
-            song = tokens_to_song(tokens)
         midi_io = io.BytesIO()
         song.write(midi_io)
         timings["detokenize_midi"] = (time.perf_counter() - t0) * 1000
@@ -157,6 +161,82 @@ class Pipeline:
                                 wav_bytes=wav_bytes, timings_ms=timings,
                                 dropped_tokens=dropped)
 
+    def generate_sections(self, prompt_text: str, temperature: float = 1.0,
+                          top_k: int = 50, seed: int | None = None,
+                          render_audio: bool | None = None,
+                          gap_s: float = 0.5) -> GenerationResult:
+        """Emotion-ADAPTIVE generation: each sentence of the prompt is
+        classified separately (the reference's analyze_emotion_transitions,
+        inference.py:83-94, which it marked 'not done yet' and never
+        connected to generation) and drives its own conditioned section;
+        sections are concatenated on the host time axis (note times are
+        seconds, so per-section BPM lives in the generated timings).
+        Single-sentence prompts fall back to :meth:`generate`."""
+        from ..emotion import segment_text
+        from ..midi.smf import MidiSong, Note
+
+        segments = segment_text(prompt_text)
+        if len(segments) <= 1:
+            return self.generate(prompt_text, temperature=temperature,
+                                 top_k=top_k, seed=seed,
+                                 render_audio=render_audio)
+        render = self.render_audio if render_audio is None else render_audio
+        timings = {}
+        t_all = time.perf_counter()
+
+        labels, mappings, all_tokens, all_prompts, dropped = \
+            [], [], [], [], []
+        merged = MidiSong()
+        by_track: dict = {}
+        offset = 0.0
+        for i, seg in enumerate(segments):
+            label = self.classifier.predict(seg)
+            mapping = get_music_params(
+                label, seed=None if seed is None else seed + i)
+            run_seed = (seed + i) if seed is not None else \
+                int(time.time_ns() % 2**31)
+            gp, tokens, song, drop = self._decode_for_mapping(
+                mapping, temperature, top_k, run_seed)
+            labels.append(label)
+            mappings.append(mapping)
+            all_tokens.extend(tokens)
+            all_prompts.extend(gp)
+            dropped.extend(drop)
+            for inst in song.instruments:
+                key = (inst.program, inst.is_drum)
+                tgt = by_track.get(key)
+                if tgt is None:
+                    tgt = type(inst)(program=inst.program,
+                                     is_drum=inst.is_drum, name=inst.name)
+                    by_track[key] = tgt
+                    merged.instruments.append(tgt)
+                tgt.notes.extend(
+                    Note(n.velocity, n.pitch, n.start + offset,
+                         n.end + offset) for n in inst.notes)
+            offset = merged.get_end_time() + gap_s
+        timings["classify_map_decode_all"] = \
+            (time.perf_counter() - t_all) * 1000
+
+        t0 = time.perf_counter()
+        midi_io = io.BytesIO()
+        merged.write(midi_io)
+        timings["detokenize_midi"] = (time.perf_counter() - t0) * 1000
+        wav_bytes = None
+        if render:
+            t0 = time.perf_counter()
+            wav_io = io.BytesIO()
+            render_to_wav_auto(merged, wav_io, seed=seed or 0)
+            wav_bytes = wav_io.getvalue()
+            timings["render_wav"] = (time.perf_counter() - t0) * 1000
+        return GenerationResult(
+            label=" / ".join(labels),
+            mapping={"sections": [
+                {"text": s, "label": l, **m}
+                for s, l, m in zip(segments, labels, mappings)]},
+            prompt_tokens=all_prompts, tokens=all_tokens,
+            midi_bytes=midi_io.getvalue(), wav_bytes=wav_bytes,
+            timings_ms=timings, dropped_tokens=dropped)
+
 
 def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                              coalesce=False,
@@ -173,16 +253,16 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     ckpt = load_any_checkpoint(path)
     vocab = Vocab(ckpt["vocab"])
     scheme = detect_scheme(vocab)
-    if scheme in ("b2", "b3"):
+    if scheme in ("b1", "b2"):
+        raise ValueError(
+            f"Scheme-{scheme.upper()} checkpoints have no control tokens "
+            "to condition on; serve a b3 (train_no_inst) or Scheme-A "
+            "checkpoint")
+    if scheme == "b3":
         gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
                         eos_token="[END_SEQ]")
-        b3 = SchemeB3(seq_len=ckpt["cfg"].seq_len) if scheme == "b3" \
-            else None
-        if scheme == "b2":
-            raise ValueError(
-                "Scheme-B2 checkpoints have no control tokens to condition "
-                "on; serve a b3 (train_no_inst) or Scheme-A checkpoint")
-        return Pipeline(gen, classifier, scheme="b3", scheme_b=b3,
+        return Pipeline(gen, classifier, scheme="b3",
+                        scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
                         coalesce=coalesce)
     gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
     return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce)

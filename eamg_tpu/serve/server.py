@@ -143,7 +143,13 @@ class EAMGHandler(BaseHTTPRequestHandler):
             import time as _time
 
             t_start = _time.perf_counter()
-            result = self.pipeline.generate(
+            # sections=true: per-sentence emotion -> per-section conditioned
+            # music (pipeline.generate_sections)
+            sections = fields.get("sections", "").lower() in ("1", "true",
+                                                              "yes")
+            gen_fn = (self.pipeline.generate_sections if sections
+                      else self.pipeline.generate)
+            result = gen_fn(
                 prompt,
                 temperature=float(fields.get("temperature", 1.0)),
                 top_k=int(fields.get("top_k", 50)),

@@ -247,3 +247,23 @@ def test_static_page_has_custom_player_affordances():
     for needle in ("playBtn", 'type="range"', "currentTime", "duration",
                    "play()", "pause()"):
         assert needle in page
+
+
+def test_pipeline_multi_section_generation():
+    """Per-sentence emotion drives per-section conditioned music — the
+    generation-side completion of analyze_emotion_transitions (the
+    reference marked it 'not done yet' and never wired it to music)."""
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(seq_len=64, d_model=64)
+    text = "I love this so much. The spider terrified me."
+    res = pipe.generate_sections(text, seed=4, render_audio=False)
+    assert res.midi_bytes[:4] == b"MThd"
+    secs = res.mapping["sections"]
+    assert len(secs) == 2
+    assert secs[0]["label"] != "" and "bpm" in secs[0]
+    assert " / " in res.label
+    # single-sentence prompts fall back to the single-shot path
+    res1 = pipe.generate_sections("I love this so much", seed=4,
+                                  render_audio=False)
+    assert "sections" not in res1.mapping
