@@ -130,6 +130,49 @@ def export_state_dict(params: dict, dialect: str = "trainer") -> dict:
     return sd
 
 
+def _torch_load_as_numpy(path) -> dict:
+    """Read a torch ``.pt`` without bringing torch into THIS process.
+
+    torch and XLA:CPU must not share a process on this host (intermittent
+    segfault/futex-deadlock during jit compiles — the reason every test
+    oracle runs as a subprocess). If torch is already loaded (a pure-torch
+    caller), use it directly; otherwise load in a throwaway subprocess
+    that re-pickles the payload with numpy tensors."""
+    import sys
+
+    if "torch" in sys.modules:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        return {"model": {k: np.asarray(v.detach().cpu())
+                          for k, v in ckpt["model"].items()},
+                "vocab": dict(ckpt["vocab"]),
+                "cfg": dict(ckpt.get("cfg") or {}),
+                "hparams": dict(ckpt.get("hparams") or {})}
+    import pickle
+    import subprocess
+    import tempfile
+
+    script = (
+        "import pickle, sys\n"
+        "import numpy as np\n"
+        "import torch\n"
+        "ckpt = torch.load(sys.argv[1], map_location='cpu',"
+        " weights_only=True)\n"
+        "out = {'model': {k: np.asarray(v.detach().cpu())\n"
+        "                 for k, v in ckpt['model'].items()},\n"
+        "       'vocab': dict(ckpt['vocab']),\n"
+        "       'cfg': dict(ckpt.get('cfg') or {}),\n"
+        "       'hparams': dict(ckpt.get('hparams') or {})}\n"
+        "pickle.dump(out, open(sys.argv[2], 'wb'))\n")
+    with tempfile.TemporaryDirectory() as td:
+        blob = f"{td}/ckpt_np.pkl"
+        subprocess.run([sys.executable, "-c", script, str(path), blob],
+                       check=True, timeout=600)
+        with open(blob, "rb") as f:
+            return pickle.load(f)
+
+
 def load_reference_checkpoint(path, serving_arch: bool = False,
                               **cfg_overrides):
     """Load a reference ``.pt`` checkpoint -> (params, cfg, Vocab).
@@ -138,9 +181,7 @@ def load_reference_checkpoint(path, serving_arch: bool = False,
     the weights (the reference's deliberate arch mismatch, SURVEY.md §2.3.3);
     False keeps the arch the weights were trained with.
     """
-    import torch  # gated: torch only needed when importing .pt files
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    ckpt = _torch_load_as_numpy(path)
     sd = ckpt["model"]
     geom = infer_geometry(sd)
     meta = ckpt.get("cfg") or ckpt.get("hparams") or {}

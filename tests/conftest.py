@@ -36,3 +36,18 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 @pytest.fixture(scope="session")
 def fixture_mid() -> pathlib.Path:
     return FIXTURES / "80df1867935371808ab60eabdad2a1d2.mid"
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _torch_must_stay_out_of_process():
+    """torch and XLA:CPU must not share a process on this host: jit
+    compiles segfault/futex-deadlock intermittently once torch._C is
+    loaded (observed killing the suite at ~90% twice). All torch work
+    belongs in subprocesses (tests/torch_oracle.py pattern)."""
+    yield
+    import sys
+
+    assert "torch" not in sys.modules, (
+        "a test imported torch into the pytest process — move the torch "
+        "code into a subprocess (see tests/torch_oracle.py); in-process "
+        "torch makes later XLA:CPU compiles segfault intermittently")

@@ -182,37 +182,64 @@ def test_checkpoint_round_trip(tmp_path):
     assert m1["loss"] == pytest.approx(m2["loss"], abs=1e-6)
 
 
-def test_chunked_loss_matches_monolithic():
+def test_chunked_loss_matches_monolithic_and_trainer_runs():
     """loss_fn_chunked (time-chunked head+CE under jax.checkpoint — the
     micro_batch >= 256 memory enabler) must match loss_fn's value, token
-    count, and gradients, including the non-divisible-chunk pad path."""
-    from eamg_tpu.train.trainer import loss_fn_chunked
+    count, and gradients (incl. the non-divisible-chunk pad path), and the
+    Trainer(loss_chunk=...) integration must agree with the monolithic
+    trainer.
 
-    cfg = GPTConfig(vocab_size=64, seq_len=24, d_model=32, n_head=4,
-                    n_layer=2, causal=True)
-    params = init_params(jax.random.PRNGKey(1), cfg)
-    rng = np.random.default_rng(1)
-    x, y = make_batch(rng, 1, 3, t=23)
-    x, y = jnp.asarray(x[0]), jnp.asarray(y[0])
-    (l1, c1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
-        params, x, y, cfg, 0)
-    for chunk in (8, 7, 23):  # even split, padded split, single chunk
-        (l2, c2), g2 = jax.value_and_grad(
-            loss_fn_chunked, has_aux=True)(params, x, y, cfg, 0, chunk)
-        assert int(c1) == int(c2)
-        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=1e-6)
+    Runs in a SUBPROCESS: the remat+nested-scan compile intermittently
+    segfaults XLA:CPU when it lands late in a long-lived pytest process
+    (observed twice at the first compile AFTER this program built);
+    process isolation sidesteps the compiler-state bug.
+    """
+    import subprocess
+    import sys
 
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from eamg_tpu.models import GPTConfig, init_params
+from eamg_tpu.train import TrainConfig, Trainer, loss_fn
+from eamg_tpu.train.trainer import loss_fn_chunked
 
-def test_trainer_with_loss_chunk_runs():
-    params = init_params(jax.random.PRNGKey(2), CFG)
-    t_mono = Trainer(CFG, TrainConfig(micro_batch=2), params)
-    t_chunk = Trainer(CFG, TrainConfig(micro_batch=2, loss_chunk=8), params)
-    rng = np.random.default_rng(2)
-    x, y = make_batch(rng, 1, 2)
-    m1 = t_mono.train_step(x, y)
-    m2 = t_chunk.train_step(x, y)
-    assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-4)
-    assert m1["tokens"] == m2["tokens"]
+cfg = GPTConfig(vocab_size=64, seq_len=24, d_model=32, n_head=4,
+                n_layer=2, causal=True)
+params = init_params(jax.random.PRNGKey(1), cfg)
+rng = np.random.default_rng(1)
+x = jnp.asarray(rng.integers(1, 64, (3, 23)), np.int32)
+y_np = rng.integers(1, 64, (3, 23)).astype(np.int32)
+y_np[..., -4:] = 0
+y = jnp.asarray(y_np)
+(l1, c1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+    params, x, y, cfg, 0)
+for chunk in (8, 7, 23):  # even split, padded split, single chunk
+    (l2, c2), g2 = jax.value_and_grad(
+        loss_fn_chunked, has_aux=True)(params, x, y, cfg, 0, chunk)
+    assert int(c1) == int(c2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+t_mono = Trainer(cfg, TrainConfig(micro_batch=3), params)
+t_chunk = Trainer(cfg, TrainConfig(micro_batch=3, loss_chunk=8), params)
+xb = np.asarray(x)[None]
+yb = y_np[None]
+m1 = t_mono.train_step(xb, yb)
+m2 = t_chunk.train_step(xb, yb)
+assert abs(m1["loss"] - m2["loss"]) < 1e-4 * abs(m1["loss"])
+assert m1["tokens"] == m2["tokens"]
+print("CHUNKED_LOSS_OK")
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=600,
+                          env={"JAX_PLATFORMS": "cpu",
+                               "PYTHONPATH": "/root/repo",
+                               "PATH": "/usr/bin:/bin:/usr/local/bin"})
+    assert "CHUNKED_LOSS_OK" in proc.stdout, proc.stderr[-2000:]
