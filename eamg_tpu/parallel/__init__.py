@@ -1,7 +1,9 @@
-"""Device mesh + sharding rules (DP 'data' axis, optional TP 'model' axis)."""
+"""Device mesh + sharding rules (DP 'data' axis, optional TP 'model'
+axis) and ring attention (sequence-parallel long-context growth path)."""
 
 from .mesh import (batch_pspec, data_sharding, make_mesh, param_pspecs,
                    shard_params)
+from .ring_attention import ring_attention
 
 __all__ = ["batch_pspec", "data_sharding", "make_mesh", "param_pspecs",
-           "shard_params"]
+           "ring_attention", "shard_params"]
