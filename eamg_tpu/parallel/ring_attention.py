@@ -57,10 +57,12 @@ def _block_attend(q, k, v, q_start, k_start, causal: bool, sm_scale,
     return acc, m_cur, l_cur
 
 
-def _ring_shard(q, k, v, *, axis: str, n_shards: int, causal: bool,
+def ring_attend(q, k, v, *, axis: str, n_shards: int, causal: bool,
                 sm_scale: float):
-    """Per-shard body (runs under shard_map): local Tq queries attend to
-    every K/V block as it rotates through; N-1 ppermutes total."""
+    """Per-shard ring accumulation (must run inside a shard_map over
+    ``axis``): local Tq queries attend to every K/V block as it rotates
+    through; N-1 ppermutes total. Reused by the standalone op AND the
+    sequence-parallel GPT forward."""
     idx = jax.lax.axis_index(axis)
     B, H, Tq, Dh = q.shape
     acc = jnp.zeros((B, H, Tq, Dh), jnp.float32)
@@ -87,6 +89,12 @@ def _ring_shard(q, k, v, *, axis: str, n_shards: int, causal: bool,
     return out.astype(q.dtype)
 
 
+def _ring_shard(q, k, v, *, axis: str, n_shards: int, causal: bool,
+                sm_scale: float):
+    return ring_attend(q, k, v, axis=axis, n_shards=n_shards,
+                       causal=causal, sm_scale=sm_scale)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "causal"))
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
                    axis: str = "seq", causal: bool = True) -> jax.Array:
@@ -110,3 +118,60 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
     sh = NamedSharding(mesh, spec)
     return fn(jax.device_put(q, sh), jax.device_put(k, sh),
               jax.device_put(v, sh))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def forward_seq_parallel(params: dict, ids: jax.Array, cfg, mesh: Mesh,
+                         axis: str = "seq") -> jax.Array:
+    """Sequence-parallel GPT forward: [B, T] ids -> [B, T, V] logits with
+    the TIME axis sharded over ``axis`` — activations, attention, and the
+    head all stay O(T/N) per device; only K/V blocks move (ring).
+
+    Matches models/gpt.py::forward for corrected causal configs (asserted)
+    to fp32-accumulation tolerance. This is the long-context TRAINING
+    path: run your loss on the (still seq-sharded) logits and grad through
+    it — ppermute is differentiable, so the backward pass rotates
+    gradients the other way automatically.
+    """
+    from ..models.gpt import (_attn_input, _finish_block, _heads, _linear,
+                              _unheads)
+
+    assert cfg.causal and not cfg.batch_first_bug, (
+        "sequence-parallel forward supports the corrected causal "
+        "architecture")
+    n = mesh.shape[axis]
+    B, T = ids.shape
+    assert T % n == 0, f"T={T} not divisible by {axis}={n}"
+    Tl = T // n
+    sm_scale = 1.0 / math.sqrt(cfg.head_dim)
+    D, KVD = cfg.d_model, cfg.kv_dim
+    g = cfg.n_head // cfg.kv_heads
+
+    def body(params, ids_local):
+        idx = jax.lax.axis_index(axis)
+        dt = cfg.jnp_dtype
+        pos = jax.lax.dynamic_slice_in_dim(params["pos"], idx * Tl, Tl, 0)
+        x = (params["tok_emb"][ids_local] + pos).astype(dt)
+        for p in params["layers"]:
+            xn = _attn_input(p, x, cfg)
+            qkv = _linear(xn, p["attn"]["in_w"], p["attn"]["in_b"])
+            q = _heads(qkv[..., :D], cfg.n_head)
+            k = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+            v = _heads(qkv[..., D + KVD:], cfg.kv_heads)
+            if g > 1:  # expand KV groups: ring_attend is head-aligned
+                k = jnp.repeat(k, g, axis=1)
+                v = jnp.repeat(v, g, axis=1)
+            attn = ring_attend(q, k, v, axis=axis, n_shards=n,
+                               causal=True, sm_scale=sm_scale)
+            attn_out = _linear(_unheads(attn), p["attn"]["out_w"],
+                               p["attn"]["out_b"])
+            x = _finish_block(p, x, attn_out, cfg)
+        return _linear(x.astype(jnp.float32), params["head"]["w"],
+                       params["head"]["b"])
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis, None), check_vma=False)
+    sh = NamedSharding(mesh, P(None, axis))
+    return fn(params, jax.device_put(ids, sh))
