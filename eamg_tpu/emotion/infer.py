@@ -60,10 +60,15 @@ class EmotionClassifier:
             self._cfg = db.DistilBertConfig(**pickle.load(f))
         with open(os.path.join(ckpt_dir, "params.pkl"), "rb") as f:
             raw = pickle.load(f)
-        # checkpoints may store f16 to stay small; compute in f32
+        # checkpoints may store f16 to stay small; compute in f32. Pin the
+        # tree on DEVICE once: host-resident numpy params re-upload ~7 MB
+        # per call over the tunnel (measured 155 ms/classify; ~2 ms pinned)
+        import jax.numpy as jnp
+
         self._params = jax.tree_util.tree_map(
-            lambda x: np.asarray(x, np.float32)
-            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, raw)
+            lambda x: jnp.asarray(x, jnp.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x), raw)
         self._tok = db.WordPieceTokenizer(
             os.path.join(ckpt_dir, "vocab.txt"))
         self.max_length = min(self.max_length,
