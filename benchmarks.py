@@ -303,7 +303,7 @@ def scenario_9_continuous_batching():
     eng = ContinuousBatcher(gen, slots=8, chunk=64, max_len=req_max)
     eng.submit([1, 2, 3], seed=0, max_len=req_max)   # compile admit+chunk
     cont = staggered(eng.submit)
-    join_ms = eng.stats["join_delay_ms"][1:]         # skip the warm compile
+    join_ms = list(eng.stats["join_delay_ms"])[1:]   # skip the warm compile
     cont["p50_join_ms"] = round(sorted(join_ms)[len(join_ms) // 2], 1)
     eng.close()
 

@@ -105,6 +105,10 @@ class Generator:
             "draft and target must share a vocabulary"
         max_len = max_len or min(self.cfg.seq_len, draft.cfg.seq_len)
         p = len(prompt_ids)
+        if p >= max_len:
+            # zero generation steps: prompt returned unchanged (reference
+            # semantics, api_cache.py:166 — same guard as generate_ids)
+            return np.asarray([list(prompt_ids)], np.int32)
         bucket = min(_bucket(p), max_len)
         prompt = np.full((1, bucket), self.pad_id, np.int32)
         prompt[0, :p] = prompt_ids

@@ -72,19 +72,24 @@ def ring_attend(q, k, v, *, axis: str, n_shards: int, causal: bool,
 
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
+    # resident block first, then rotate-and-attend N-1 times — exactly
+    # N-1 ppermutes; a rotate-after-attend loop would pay one extra
+    # discarded K+V exchange per layer per step
+    acc, m, l = _block_attend(q, k, v, q_start, idx * Tq, causal,
+                              sm_scale, acc, m, l)
+
     def step(i, carry):
         acc, m, l, k, v, k_owner = carry
-        k_start = k_owner * Tq
-        acc, m, l = _block_attend(q, k, v, q_start, k_start, causal,
-                                  sm_scale, acc, m, l)
-        # rotate: receive the neighbor's block for the next step
         k = jax.lax.ppermute(k, axis, perm)
         v = jax.lax.ppermute(v, axis, perm)
         k_owner = jax.lax.ppermute(k_owner, axis, perm)
+        k_start = k_owner * Tq
+        acc, m, l = _block_attend(q, k, v, q_start, k_start, causal,
+                                  sm_scale, acc, m, l)
         return acc, m, l, k, v, k_owner
 
     acc, m, l, _, _, _ = jax.lax.fori_loop(
-        0, n_shards, step, (acc, m, l, k, v, idx))
+        0, n_shards - 1, step, (acc, m, l, k, v, idx))
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 
@@ -142,6 +147,9 @@ def forward_seq_parallel(params: dict, ids: jax.Array, cfg, mesh: Mesh,
     n = mesh.shape[axis]
     B, T = ids.shape
     assert T % n == 0, f"T={T} not divisible by {axis}={n}"
+    assert T <= cfg.n_pos, (
+        f"T={T} exceeds the positional table (n_pos={cfg.n_pos}); "
+        "dynamic_slice would silently clamp the last shard's positions")
     Tl = T // n
     sm_scale = 1.0 / math.sqrt(cfg.head_dim)
     D, KVD = cfg.d_model, cfg.kv_dim

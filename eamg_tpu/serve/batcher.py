@@ -60,11 +60,16 @@ class RequestBatcher:
                top_k: int = 50, greedy: bool = False,
                seed: int | None = None, timeout: float = 600.0,
                max_len: int | None = None) -> list:
+        ml = int(min(max_len or self.max_len, self.max_len))
+        if len(prompt_ids) >= ml:
+            # zero generation steps: prompt returned unchanged (reference
+            # semantics, api_cache.py:166) — same contract as generate_ids,
+            # ContinuousBatcher.submit, and stream_tokens
+            return list(prompt_ids)
         req = _Pending(prompt_ids, float(temperature), int(top_k),
                        bool(greedy),
                        int(seed) if seed is not None
-                       else int(time.time_ns() % 2**31),
-                       int(min(max_len or self.max_len, self.max_len)))
+                       else int(time.time_ns() % 2**31), ml)
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")

@@ -208,13 +208,24 @@ class ContinuousBatcher:
         self._q: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
         self._free = list(range(slots))
+        from collections import deque
+
+        # bounded: a long-running server must not grow per-request state
         self.stats = {"chunks": 0, "admitted": 0, "served": 0,
-                      "join_delay_ms": []}
+                      "join_delay_ms": deque(maxlen=4096)}
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     # ------------------------------------------------------------- client
+
+    def accepts(self, top_k: int | None = None,
+                greedy: bool | None = None) -> bool:
+        """Whether a request's sampling params match the compiled engine
+        (top_k/greedy are engine-wide; callers fall back to a solo decode
+        on mismatch instead of erroring)."""
+        return ((top_k is None or top_k == self.top_k)
+                and (greedy is None or greedy == self.greedy))
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                seed: int | None = None, max_len: int | None = None,
@@ -295,36 +306,64 @@ class ContinuousBatcher:
             self._free.append(slot)
             self.stats["served"] += 1
 
+    def _fail_all(self, exc: Exception):
+        """Deliver ``exc`` to every live and queued request, reset the
+        engine to empty, and keep serving — one poisoned request or a
+        transient backend error must not wedge the server (the reference
+        crashed the uvicorn worker on any exception)."""
+        for slot, req in list(self._live.items()):
+            req.error = exc
+            req.event.set()
+        self._live.clear()
+        self._free = list(range(self.slots))
+        while True:
+            try:
+                req = self._q.get(block=False)
+            except queue.Empty:
+                break
+            if req is None:
+                self._q.put(None)  # preserve the shutdown signal
+                break
+            req.error = exc
+            req.event.set()
+        self.state = init_state(self.gen.cfg, self.slots, self.max_len)
+
     def _worker(self):
         pending_fetch = None
         while not self._stop:
-            # admit as many queued requests as there are free slots
             try:
-                while self._free:
-                    block = not self._live and pending_fetch is None
-                    req = self._q.get(block=block, timeout=None)
-                    if req is None:
-                        return
-                    self._admit(req, self._free.pop())
-            except queue.Empty:
-                pass
-            if not self._live and pending_fetch is None:
-                continue
+                # admit as many queued requests as there are free slots
+                try:
+                    while self._free:
+                        block = not self._live and pending_fetch is None
+                        req = self._q.get(block=block, timeout=None)
+                        if req is None:
+                            return
+                        self._admit(req, self._free.pop())
+                except queue.Empty:
+                    pass
+                if not self._live and pending_fetch is None:
+                    continue
 
-            if self._live:
-                self.state = ragged_chunk(
-                    self.gen.params, self.state, self.gen.cfg,
-                    chunk=self.chunk, top_k=self.top_k, greedy=self.greedy,
-                    mask_value=self.mask_value, eos_id=self.gen.eos_id,
-                    pad_id=self.gen.pad_id)
-                self.stats["chunks"] += 1
-                # depth-1 lookahead: fetch the PREVIOUS chunk's flags while
-                # this one computes — the tunnel RPC overlaps device time
-                prev, pending_fetch = (pending_fetch,
-                                       (self.state, self.stats["chunks"]))
-                if prev is not None:
+                if self._live:
+                    self.state = ragged_chunk(
+                        self.gen.params, self.state, self.gen.cfg,
+                        chunk=self.chunk, top_k=self.top_k,
+                        greedy=self.greedy, mask_value=self.mask_value,
+                        eos_id=self.gen.eos_id, pad_id=self.gen.pad_id)
+                    self.stats["chunks"] += 1
+                    # depth-1 lookahead: fetch the PREVIOUS chunk's flags
+                    # while this one computes — the tunnel RPC overlaps
+                    # device time
+                    prev, pending_fetch = (pending_fetch,
+                                           (self.state,
+                                            self.stats["chunks"]))
+                    if prev is not None:
+                        self._harvest(*prev)
+                else:
+                    # nothing live: drain the outstanding fetch
+                    prev, pending_fetch = pending_fetch, None
                     self._harvest(*prev)
-            else:
-                # nothing live: drain the outstanding fetch
-                prev, pending_fetch = pending_fetch, None
-                self._harvest(*prev)
+            except Exception as exc:  # noqa: BLE001 - worker must survive
+                pending_fetch = None
+                self._fail_all(exc)

@@ -104,7 +104,11 @@ class Pipeline:
         known = [t for t in gen_prompt if t in self.generator.vocab]
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
-        if self.batcher is not None:
+        use_batcher = self.batcher is not None and getattr(
+            self.batcher, "accepts", lambda **_: True)(top_k=top_k)
+        if use_batcher:
+            # continuous engines compile top_k/greedy engine-wide; a
+            # mismatching request falls through to the solo decode below
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed)

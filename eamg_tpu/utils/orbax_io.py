@@ -34,8 +34,7 @@ def save_checkpoint_orbax(path: str, params: dict, vocab_tok2id: dict,
             # optax states are nested namedtuples, which orbax restores as
             # plain dicts; persist the ordered leaf list instead so any
             # structure can be rebuilt against a template (coerce_opt_state)
-            leaves = [np.asarray(x) if hasattr(x, "shape") else np.asarray(x)
-                      for x in jax.tree.leaves(opt_state)]
+            leaves = [np.asarray(x) for x in jax.tree.leaves(opt_state)]
             ckptr.save(os.path.join(path, "opt_state"),
                        {"leaves": leaves}, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:

@@ -128,3 +128,13 @@ def test_per_request_max_len(generator):
         t.join(timeout=600)
     assert len(results["short"]) <= 10
     assert len(results["long"]) > 10
+
+
+def test_overlength_prompt_returns_prompt_unchanged(generator):
+    """Reference zero-generation-steps semantics (api_cache.py:166), same
+    contract as generate_ids / ContinuousBatcher / stream_tokens."""
+    from eamg_tpu.serve.batcher import RequestBatcher
+
+    b = RequestBatcher(generator, max_batch=2, max_len=16)
+    prompt = list(range(1, 20))
+    assert b.submit(prompt, seed=0) == prompt

@@ -204,3 +204,40 @@ def test_randomized_stress_all_rows_match_solo(generator):
         want = solo(generator, r["prompt"], r["seed"], r["max_len"],
                     temperature=r["temperature"])
         assert results[i] == want, f"request {i} diverged"
+
+
+def test_worker_survives_engine_error(generator, monkeypatch):
+    """An exception inside the worker fails the in-flight request with the
+    cause (not a 600 s TimeoutError) and the engine keeps serving."""
+    import eamg_tpu.serve.continuous as cont
+
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=16)
+    try:
+        real = cont.ragged_chunk
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected backend failure")
+            return real(*a, **k)
+
+        monkeypatch.setattr(cont, "ragged_chunk", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            eng.submit([1, 2], seed=1, timeout=60)
+        # engine recovered: next request succeeds and matches solo
+        got = eng.submit([3, 4], seed=2, timeout=120)
+        assert got == solo(generator, [3, 4], 2, 16)
+    finally:
+        eng.close()
+
+
+def test_accepts_mismatched_params(generator):
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=16,
+                            top_k=50, greedy=False)
+    try:
+        assert eng.accepts(top_k=50) and eng.accepts()
+        assert not eng.accepts(top_k=10)
+        assert not eng.accepts(greedy=True)
+    finally:
+        eng.close()

@@ -178,3 +178,20 @@ def test_generator_speculative_api():
     ref = target.generate_ids([1, 2, 3], max_len=20, greedy=True,
                               refeed_last_prompt=False)[0]
     assert spec.tolist() == ref.tolist()
+
+
+def test_speculative_overlength_prompt_returns_prompt():
+    """Reference zero-generation-steps semantics (api_cache.py:166) — the
+    same guard generate_ids and the batchers have."""
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.tokenizer import Vocab
+
+    params_t, cfg_t, params_d, cfg_d = models(seed_t=1, seed_d=2)
+    vocab = Vocab({str(i): i for i in range(V)})
+    target = Generator(params_t, cfg_t, vocab, eos_token="none",
+                       pad_token="0")
+    draft = Generator(params_d, cfg_d, vocab, eos_token="none",
+                      pad_token="0")
+    prompt = list(range(1, 25))
+    out = target.generate_ids_speculative(draft, prompt, max_len=16)
+    assert out[0].tolist() == prompt
