@@ -173,6 +173,14 @@ def cmd_convert_pt(args):
     print("converted ->", args.out)
 
 
+def cmd_convert_gqa(args):
+    from .models.gqa_convert import convert_checkpoint_dir
+
+    convert_checkpoint_dir(args.ckpt, args.out, args.kv_heads)
+    print(f"converted -> {args.out} (n_kv_heads={args.kv_heads}; run a "
+          f"short finetune to recover quality: cli train --resume)")
+
+
 def cmd_convert_distilbert(args):
     from .tools.convert import convert_hf_distilbert
 
@@ -345,6 +353,14 @@ def main(argv=None):
     c.add_argument("--serving-arch", action="store_true",
                    help="build the api_cache pre-LN serving arch")
     c.set_defaults(fn=cmd_convert_pt)
+
+    q = sub.add_parser("convert-gqa",
+                       help="MHA checkpoint dir -> GQA (mean-pooled K/V "
+                            "heads; the measured decode-latency lever)")
+    q.add_argument("--ckpt", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--kv-heads", type=int, required=True)
+    q.set_defaults(fn=cmd_convert_gqa)
 
     d = sub.add_parser("convert-distilbert",
                        help="HF snapshot dir -> emotion checkpoint dir")

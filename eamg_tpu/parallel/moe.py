@@ -1,0 +1,193 @@
+"""Expert parallelism: a mixture-of-experts FFN with all_to_all dispatch
+over an ``expert`` mesh axis.
+
+The reference has no MoE (SURVEY.md §2.2: EP n/a), so this is a
+beyond-reference capability: the TPU-native building block you reach for
+when scaling the generator's FFN past what dense layers afford. The
+construction is the standard TPU MoE recipe (Mesh-TF / Switch / GShard
+lineage), not a port of anything:
+
+- routing: top-k gating over E experts; gate weights are the softmax of
+  the selected router logits (renormalized top-k, Mixtral-style);
+- dispatch/combine are ONE-HOT EINSUMS, not gathers — [N, E, C]
+  dispatch tensors contracted on the MXU, the layout XLA pipelines best;
+- capacity: each expert accepts at most C = ceil(k*N/E * capacity_factor)
+  tokens per device; overflow tokens fall through (their gate mass is
+  simply not added — the residual stream carries them unchanged);
+- expert parallelism: experts shard over an ``expert`` mesh axis; tokens
+  reach their expert's device via ``lax.all_to_all`` (ICI), run the
+  expert FFN where the weights live, and return the same way. The DP
+  gradient psum and the two all_to_alls are the only collectives.
+
+``moe_mlp_dense`` is the sharding-free reference semantics; the EP path
+is asserted equal to it (tests/test_moe.py) whenever capacity suffices,
+and both are differentiable (router grads flow through the gate values).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    d_model: int
+    d_ff: int                 # per-expert hidden width
+    n_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    activation: str = "gelu"
+
+
+def init_moe_params(rng: jax.Array, cfg: MoEConfig) -> dict:
+    """Router + stacked per-expert FFNs (torch [out, in] layout per
+    expert, matching the dense MLP initializer conventions)."""
+    kr, k1, k2, kb1, kb2 = jax.random.split(rng, 5)
+    D, FF, E = cfg.d_model, cfg.d_ff, cfg.n_experts
+    bw1 = math.sqrt(6.0 / (6 * D))
+    bw2 = math.sqrt(6.0 / (6 * FF))
+    return {
+        "router": jax.random.uniform(kr, (E, D), jnp.float32,
+                                     -bw1, bw1),
+        "w1": jax.random.uniform(k1, (E, FF, D), jnp.float32, -bw1, bw1),
+        "b1": jax.random.uniform(kb1, (E, FF), jnp.float32,
+                                 -1 / math.sqrt(D), 1 / math.sqrt(D)),
+        "w2": jax.random.uniform(k2, (E, D, FF), jnp.float32, -bw2, bw2),
+        "b2": jax.random.uniform(kb2, (E, D), jnp.float32,
+                                 -1 / math.sqrt(FF), 1 / math.sqrt(FF)),
+    }
+
+
+def _act(x, cfg: MoEConfig):
+    return jax.nn.gelu(x, approximate=False) if cfg.activation == "gelu" \
+        else jax.nn.relu(x)
+
+
+def _gates(params, x, cfg: MoEConfig):
+    """Top-k routing. x: [N, D] -> (gate values [k, N], expert ids
+    [k, N]); gates are softmax over the k selected logits."""
+    logits = jnp.einsum("nd,ed->ne", x.astype(jnp.float32),
+                        params["router"])
+    top, idx = lax.top_k(logits, cfg.top_k)            # [N, k]
+    gates = jax.nn.softmax(top, axis=-1)
+    return gates.T, idx.T                              # [k, N]
+
+
+def _dispatch_tensors(gates, eidx, cfg: MoEConfig, capacity: int):
+    """One-hot dispatch [k, N, E, C] + combine weights, with slot-major
+    position-in-expert bookkeeping (earlier slots claim capacity first,
+    the GShard convention). Overflow rows get all-zero one-hots."""
+    k, N = eidx.shape
+    E = cfg.n_experts
+    onehot = jax.nn.one_hot(eidx.reshape(k * N), E, dtype=jnp.int32)
+    pos = jnp.cumsum(onehot, axis=0) - 1               # position in expert
+    keep = pos < capacity
+    disp = (jax.nn.one_hot(eidx.reshape(k * N), E, dtype=jnp.float32)
+            * keep.astype(jnp.float32))                # [kN, E]
+    posh = jax.nn.one_hot(jnp.clip(pos, 0, capacity - 1), capacity,
+                          dtype=jnp.float32)           # [kN, E, C]
+    dispatch = disp[..., None] * posh                  # [kN, E, C]
+    return dispatch.reshape(k, N, E, capacity)
+
+
+def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
+                  capacity: int | None = None) -> jax.Array:
+    """Reference semantics, no mesh: [.., D] -> [.., D]. Every expert runs
+    on its dispatched slots; results combine with gate weights."""
+    shape = x.shape
+    xf = x.reshape(-1, cfg.d_model)
+    N = xf.shape[0]
+    capacity = capacity or max(
+        1, int(math.ceil(cfg.top_k * N / cfg.n_experts
+                         * cfg.capacity_factor)))
+    gates, eidx = _gates(params, xf, cfg)
+    dispatch = _dispatch_tensors(gates, eidx, cfg, capacity)
+    xin = jnp.einsum("knec,nd->ecd", dispatch, xf.astype(jnp.float32))
+    h = _act(jnp.einsum("ecd,efd->ecf", xin, params["w1"])
+             + params["b1"][:, None], cfg)
+    out = jnp.einsum("ecf,edf->ecd", h, params["w2"]) \
+        + params["b2"][:, None]
+    combine = dispatch * gates[..., None, None]        # [k, N, E, C]
+    y = jnp.einsum("knec,ecd->nd", combine, out)
+    return y.reshape(shape).astype(x.dtype)
+
+
+def _ep_body(params, xf, *, cfg: MoEConfig, capacity: int, n_shards: int,
+             axis: str):
+    """Per-device EP: local tokens route locally, hop to their expert's
+    device via all_to_all, and hop back. params holds this device's
+    E/n experts (leading axis already sliced by shard_map); the router is
+    replicated."""
+    Elocal = cfg.n_experts // n_shards
+    gates, eidx = _gates(params, xf, cfg)
+    dispatch = _dispatch_tensors(gates, eidx, cfg, capacity)
+    xin = jnp.einsum("knec,nd->ecd", dispatch,
+                     xf.astype(jnp.float32))           # [E, C, D]
+    # group by destination device and exchange: after the all_to_all the
+    # leading axis is the SOURCE device, each holding our experts' slots
+    xin = xin.reshape(n_shards, Elocal, capacity, cfg.d_model)
+    xin = lax.all_to_all(xin, axis, 0, 0, tiled=False)  # [n, El, C, D]
+    h = _act(jnp.einsum("necd,efd->necf", xin, params["w1"])
+             + params["b1"][None, :, None], cfg)
+    out = jnp.einsum("necf,edf->necd", h, params["w2"]) \
+        + params["b2"][None, :, None]
+    out = lax.all_to_all(out, axis, 0, 0, tiled=False)
+    out = out.reshape(cfg.n_experts, capacity, cfg.d_model)
+    combine = dispatch * gates[..., None, None]
+    y = jnp.einsum("knec,ecd->nd", combine, out)
+    return y.astype(xf.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "axis", "capacity"))
+def moe_mlp_ep(params: dict, x: jax.Array, cfg: MoEConfig, mesh: Mesh,
+               axis: str = "expert",
+               capacity: int | None = None) -> jax.Array:
+    """Expert-parallel MoE FFN: [B, T, D] -> [B, T, D], experts sharded
+    over ``axis``, tokens sharded over the same axis (it doubles as the
+    data axis); two all_to_alls move only dispatched slots over ICI.
+
+    Capacity is PER DEVICE (each device's tokens claim expert slots from
+    their own cumsum); the dense path counts positions globally, so the
+    two drop different tokens when an expert overflows. When nothing
+    overflows — `capacity >= top_k * local_tokens` guarantees it — the EP
+    path equals :func:`moe_mlp_dense` exactly (tested).
+    """
+    n = mesh.shape[axis]
+    E = cfg.n_experts
+    assert E % n == 0, f"n_experts={E} not divisible by {axis}={n}"
+    B, T, D = x.shape
+    N = B * T
+    assert N % n == 0, f"B*T={N} not divisible by {axis}={n}"
+    capacity = capacity or max(
+        1, int(math.ceil(cfg.top_k * (N // n) / E * cfg.capacity_factor)))
+
+    pspecs = {"router": P(),
+              "w1": P(axis), "b1": P(axis),
+              "w2": P(axis), "b2": P(axis)}
+    fn = jax.shard_map(
+        functools.partial(_ep_body, cfg=cfg, capacity=capacity,
+                          n_shards=n, axis=axis),
+        mesh=mesh, in_specs=(pspecs, P(axis)), out_specs=P(axis),
+        check_vma=False)
+    xf = x.reshape(N, D)
+    y = fn(params, jax.device_put(
+        xf, NamedSharding(mesh, P(axis))))
+    return y.reshape(B, T, D)
+
+
+def shard_moe_params(params: dict, mesh: Mesh,
+                     axis: str = "expert") -> dict:
+    specs = {"router": P(), "w1": P(axis), "b1": P(axis),
+             "w2": P(axis), "b2": P(axis)}
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs)
