@@ -66,7 +66,9 @@ def cmd_train(args):
         log_every=args.log_every, resume_from=args.resume,
         corrected=args.corrected,
         geometry={"d_model": args.d_model, "n_head": args.n_head,
-                  "n_layer": args.n_layer, "seq_len": args.seq_len})
+                  "n_layer": args.n_layer, "seq_len": args.seq_len,
+                  "n_experts": args.experts,
+                  "moe_every": args.moe_every if args.experts else None})
     print(json.dumps(summary))
 
 
@@ -289,6 +291,11 @@ def main(argv=None):
     t.add_argument("--n-head", type=int, default=None)
     t.add_argument("--n-layer", type=int, default=None)
     t.add_argument("--seq-len", type=int, default=None)
+    t.add_argument("--experts", type=int, default=None,
+                   help="mixture-of-experts FFN: number of routed experts "
+                        "(beyond-reference; dense when omitted)")
+    t.add_argument("--moe-every", type=int, default=1,
+                   help="replace every k-th layer's MLP with experts")
     t.add_argument("--corrected", action="store_true",
                    help="train the corrected causal architecture (no "
                         "reference quirks; enables speculative decoding "

@@ -57,6 +57,16 @@ class GPTConfig:
     # the decode step's dominant HBM traffic — for newly-trained models;
     # reference checkpoints are always MHA.
     n_kv_heads: int | None = None
+    # Mixture-of-experts FFN (None = dense, the reference arch). When set,
+    # every ``moe_every``-th layer (counting from the moe_every-1-th)
+    # replaces its MLP with n_experts routed experts of width d_ff each
+    # (parallel/moe.py math): top-k renormalized gating, capacity-bounded
+    # dispatch. Works through training, full forward, AND the KV decode
+    # step (the per-token dense-dispatch path). Beyond-reference.
+    n_experts: int | None = None
+    moe_top_k: int = 2
+    moe_every: int = 1
+    moe_capacity_factor: float = 2.0
 
     @property
     def ff(self) -> int:
@@ -140,17 +150,21 @@ def init_params(rng: jax.Array, cfg: GPTConfig) -> dict:
                                   bound)
 
     layers = []
-    for _ in range(cfg.n_layer):
-        layers.append({
-            "attn": {
-                "in_w": xavier_in_proj(next(keys)),
-                "in_b": jnp.zeros((in_rows,)),
-                **{f"out_{n}": v for n, v in
-                   kaiming_linear(next(keys), next(keys), D, D).items()},
-            },
-            "ln1": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
-            "ln2": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
-            "mlp": {
+    for li in range(cfg.n_layer):
+        # key-consumption order is part of the seeded-init contract:
+        # attn first, then mlp — keep it so dense inits stay bit-stable
+        attn = {
+            "in_w": xavier_in_proj(next(keys)),
+            "in_b": jnp.zeros((in_rows,)),
+            **{f"out_{n}": v for n, v in
+               kaiming_linear(next(keys), next(keys), D, D).items()},
+        }
+        if is_moe_layer(cfg, li):
+            from ..parallel.moe import init_moe_params
+
+            mlp = init_moe_params(next(keys), _moe_cfg(cfg))
+        else:
+            mlp = {
                 "w1": kaiming_linear(next(keys), next(keys), FF, D)["w"],
                 "b1": jax.random.uniform(next(keys), (FF,), jnp.float32,
                                          -1 / math.sqrt(D),
@@ -159,7 +173,12 @@ def init_params(rng: jax.Array, cfg: GPTConfig) -> dict:
                 "b2": jax.random.uniform(next(keys), (D,), jnp.float32,
                                          -1 / math.sqrt(FF),
                                          1 / math.sqrt(FF)),
-            },
+            }
+        layers.append({
+            "attn": attn,
+            "ln1": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "ln2": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            "mlp": mlp,
         })
     head = kaiming_linear(next(keys), next(keys), V, D)
     return {
@@ -290,7 +309,27 @@ def _activation(x, cfg: GPTConfig):
     return jax.nn.relu(x)
 
 
-def _mlp(p, x, cfg):
+def is_moe_layer(cfg: GPTConfig, li: int) -> bool:
+    return bool(cfg.n_experts) and li % cfg.moe_every == cfg.moe_every - 1
+
+
+def _moe_cfg(cfg: GPTConfig):
+    from ..parallel.moe import MoEConfig  # lazy: models <-> parallel
+
+    return MoEConfig(d_model=cfg.d_model, d_ff=cfg.ff,
+                     n_experts=cfg.n_experts, top_k=cfg.moe_top_k,
+                     capacity_factor=cfg.moe_capacity_factor,
+                     activation=cfg.activation)
+
+
+def _mlp(p, x, cfg, sink=None):
+    if "router" in p:  # MoE layer (cfg.n_experts): routed expert FFN
+        from ..parallel.moe import load_balance_loss, moe_mlp_dense
+
+        if sink is not None:
+            sink.append(load_balance_loss(p, x.reshape(-1, cfg.d_model),
+                                          _moe_cfg(cfg)))
+        return moe_mlp_dense(p, x, _moe_cfg(cfg))
     if cfg.kernels == "pallas":
         from ..ops.ffn import fused_ffn
 
@@ -308,31 +347,32 @@ def _attn_input(p: dict, x, cfg: GPTConfig):
     return _layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.ln_eps)
 
 
-def _finish_block(p: dict, x, attn_out, cfg: GPTConfig):
-    """Residual + FFN wiring after attention, for both LN placements."""
+def _finish_block(p: dict, x, attn_out, cfg: GPTConfig, sink=None):
+    """Residual + FFN wiring after attention, for both LN placements.
+    ``sink`` (a plain list, optional, single-trace only) collects MoE
+    load-balance loss terms for the trainer."""
     eps = cfg.ln_eps
     if cfg.ln_placement == "post":
         x = _layer_norm(x + attn_out, p["ln1"]["g"], p["ln1"]["b"], eps)
-        return _layer_norm(x + _mlp(p["mlp"], x, cfg),
+        return _layer_norm(x + _mlp(p["mlp"], x, cfg, sink),
                            p["ln2"]["g"], p["ln2"]["b"], eps)
     x = x + attn_out
     return x + _mlp(p["mlp"],
-                    _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps), cfg)
+                    _layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], eps),
+                    cfg, sink)
 
 
-def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None):
+def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None,
+          sink=None):
     """One transformer block; post-LN (torch TransformerEncoderLayer,
     norm_first=False) or pre-LN (api_cache GPTBlock)."""
     xn = _attn_input(p, x, cfg)
     attn_out = attention(p["attn"], xn, xn, xn, cfg, causal, valid_len)
-    return _finish_block(p, x, attn_out, cfg)
+    return _finish_block(p, x, attn_out, cfg, sink)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig):
-    """Transformer stack WITHOUT the head: [B, T] ids -> [B, T, D] states.
-    The training stack's chunked cross-entropy applies the head per
-    time-chunk so the [B, T, V] logits tensor never materializes."""
+def _forward_hidden_impl(params: dict, ids: jax.Array, cfg: GPTConfig,
+                         sink=None):
     B, T = ids.shape
     dt = cfg.jnp_dtype
     x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
@@ -341,10 +381,28 @@ def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig):
         # attention runs across the batch at every time position.
         x = x.swapaxes(0, 1)
     for p in params["layers"]:
-        x = block(p, x, cfg, causal=cfg.causal)
+        x = block(p, x, cfg, causal=cfg.causal, sink=sink)
     if cfg.batch_first_bug:
         x = x.swapaxes(0, 1)
     return x
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig):
+    """Transformer stack WITHOUT the head: [B, T] ids -> [B, T, D] states.
+    The training stack's chunked cross-entropy applies the head per
+    time-chunk so the [B, T, V] logits tensor never materializes."""
+    return _forward_hidden_impl(params, ids, cfg)
+
+
+def forward_hidden_with_aux(params: dict, ids: jax.Array, cfg: GPTConfig):
+    """Like :func:`forward_hidden` but also returns the mean MoE
+    load-balance loss over the model's MoE layers (0.0 for dense models).
+    NOT jitted — call it inside your own jit (the trainer does)."""
+    sink: list = []
+    x = _forward_hidden_impl(params, ids, cfg, sink)
+    aux = (sum(sink) / len(sink)) if sink else jnp.zeros(())
+    return x, aux
 
 
 @partial(jax.jit, static_argnames=("cfg",))

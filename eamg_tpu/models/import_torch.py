@@ -96,6 +96,10 @@ def import_state_dict(sd: dict, cfg: GPTConfig) -> dict:
 def export_state_dict(params: dict, dialect: str = "trainer") -> dict:
     """Our param pytree -> torch-dialect state dict (numpy arrays), for
     round-trip tests and for handing checkpoints back to reference tooling."""
+    assert not any("router" in p["mlp"] for p in params["layers"]), (
+        "MoE layers have no torch state-dict dialect — the reference "
+        "architecture is dense (export the dense layers only, or keep "
+        "MoE checkpoints in the native directory format)")
     sd = {"emb.weight": np.asarray(params["tok_emb"]),
           "pos": np.asarray(params["pos"]),
           "fc.weight": np.asarray(params["head"]["w"]),

@@ -39,28 +39,39 @@ def param_pspecs(params: dict, tp: bool) -> dict:
     QKV and FFN-in split on the output dim, attention-out and FFN-out on the
     input dim, LM head on the vocab dim; XLA inserts the psums.
     """
-    def layer_spec():
+    def mlp_spec(mlp_params):
+        if "router" in mlp_params:
+            # MoE layer: experts shard over 'model' (expert parallelism
+            # via GSPMD — each device holds E/model experts; XLA inserts
+            # the dispatch/combine collectives for the one-hot einsums);
+            # the router stays replicated.
+            if not tp:
+                return {k: P() for k in mlp_params}
+            return {"router": P(), "w1": P("model"), "b1": P("model"),
+                    "w2": P("model"), "b2": P("model")}
         if not tp:
-            return {
-                "attn": {"in_w": P(), "in_b": P(), "out_w": P(),
-                         "out_b": P()},
-                "ln1": {"g": P(), "b": P()}, "ln2": {"g": P(), "b": P()},
-                "mlp": {"w1": P(), "b1": P(), "w2": P(), "b2": P()},
-            }
-        return {
+            return {"w1": P(), "b1": P(), "w2": P(), "b2": P()}
+        return {"w1": P("model", None), "b1": P("model"),
+                "w2": P(None, "model"), "b2": P()}
+
+    def layer_spec(layer_params):
+        base = {
+            "attn": {"in_w": P(), "in_b": P(), "out_w": P(),
+                     "out_b": P()},
+            "ln1": {"g": P(), "b": P()}, "ln2": {"g": P(), "b": P()},
+        } if not tp else {
             "attn": {"in_w": P("model", None), "in_b": P("model"),
                      "out_w": P(None, "model"), "out_b": P()},
             "ln1": {"g": P(), "b": P()}, "ln2": {"g": P(), "b": P()},
-            "mlp": {"w1": P("model", None), "b1": P("model"),
-                    "w2": P(None, "model"), "b2": P()},
         }
+        return {**base, "mlp": mlp_spec(layer_params["mlp"])}
 
     head = {"w": P("model", None), "b": P("model")} if tp else \
         {"w": P(), "b": P()}
     return {
         "tok_emb": P(),
         "pos": P(),
-        "layers": [layer_spec() for _ in params["layers"]],
+        "layers": [layer_spec(la) for la in params["layers"]],
         "head": head,
     }
 

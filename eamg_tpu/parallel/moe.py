@@ -32,7 +32,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -81,10 +80,11 @@ def _gates(params, x, cfg: MoEConfig):
     return gates.T, idx.T                              # [k, N]
 
 
-def _dispatch_tensors(gates, eidx, cfg: MoEConfig, capacity: int):
-    """One-hot dispatch [k, N, E, C] + combine weights, with slot-major
+def _dispatch_tensors(eidx, cfg: MoEConfig, capacity: int):
+    """One-hot dispatch tensor [k, N, E, C] with slot-major
     position-in-expert bookkeeping (earlier slots claim capacity first,
-    the GShard convention). Overflow rows get all-zero one-hots."""
+    the GShard convention). Overflow rows get all-zero one-hots; gate
+    mass is applied by the callers at combine time."""
     k, N = eidx.shape
     E = cfg.n_experts
     onehot = jax.nn.one_hot(eidx.reshape(k * N), E, dtype=jnp.int32)
@@ -98,6 +98,22 @@ def _dispatch_tensors(gates, eidx, cfg: MoEConfig, capacity: int):
     return dispatch.reshape(k, N, E, capacity)
 
 
+def load_balance_loss(params: dict, x: jax.Array,
+                      cfg: MoEConfig) -> jax.Array:
+    """Switch-Transformer auxiliary loss: E * Σ_e f_e · P_e, where f_e is
+    the fraction of routed slots assigned to expert e and P_e the mean
+    router probability of e (full softmax). Minimized (=1) at a uniform
+    routing; without it top-k routing collapses onto few experts.
+    x: [N, D] token activations entering the MoE layer."""
+    logits = jnp.einsum("nd,ed->ne", x.astype(jnp.float32),
+                        params["router"])
+    probs = jax.nn.softmax(logits, axis=-1)             # [N, E]
+    _, idx = lax.top_k(logits, cfg.top_k)               # [N, k]
+    f = jnp.mean(jax.nn.one_hot(idx, cfg.n_experts,
+                                dtype=jnp.float32), axis=(0, 1))
+    return cfg.n_experts * jnp.sum(f * jnp.mean(probs, axis=0))
+
+
 def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
                   capacity: int | None = None) -> jax.Array:
     """Reference semantics, no mesh: [.., D] -> [.., D]. Every expert runs
@@ -109,7 +125,7 @@ def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
         1, int(math.ceil(cfg.top_k * N / cfg.n_experts
                          * cfg.capacity_factor)))
     gates, eidx = _gates(params, xf, cfg)
-    dispatch = _dispatch_tensors(gates, eidx, cfg, capacity)
+    dispatch = _dispatch_tensors(eidx, cfg, capacity)
     xin = jnp.einsum("knec,nd->ecd", dispatch, xf.astype(jnp.float32))
     h = _act(jnp.einsum("ecd,efd->ecf", xin, params["w1"])
              + params["b1"][:, None], cfg)
@@ -128,7 +144,7 @@ def _ep_body(params, xf, *, cfg: MoEConfig, capacity: int, n_shards: int,
     replicated."""
     Elocal = cfg.n_experts // n_shards
     gates, eidx = _gates(params, xf, cfg)
-    dispatch = _dispatch_tensors(gates, eidx, cfg, capacity)
+    dispatch = _dispatch_tensors(eidx, cfg, capacity)
     xin = jnp.einsum("knec,nd->ecd", dispatch,
                      xf.astype(jnp.float32))           # [E, C, D]
     # group by destination device and exchange: after the all_to_all the

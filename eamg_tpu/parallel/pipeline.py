@@ -170,6 +170,12 @@ def pipeline_forward(params_stacked: dict, ids: jax.Array, cfg: GPTConfig,
     B, T = ids.shape
     assert B % n_micro == 0, f"B={B} not divisible by n_micro={n_micro}"
     Bm = B // n_micro
+    if "data" in mesh.axis_names:
+        nd = mesh.shape["data"]
+        assert Bm % nd == 0, (
+            f"microbatch size B/n_micro={Bm} not divisible by the data "
+            f"axis ({nd}); pick n_micro so each microbatch DP-shards "
+            f"evenly")
 
     x = (params_stacked["tok_emb"][ids]
          + params_stacked["pos"][:T]).astype(cfg.jnp_dtype)
@@ -201,15 +207,15 @@ def make_pp_train_step(cfg: GPTConfig, tcfg, mesh: Mesh, n_micro: int,
 
     optimizer = optimizer or make_optimizer(tcfg)
 
+    from ..train.trainer import masked_ce_sums
+
     @jax.jit
     def step(params, opt_state, x, y):
         def lfn(p):
             logits = pipeline_forward(p, x, cfg, mesh, n_micro)
-            mask = y != tcfg.pad_id
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, y[..., None], -1)[..., 0]
-            count = jnp.maximum(jnp.sum(mask), 1)
-            return jnp.sum(nll * mask) / count, count
+            total, count = masked_ce_sums(logits, y, tcfg.pad_id)
+            count = jnp.maximum(count, 1)
+            return total / count, count
 
         (loss, count), grads = jax.value_and_grad(lfn, has_aux=True)(
             params)

@@ -47,6 +47,9 @@ class TrainConfig:
     # materializes (2.2 GB at micro_batch 128 on the flagship vocab —
     # the OOM wall for micro_batch >= 256 on one v5e). None = monolithic.
     loss_chunk: int | None = None
+    # Weight on the Switch-style MoE load-balance auxiliary loss; only
+    # active for MoE configs (GPTConfig.n_experts). 0 disables.
+    moe_aux_weight: float = 0.01
 
 
 def reference_preset(name: str) -> TrainConfig:
@@ -85,16 +88,35 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
-def loss_fn(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
-            pad_id: int):
-    """Next-token CE, PAD-masked — CrossEntropyLoss(ignore_index=PAD)."""
-    logits = forward(params, x, cfg)
+def masked_ce_sums(logits: jax.Array, y: jax.Array, pad_id: int):
+    """The loss contract shared by every trainer (DP, chunked, pipeline):
+    PAD-masked next-token CE — CrossEntropyLoss(ignore_index=PAD),
+    train/train_mini.py:74. Returns SUMS (total_nll, count) so callers
+    can accumulate before dividing."""
     mask = (y != pad_id)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
-    total = jnp.sum(nll * mask)
-    count = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def loss_fn(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
+            pad_id: int):
+    """Next-token CE, PAD-masked — CrossEntropyLoss(ignore_index=PAD)."""
+    total, count = masked_ce_sums(forward(params, x, cfg), y, pad_id)
+    count = jnp.maximum(count, 1)
     return total / count, count
+
+
+def loss_fn_moe(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
+                pad_id: int, aux_weight: float):
+    """CE + the Switch load-balance auxiliary loss averaged over the
+    model's MoE layers (keeps top-k routing from collapsing)."""
+    from ..models.gpt import forward_hidden_with_aux
+
+    h, aux = forward_hidden_with_aux(params, x, cfg)
+    total, count = masked_ce_sums(_head(params, h), y, pad_id)
+    count = jnp.maximum(count, 1)
+    return total / count + aux_weight * aux, count
 
 
 def loss_fn_chunked(params: dict, x: jax.Array, y: jax.Array,
@@ -117,12 +139,8 @@ def loss_fn_chunked(params: dict, x: jax.Array, y: jax.Array,
     def ce_chunk(carry, hy):
         total, count = carry
         hc, yc = hy
-        logits = _head(params, hc)
-        mask = yc != pad_id
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, yc[..., None], axis=-1)[..., 0]
-        return (total + jnp.sum(nll * mask),
-                count + jnp.sum(mask)), None
+        t, c = masked_ce_sums(_head(params, hc), yc, pad_id)
+        return (total + t, count + c), None
 
     (total, count), _ = jax.lax.scan(
         ce_chunk, (jnp.zeros(()), jnp.zeros((), jnp.int32)), (hs, ys))
@@ -147,12 +165,21 @@ def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
     """
     optimizer = optimizer or make_optimizer(tcfg)
 
+    moe = bool(cfg.n_experts) and tcfg.moe_aux_weight > 0
+    assert not (moe and tcfg.loss_chunk), (
+        "loss_chunk with the MoE aux loss is unsupported — set "
+        "moe_aux_weight=0 or chunk off")
+
     @jax.jit
     def step(params, opt_state, x, y):
         if tcfg.loss_chunk:
             def lfn(p, xi, yi):
                 return loss_fn_chunked(p, xi, yi, cfg, tcfg.pad_id,
                                        tcfg.loss_chunk)
+        elif moe:
+            def lfn(p, xi, yi):
+                return loss_fn_moe(p, xi, yi, cfg, tcfg.pad_id,
+                                   tcfg.moe_aux_weight)
         else:
             def lfn(p, xi, yi):
                 return loss_fn(p, xi, yi, cfg, tcfg.pad_id)

@@ -74,7 +74,7 @@ def test_capacity_overflow_drops_tokens():
 
     xf = x.reshape(-1, CFG.d_model)
     gates, eidx = _gates(params, xf, CFG)
-    disp = np.asarray(_dispatch_tensors(gates, eidx, CFG, 1))
+    disp = np.asarray(_dispatch_tensors(eidx, CFG, 1))
     kept = disp.sum(axis=(2, 3))               # [k, N] 1 if slot kept
     assert kept.sum() < kept.size              # something dropped
     full_rows = np.asarray(kept.prod(axis=0), bool)  # all slots kept

@@ -102,6 +102,37 @@ def test_pipeline_grad_exact():
         g_pp, g_seq)
 
 
+def test_pipeline_dp_x_pp_grad_exact():
+    """Gradients through DP x PP (data=2, stage=4): the stage-sharded
+    params are replicated over the data axis, so the shard_map transpose
+    must psum their grads over 'data' — pin that against the sequential
+    gradient."""
+    mesh, params, stacked, ids = _setup(4, data=2)
+    y = jnp.asarray((np.asarray(ids) + 1) % CFG.vocab_size, jnp.int32)
+
+    def loss_pp(p):
+        return _ce(pipeline_forward(p, ids, CFG, mesh, n_micro=4), y)
+
+    def loss_seq(p):
+        return _ce(forward(p, ids, CFG), y)
+
+    g_pp = unstack_layers(jax.grad(loss_pp)(stacked))
+    g_seq = jax.grad(loss_seq)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        g_pp, g_seq)
+
+
+def test_pipeline_uneven_dp_shard_rejected():
+    """B=8, n_micro=8 on a data=2 mesh gives microbatches of 1 row — the
+    precondition assert must fire with a clear message, not a low-level
+    sharding error."""
+    mesh, params, stacked, ids = _setup(2, data=2)
+    with pytest.raises(AssertionError, match="data"):
+        pipeline_forward(stacked, ids, CFG, mesh, n_micro=8)
+
+
 def test_pipeline_rejects_batch_first_bug():
     mesh, params, stacked, ids = _setup(2)
     bad = GPTConfig(vocab_size=97, seq_len=32, d_model=32, n_head=4,
