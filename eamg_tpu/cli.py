@@ -183,6 +183,20 @@ def cmd_convert_gqa(args):
           f"short finetune to recover quality: cli train --resume)")
 
 
+def cmd_gqa_recover(args):
+    from .tools.gqa_recover import RecoveryConfig, run_gqa_recovery
+
+    ckpt = args.ckpt
+    if ckpt is None:
+        from .serve.pipeline import packaged_demo_checkpoints
+
+        ckpt = packaged_demo_checkpoints()["b3"]
+    res = run_gqa_recovery(RecoveryConfig(
+        ckpt_dir=ckpt, kv_heads=args.kv_heads, out_dir=args.out,
+        rows=args.rows, steps=args.steps, lr=args.lr, seed=args.seed))
+    print(json.dumps(res))
+
+
 def cmd_convert_distilbert(args):
     from .tools.convert import convert_hf_distilbert
 
@@ -368,6 +382,21 @@ def main(argv=None):
     q.add_argument("--out", required=True)
     q.add_argument("--kv-heads", type=int, required=True)
     q.set_defaults(fn=cmd_convert_gqa)
+
+    gr = sub.add_parser("gqa-recover",
+                        help="convert an MHA checkpoint to GQA, measure "
+                             "the PPL cost, uptrain to recover it, and "
+                             "time decode for both architectures")
+    gr.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (default: the packaged B3 demo)")
+    gr.add_argument("--out", default=None,
+                    help="save the recovered GQA checkpoint here")
+    gr.add_argument("--kv-heads", type=int, default=2)
+    gr.add_argument("--rows", type=int, default=2000)
+    gr.add_argument("--steps", type=int, default=200)
+    gr.add_argument("--lr", type=float, default=1e-4)
+    gr.add_argument("--seed", type=int, default=0)
+    gr.set_defaults(fn=cmd_gqa_recover)
 
     d = sub.add_parser("convert-distilbert",
                        help="HF snapshot dir -> emotion checkpoint dir")
