@@ -182,6 +182,10 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: Exception | None = None
+    # streaming consumers get ("tokens", delta)/("done", result)/
+    # ("error", exc) items; emitted = buffer positions already delivered
+    stream_q: queue.Queue | None = None
+    emitted: int = 0
 
 
 class ContinuousBatcher:
@@ -251,6 +255,47 @@ class ContinuousBatcher:
             raise req.error
         return req.result
 
+    def submit_stream(self, prompt_ids: list[int], temperature: float = 1.0,
+                      seed: int | None = None, max_len: int | None = None,
+                      timeout: float = 600.0, top_k: int | None = None,
+                      greedy: bool | None = None):
+        """Generator yielding lists of newly generated token ids as the
+        engine's chunks complete — the streaming twin of :meth:`submit`.
+
+        The concatenated deltas equal ``submit()``'s result minus the
+        prompt echo, bit-identically (same per-row PRNG contract; tokens
+        surface one harvest — at most two chunks — after they are
+        generated). Over-length prompts stream zero deltas (reference
+        zero-steps semantics, api_cache.py:166). ``timeout`` bounds the
+        wait for EACH delta, not the whole generation."""
+        if top_k is not None and top_k != self.top_k:
+            raise ValueError(
+                f"engine compiled for top_k={self.top_k}, got {top_k}")
+        if greedy is not None and greedy != self.greedy:
+            raise ValueError(
+                f"engine compiled for greedy={self.greedy}, got {greedy}")
+        ml = int(min(max_len or self.max_len, self.max_len))
+        if len(prompt_ids) >= ml:
+            return  # zero generation steps
+        req = _Pending(list(prompt_ids), float(temperature),
+                       int(seed) if seed is not None
+                       else int(time.time_ns() % 2**31), ml,
+                       submitted=time.monotonic())
+        req.stream_q = queue.Queue()
+        req.emitted = len(prompt_ids)
+        self._q.put(req)
+        while True:
+            try:
+                kind, payload = req.stream_q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("generation timed out") from None
+            if kind == "tokens":
+                yield payload
+            elif kind == "done":
+                return
+            else:
+                raise payload
+
     def close(self, timeout: float = 30.0):
         self._stop = True
         self._q.put(None)
@@ -290,18 +335,32 @@ class ContinuousBatcher:
         describes the slot's previous life (free slots read done=True)."""
         done = np.asarray(snapshot["done"])
         pos = np.asarray(snapshot["pos"])
-        finished = [s for s, r in list(self._live.items())
-                    if done[s] and r.admit_seq < seq]
-        if not finished:
+        eligible = [(s, r) for s, r in list(self._live.items())
+                    if r.admit_seq < seq]
+        finished = [s for s, r in eligible if done[s]]
+        streaming = [s for s, r in eligible if r.stream_q is not None]
+        if not finished and not streaming:
             return
         # fetch the whole buffer (a few KB): a per-subset device gather
         # would recompile for every distinct finished-row count
         buf = np.asarray(snapshot["buf"])
+        # incremental deltas: a row's buffer cells below pos are written
+        # exactly once and never rewritten, so reading them from this
+        # (older) snapshot is final even while the row keeps decoding
+        for slot in streaming:
+            req = self._live[slot]
+            end = min(int(pos[slot]), req.max_len)
+            if end > req.emitted:
+                req.stream_q.put(
+                    ("tokens", buf[slot, req.emitted:end].tolist()))
+                req.emitted = end
         for slot in finished:
             req = self._live.pop(slot)
             req.result = buf[slot, :min(int(pos[slot]),
                                         req.max_len)].tolist()
             req.finished = time.monotonic()
+            if req.stream_q is not None:
+                req.stream_q.put(("done", req.result))
             req.event.set()
             self._free.append(slot)
             self.stats["served"] += 1
@@ -313,6 +372,8 @@ class ContinuousBatcher:
         crashed the uvicorn worker on any exception)."""
         for slot, req in list(self._live.items()):
             req.error = exc
+            if req.stream_q is not None:
+                req.stream_q.put(("error", exc))
             req.event.set()
         self._live.clear()
         self._free = list(range(self.slots))
@@ -325,6 +386,8 @@ class ContinuousBatcher:
                 self._q.put(None)  # preserve the shutdown signal
                 break
             req.error = exc
+            if req.stream_q is not None:
+                req.stream_q.put(("error", exc))
             req.event.set()
         self.state = init_state(self.gen.cfg, self.slots, self.max_len)
 

@@ -20,6 +20,23 @@ from ..emotion import EmotionClassifier, get_music_params
 from ..tokenizer import assemble_prompt, tokens_to_song
 
 
+def _merge_song(merged, by_track: dict, song, offset: float) -> None:
+    """Append ``song``'s notes into ``merged`` shifted by ``offset``
+    seconds, pooling instruments by (program, is_drum)."""
+    from ..midi.smf import Note
+
+    for inst in song.instruments:
+        key = (inst.program, inst.is_drum)
+        tgt = by_track.get(key)
+        if tgt is None:
+            tgt = type(inst)(program=inst.program, is_drum=inst.is_drum,
+                             name=inst.name)
+            by_track[key] = tgt
+            merged.instruments.append(tgt)
+        tgt.notes.extend(Note(n.velocity, n.pitch, n.start + offset,
+                              n.end + offset) for n in inst.notes)
+
+
 @dataclass
 class GenerationResult:
     label: str
@@ -177,7 +194,7 @@ class Pipeline:
         seconds, so per-section BPM lives in the generated timings).
         Single-sentence prompts fall back to :meth:`generate`."""
         from ..emotion import segment_text
-        from ..midi.smf import MidiSong, Note
+        from ..midi.smf import MidiSong
 
         segments = segment_text(prompt_text)
         if len(segments) <= 1:
@@ -206,17 +223,7 @@ class Pipeline:
             all_tokens.extend(tokens)
             all_prompts.extend(gp)
             dropped.extend(drop)
-            for inst in song.instruments:
-                key = (inst.program, inst.is_drum)
-                tgt = by_track.get(key)
-                if tgt is None:
-                    tgt = type(inst)(program=inst.program,
-                                     is_drum=inst.is_drum, name=inst.name)
-                    by_track[key] = tgt
-                    merged.instruments.append(tgt)
-                tgt.notes.extend(
-                    Note(n.velocity, n.pitch, n.start + offset,
-                         n.end + offset) for n in inst.notes)
+            _merge_song(merged, by_track, song, offset)
             offset = merged.get_end_time() + gap_s
         timings["classify_map_decode_all"] = \
             (time.perf_counter() - t_all) * 1000
@@ -240,6 +247,148 @@ class Pipeline:
             prompt_tokens=all_prompts, tokens=all_tokens,
             midi_bytes=midi_io.getvalue(), wav_bytes=wav_bytes,
             timings_ms=timings, dropped_tokens=dropped)
+
+    # ------------------------------------------------------------ streaming
+
+    def _stream_deltas(self, prompt_ids: list[int], temperature: float,
+                       top_k: int, run_seed: int, chunk: int = 32):
+        """Yield lists of newly generated token ids: through the continuous
+        engine when one is running and accepts the sampling params (the row
+        joins the shared RUNNING decode), else a solo chunked stream
+        (decode/stream.py)."""
+        from .continuous import ContinuousBatcher
+
+        if isinstance(self.batcher, ContinuousBatcher) \
+                and self.batcher.accepts(top_k=top_k):
+            yield from self.batcher.submit_stream(
+                prompt_ids, temperature=temperature, seed=run_seed,
+                top_k=top_k)
+            return
+        from ..decode.stream import stream_tokens
+
+        gen = self.generator
+        delta = []
+        for tok in stream_tokens(gen.params, gen.cfg, list(prompt_ids),
+                                 gen.max_supported_len(), chunk=chunk,
+                                 temperature=temperature, top_k=top_k,
+                                 eos_id=gen.eos_id, pad_id=gen.pad_id,
+                                 seed=run_seed):
+            delta.append(tok)
+            if len(delta) >= chunk:
+                yield delta
+                delta = []
+        if delta:
+            yield delta
+
+    def generate_stream(self, prompt_text: str, temperature: float = 1.0,
+                        top_k: int = 50, seed: int | None = None,
+                        render_audio: bool | None = None,
+                        sections: bool = False, chunk: int = 32,
+                        gap_s: float = 0.5):
+        """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
+        a Python generator of JSON-able event dicts for SSE serving.
+
+        Events, in order: ``{"event": "meta"}`` once per section (emotion
+        label + EATS mapping, before any decode — the client shows the
+        classification while tokens stream), ``{"event": "tokens"}`` deltas
+        as compiled chunks complete, and a final ``{"event": "done"}``
+        carrying the full MIDI (and WAV when rendering) as base64. The
+        reference returned nothing until the whole WAV was rendered
+        (api_cache.py:186-241); here first tokens reach the client within
+        one compiled chunk."""
+        import base64
+
+        from ..emotion import segment_text
+        from ..midi.smf import MidiSong
+
+        render = self.render_audio if render_audio is None else render_audio
+        segments = segment_text(prompt_text) if sections else [prompt_text]
+        if not segments:
+            segments = [prompt_text]
+        timings: dict = {}
+        t_all = time.perf_counter()
+        merged = MidiSong()
+        by_track: dict = {}
+        offset = 0.0
+        labels, all_tokens, all_prompts, dropped_all = [], [], [], []
+        eos = self.generator.eos_id
+        for i, seg in enumerate(segments):
+            t0 = time.perf_counter()
+            label = self.classifier.predict(seg)
+            timings["classify"] = (timings.get("classify", 0.0)
+                                   + (time.perf_counter() - t0) * 1000)
+            mapping = get_music_params(
+                label, seed=None if seed is None else seed + i)
+            run_seed = (seed + i) if seed is not None else \
+                int(time.time_ns() % 2**31)
+            dropped = []
+            if self.scheme == "b3":
+                prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
+                                                          mapping["key"])
+                gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
+                id2tok = self.scheme_b.vocab.id2tok
+            else:
+                gp = assemble_prompt(self.generator.vocab, mapping,
+                                     full_gm=self.full_gm)
+                gen_prompt = [t for t in gp if t in self.generator.vocab]
+                dropped = [t for t in gp if t not in self.generator.vocab]
+                prompt_ids = self.generator.vocab.encode(gen_prompt)
+                id2tok = self.generator.vocab.id2tok
+            labels.append(label)
+            all_prompts.extend(gen_prompt)
+            dropped_all.extend(dropped)
+            yield {"event": "meta", "section": i,
+                   "n_sections": len(segments), "text": seg, "label": label,
+                   "mapping": mapping, "prompt_tokens": gen_prompt,
+                   "dropped_tokens": dropped}
+            ids = list(prompt_ids)
+            t0 = time.perf_counter()
+            hit_eos = False
+            for delta in self._stream_deltas(prompt_ids, temperature, top_k,
+                                             run_seed, chunk=chunk):
+                out = []
+                for t in delta:
+                    out.append(int(t))
+                    if int(t) == eos:
+                        hit_eos = True
+                        break
+                if not out:
+                    continue
+                ids.extend(out)
+                yield {"event": "tokens", "section": i, "ids": out,
+                       "texts": [id2tok[t] for t in out],
+                       "n_generated": len(ids) - len(prompt_ids)}
+                if hit_eos:
+                    break
+            timings["decode"] = (timings.get("decode", 0.0)
+                                 + (time.perf_counter() - t0) * 1000)
+            if self.scheme == "b3":
+                tokens = self.scheme_b.vocab.decode(ids)
+                song = self.scheme_b.decode_to_song(ids)
+            else:
+                tokens = [id2tok[t] for t in ids]
+                song = tokens_to_song(tokens)
+            all_tokens.extend(tokens)
+            _merge_song(merged, by_track, song, offset)
+            offset = merged.get_end_time() + gap_s
+
+        t0 = time.perf_counter()
+        midi_io = io.BytesIO()
+        merged.write(midi_io)
+        timings["detokenize_midi"] = (time.perf_counter() - t0) * 1000
+        wav_b64 = None
+        if render:
+            t0 = time.perf_counter()
+            wav_io = io.BytesIO()
+            render_to_wav_auto(merged, wav_io, seed=seed or 0)
+            wav_b64 = base64.b64encode(wav_io.getvalue()).decode()
+            timings["render_wav"] = (time.perf_counter() - t0) * 1000
+        timings["total"] = (time.perf_counter() - t_all) * 1000
+        yield {"event": "done", "label": " / ".join(labels),
+               "n_tokens": len(all_tokens),
+               "timings_ms": {k: round(v, 1) for k, v in timings.items()},
+               "midi_b64": base64.b64encode(midi_io.getvalue()).decode(),
+               "wav_b64": wav_b64, "dropped_tokens": dropped_all}
 
 
 def pipeline_from_checkpoint(path: str, full_gm: bool = False,

@@ -147,6 +147,12 @@ class EAMGHandler(BaseHTTPRequestHandler):
             # music (pipeline.generate_sections)
             sections = fields.get("sections", "").lower() in ("1", "true",
                                                               "yes")
+            stream = qs.get("stream", [fields.get("stream", "")])[0] \
+                .lower() in ("1", "true", "yes")
+            if stream:
+                self._stream_generate(prompt, fields, fmt, sections,
+                                      seed, t_start)
+                return
             gen_fn = (self.pipeline.generate_sections if sections
                       else self.pipeline.generate)
             result = gen_fn(
@@ -175,6 +181,48 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 self._send(200, result.wav_bytes, "audio/wav", extra)
         except Exception as exc:  # pragma: no cover - defensive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _stream_generate(self, prompt, fields, fmt, sections, seed,
+                         t_start):
+        """``POST /generate?stream=1`` -> Server-Sent Events: meta /
+        token-delta events as compiled chunks complete, then a final done
+        event with the MIDI (and WAV) as base64 (pipeline.generate_stream).
+        The reference's client saw nothing until the full WAV arrived."""
+        import time as _time
+
+        self.send_response(200)
+        for k, v in {**_CORS, "Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}.items():
+            self.send_header(k, v)
+        self.end_headers()
+        n_tokens = 0
+        label = ""
+        try:
+            for ev in self.pipeline.generate_stream(
+                    prompt,
+                    temperature=float(fields.get("temperature", 1.0)),
+                    top_k=int(fields.get("top_k", 50)),
+                    seed=int(seed) if seed is not None else None,
+                    render_audio=fmt == "wav", sections=sections):
+                if ev["event"] == "done":
+                    n_tokens, label = ev["n_tokens"], ev["label"]
+                self.wfile.write(b"data: " + json.dumps(ev).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            return  # client went away mid-stream
+        except Exception as exc:  # pragma: no cover - defensive
+            err = {"event": "error",
+                   "error": f"{type(exc).__name__}: {exc}"}
+            try:
+                self.wfile.write(b"data: " + json.dumps(err).encode()
+                                 + b"\n\n")
+            except OSError:
+                pass
+            return
+        self.stats.observe(_time.perf_counter() - t_start, tokens=n_tokens)
+        self.logger.log("generate_stream", emotion=label,
+                        n_tokens=n_tokens)
 
 
 def make_server(pipeline: Pipeline, host: str = "127.0.0.1",
