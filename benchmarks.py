@@ -317,6 +317,48 @@ def scenario_9_continuous_batching():
             "continuous": cont, "window": window}
 
 
+def scenario_10_streaming_first_delta():
+    """SSE streaming (serve/continuous.py::submit_stream): time until the
+    FIRST token delta reaches the client vs the full-generation wait a
+    non-streaming client pays, flagship corrected geometry. Also checks the
+    stream equals the one-shot result (bit-parity contract)."""
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+    from eamg_tpu.tokenizer import Vocab
+
+    cfg = GPTConfig(vocab_size=8324, seq_len=512, d_model=512, n_head=8,
+                    n_layer=6, causal=True, dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    gen = Generator(params, cfg, Vocab({str(i): i for i in range(8324)}),
+                    eos_token="none", pad_token="0")
+    eng = ContinuousBatcher(gen, slots=8, chunk=64, max_len=480)
+    try:
+        full = eng.submit([1, 2, 3], seed=7, max_len=480)  # compile + ref
+        t0 = time.perf_counter()
+        first_ms = total_ms = 0.0
+        toks = []
+        for i, delta in enumerate(eng.submit_stream([1, 2, 3], seed=7,
+                                                    max_len=480)):
+            if i == 0:
+                first_ms = (time.perf_counter() - t0) * 1000
+            toks.extend(delta)
+        total_ms = (time.perf_counter() - t0) * 1000
+        assert [1, 2, 3] + toks == full, "stream != one-shot result"
+        t0 = time.perf_counter()
+        eng.submit([1, 2, 3], seed=7, max_len=480)
+        oneshot_ms = (time.perf_counter() - t0) * 1000
+    finally:
+        eng.close()
+    return {"scenario": "streaming_first_delta", "chunk": 64,
+            "n_generated": len(toks),
+            "first_delta_ms": round(first_ms, 1),
+            "stream_total_ms": round(total_ms, 1),
+            "oneshot_wait_ms": round(oneshot_ms, 1),
+            "speedup_to_first_audio_feedback":
+                round(oneshot_ms / first_ms, 1) if first_ms else None}
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -327,6 +369,7 @@ SCENARIOS = {
     "7": scenario_7_train_throughput,
     "8": scenario_8_optimized_serving,
     "9": scenario_9_continuous_batching,
+    "10": scenario_10_streaming_first_delta,
 }
 
 

@@ -19,7 +19,9 @@ composition, admission timing, or chunk boundaries.
 Throughput: host syncs are pipelined — chunk k+1 is dispatched before
 chunk k's flags are fetched, so the ~25 ms tunnel RPC latency overlaps
 device compute (depth-1 lookahead; harvest therefore lags completion by
-at most one chunk).
+at most one chunk), and each harvest is ONE packed host fetch
+(buf+pos+done concatenated on device by ``_pack_snapshot``) instead of
+three — the fixed per-fetch RPC, not bytes, is what the tunnel charges.
 """
 
 from __future__ import annotations
@@ -167,6 +169,19 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                state["temps"]), None, length=chunk)
     return {"cache": cache, "buf": buf, "pos": pos, "last": last,
             "done": done, "rngs": rngs, "row_max": row_max, "temps": temps}
+
+
+@jax.jit
+def _pack_snapshot(state):
+    """Pack everything the harvest reads into ONE array — [slots,
+    max_len+2]: token buffer, then pos, then done. The tunnel charges a
+    ~25 ms fixed RPC per host fetch regardless of size, and a chunk's
+    device time is comparable (~20 ms at flagship batch 8), so fetching
+    buf/pos/done separately made the HOST the engine's throughput bound;
+    one packed fetch per chunk removes two of the three RPCs."""
+    return jnp.concatenate(
+        [state["buf"], state["pos"][:, None],
+         state["done"][:, None].astype(jnp.int32)], axis=1)
 
 
 @dataclass
@@ -327,23 +342,21 @@ class ContinuousBatcher:
             (req.started - req.submitted) * 1000)
 
     def _harvest(self, snapshot, seq):
-        """Fetch flags from an older state snapshot; fulfill finished rows.
-        A done row's buffer is immutable afterwards, so reading it from any
-        later snapshot is safe — the host frees the slot only here. A slot
-        whose occupant was admitted at or after this snapshot's dispatch
-        (admit_seq >= seq) is skipped: the snapshot's done flag still
-        describes the slot's previous life (free slots read done=True)."""
-        done = np.asarray(snapshot["done"])
-        pos = np.asarray(snapshot["pos"])
+        """Fetch a packed snapshot (one RPC, see ``_pack_snapshot``);
+        fulfill finished rows. A done row's buffer is immutable afterwards,
+        so reading it from any later snapshot is safe — the host frees the
+        slot only here. A slot whose occupant was admitted at or after this
+        snapshot's dispatch (admit_seq >= seq) is skipped: the snapshot's
+        done flag still describes the slot's previous life (free slots read
+        done=True)."""
+        arr = np.asarray(snapshot)
+        buf, pos, done = arr[:, :-2], arr[:, -2], arr[:, -1].astype(bool)
         eligible = [(s, r) for s, r in list(self._live.items())
                     if r.admit_seq < seq]
         finished = [s for s, r in eligible if done[s]]
         streaming = [s for s, r in eligible if r.stream_q is not None]
         if not finished and not streaming:
             return
-        # fetch the whole buffer (a few KB): a per-subset device gather
-        # would recompile for every distinct finished-row count
-        buf = np.asarray(snapshot["buf"])
         # incremental deltas: a row's buffer cells below pos are written
         # exactly once and never rewritten, so reading them from this
         # (older) snapshot is final even while the row keeps decoding
@@ -419,7 +432,7 @@ class ContinuousBatcher:
                     # while this one computes — the tunnel RPC overlaps
                     # device time
                     prev, pending_fetch = (pending_fetch,
-                                           (self.state,
+                                           (_pack_snapshot(self.state),
                                             self.stats["chunks"]))
                     if prev is not None:
                         self._harvest(*prev)

@@ -256,14 +256,16 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--full-gm", action="store_true",
                         help="map all instrument families, not just the "
                              "reference's three")
-    parser.add_argument("--coalesce", nargs="?", const=True, default=False,
+    parser.add_argument("--coalesce", nargs="?", const="continuous",
+                        default=False,
                         choices=[True, False, "window", "continuous"],
                         help="batch concurrent requests into one ragged "
                              "decode (requires a causal model). "
-                             "'--coalesce' / '--coalesce window' = 10 ms "
-                             "grouping window; '--coalesce continuous' = "
+                             "'--coalesce' / '--coalesce continuous' = "
                              "persistent engine, requests join a RUNNING "
-                             "decode mid-generation")
+                             "decode mid-generation (wins every measured "
+                             "traffic shape); '--coalesce window' = 10 ms "
+                             "grouping window")
     args = parser.parse_args()
 
     from .pipeline import packaged_demo_checkpoint, pipeline_from_checkpoint
