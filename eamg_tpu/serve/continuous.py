@@ -201,6 +201,9 @@ class _Pending:
     # ("error", exc) items; emitted = buffer positions already delivered
     stream_q: queue.Queue | None = None
     emitted: int = 0
+    # set by the client thread (stream closed / submit timed out); the
+    # worker frees the slot at the next chunk boundary
+    cancelled: bool = False
 
 
 class ContinuousBatcher:
@@ -225,13 +228,14 @@ class ContinuousBatcher:
                            generator.max_supported_len())
         self.state = init_state(generator.cfg, slots, self.max_len)
         self._q: queue.Queue = queue.Queue()
+        self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
         self._free = list(range(slots))
         from collections import deque
 
         # bounded: a long-running server must not grow per-request state
         self.stats = {"chunks": 0, "admitted": 0, "served": 0,
-                      "join_delay_ms": deque(maxlen=4096)}
+                      "cancelled": 0, "join_delay_ms": deque(maxlen=4096)}
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -265,6 +269,7 @@ class ContinuousBatcher:
                        submitted=time.monotonic())
         self._q.put(req)
         if not req.event.wait(timeout):
+            self._request_cancel(req)  # free the slot; nobody is waiting
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -299,17 +304,33 @@ class ContinuousBatcher:
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._q.put(req)
-        while True:
-            try:
-                kind, payload = req.stream_q.get(timeout=timeout)
-            except queue.Empty:
-                raise TimeoutError("generation timed out") from None
-            if kind == "tokens":
-                yield payload
-            elif kind == "done":
-                return
-            else:
-                raise payload
+        try:
+            while True:
+                try:
+                    kind, payload = req.stream_q.get(timeout=timeout)
+                except queue.Empty:
+                    self._request_cancel(req)
+                    raise TimeoutError("generation timed out") from None
+                if kind == "tokens":
+                    yield payload
+                elif kind == "done":
+                    return
+                else:
+                    raise payload
+        except GeneratorExit:
+            # consumer closed the stream (e.g. SSE client disconnected):
+            # free the row so queued requests get the slot
+            self._request_cancel(req)
+            raise
+
+    def _request_cancel(self, req: _Pending):
+        """Mark ``req`` cancelled (client thread). The worker frees its
+        slot at the next chunk boundary; if the request is still queued,
+        admission skips it. No device work is needed: a zombie row decodes
+        inertly in its slot (fixed-batch compute) until ``admit_row``
+        overwrites every per-slot field on re-admission."""
+        req.cancelled = True
+        self._cancels.put(req)
 
     def close(self, timeout: float = 30.0):
         self._stop = True
@@ -378,6 +399,22 @@ class ContinuousBatcher:
             self._free.append(slot)
             self.stats["served"] += 1
 
+    def _drain_cancels(self):
+        """Free the slots of cancelled live rows (worker thread only).
+        Popping from ``_live`` is sufficient: harvest acts only on live
+        slots, and the next admission into the slot replaces the zombie
+        row's entire device state."""
+        while True:
+            try:
+                req = self._cancels.get(block=False)
+            except queue.Empty:
+                return
+            for slot, r in list(self._live.items()):
+                if r is req:
+                    del self._live[slot]
+                    self._free.append(slot)
+                    self.stats["cancelled"] += 1
+
     def _fail_all(self, exc: Exception):
         """Deliver ``exc`` to every live and queued request, reset the
         engine to empty, and keep serving — one poisoned request or a
@@ -408,6 +445,7 @@ class ContinuousBatcher:
         pending_fetch = None
         while not self._stop:
             try:
+                self._drain_cancels()
                 # admit as many queued requests as there are free slots
                 try:
                     while self._free:
@@ -415,6 +453,9 @@ class ContinuousBatcher:
                         req = self._q.get(block=block, timeout=None)
                         if req is None:
                             return
+                        if req.cancelled:
+                            self.stats["cancelled"] += 1
+                            continue
                         self._admit(req, self._free.pop())
                 except queue.Empty:
                     pass

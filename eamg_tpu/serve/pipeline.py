@@ -59,7 +59,8 @@ class Pipeline:
                  classifier: EmotionClassifier | None = None,
                  full_gm: bool = False, render_audio: bool = True,
                  scheme: str = "a", scheme_b=None, use_cache: bool = True,
-                 coalesce: bool = False):
+                 coalesce: bool = False,
+                 coalesce_opts: dict | None = None):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         self.full_gm = full_gm
@@ -79,11 +80,15 @@ class Pipeline:
         if coalesce == "continuous":
             from .continuous import ContinuousBatcher
 
-            self.batcher = ContinuousBatcher(generator)
+            # coalesce_opts: engine tuning (slots/chunk/max_len) exposed
+            # as serve CLI --slots/--chunk for operators
+            self.batcher = ContinuousBatcher(generator,
+                                             **(coalesce_opts or {}))
         elif coalesce:
             from .batcher import RequestBatcher
 
-            self.batcher = RequestBatcher(generator)
+            self.batcher = RequestBatcher(generator,
+                                          **(coalesce_opts or {}))
         self.scheme = scheme
         if scheme == "b3" and scheme_b is None:
             from ..tokenizer import SchemeB3
@@ -344,22 +349,30 @@ class Pipeline:
             ids = list(prompt_ids)
             t0 = time.perf_counter()
             hit_eos = False
-            for delta in self._stream_deltas(prompt_ids, temperature, top_k,
-                                             run_seed, chunk=chunk):
-                out = []
-                for t in delta:
-                    out.append(int(t))
-                    if int(t) == eos:
-                        hit_eos = True
+            deltas = self._stream_deltas(prompt_ids, temperature, top_k,
+                                         run_seed, chunk=chunk)
+            try:
+                for delta in deltas:
+                    out = []
+                    for t in delta:
+                        out.append(int(t))
+                        if int(t) == eos:
+                            hit_eos = True
+                            break
+                    if not out:
+                        continue
+                    ids.extend(out)
+                    yield {"event": "tokens", "section": i, "ids": out,
+                           "texts": [id2tok[t] for t in out],
+                           "n_generated": len(ids) - len(prompt_ids)}
+                    if hit_eos:
                         break
-                if not out:
-                    continue
-                ids.extend(out)
-                yield {"event": "tokens", "section": i, "ids": out,
-                       "texts": [id2tok[t] for t in out],
-                       "n_generated": len(ids) - len(prompt_ids)}
-                if hit_eos:
-                    break
+            finally:
+                # explicit: a consumer closing THIS generator (SSE client
+                # disconnect) must deterministically reach the engine's
+                # submit_stream so the row's slot is cancelled, not left
+                # to decode to completion on GC timing
+                deltas.close()
             timings["decode"] = (timings.get("decode", 0.0)
                                  + (time.perf_counter() - t0) * 1000)
             if self.scheme == "b3":
@@ -393,7 +406,8 @@ class Pipeline:
 
 def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                              coalesce=False,
-                             classifier: EmotionClassifier | None = None
+                             classifier: EmotionClassifier | None = None,
+                             coalesce_opts: dict | None = None
                              ) -> Pipeline:
     """Build a serving pipeline from ANY checkpoint directory: the token
     scheme is inferred from the stored vocabulary (checkpoints carry
@@ -416,9 +430,10 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                         eos_token="[END_SEQ]")
         return Pipeline(gen, classifier, scheme="b3",
                         scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
-                        coalesce=coalesce)
+                        coalesce=coalesce, coalesce_opts=coalesce_opts)
     gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
-    return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce)
+    return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
+                    coalesce_opts=coalesce_opts)
 
 
 def packaged_demo_checkpoints() -> dict:
@@ -446,7 +461,8 @@ def packaged_demo_checkpoint() -> str:
 
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
                   n_layer: int = 2, seed: int = 0, corrected: bool = False,
-                  coalesce: bool = False) -> Pipeline:
+                  coalesce: bool = False,
+                  coalesce_opts: dict | None = None) -> Pipeline:
     """Self-contained pipeline with a randomly-initialized Scheme-A model
     over a synthetic-corpus vocabulary — runs end-to-end with no trained
     checkpoint (the reference cannot start without its gitignored .pt).
@@ -468,7 +484,7 @@ def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, vocab)
     return Pipeline(gen, EmotionClassifier(),  # auto: neural when shipped
-                    coalesce=coalesce)
+                    coalesce=coalesce, coalesce_opts=coalesce_opts)
 
 
 def demo_pipeline_b3(seq_len: int = 96, d_model: int = 64, n_head: int = 4,

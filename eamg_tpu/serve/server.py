@@ -100,7 +100,16 @@ class EAMGHandler(BaseHTTPRequestHandler):
         elif path == "/healthz":
             self._json(200, {"status": "ok"})
         elif path == "/stats":
-            self._json(200, self.stats.summary())
+            out = self.stats.summary()
+            batcher = getattr(self.pipeline, "batcher", None)
+            if batcher is not None and hasattr(batcher, "stats"):
+                eng = {k: v for k, v in batcher.stats.items()
+                       if isinstance(v, (int, float))}
+                jd = batcher.stats.get("join_delay_ms")
+                if jd:
+                    eng["p50_join_ms"] = round(sorted(jd)[len(jd) // 2], 1)
+                out["engine"] = eng
+            self._json(200, out)
         elif path == "/profile":
             # capture a jax.profiler trace of one representative request
             import tempfile
@@ -197,20 +206,25 @@ class EAMGHandler(BaseHTTPRequestHandler):
         self.end_headers()
         n_tokens = 0
         label = ""
+        stream = self.pipeline.generate_stream(
+            prompt,
+            temperature=float(fields.get("temperature", 1.0)),
+            top_k=int(fields.get("top_k", 50)),
+            seed=int(seed) if seed is not None else None,
+            render_audio=fmt == "wav", sections=sections)
         try:
-            for ev in self.pipeline.generate_stream(
-                    prompt,
-                    temperature=float(fields.get("temperature", 1.0)),
-                    top_k=int(fields.get("top_k", 50)),
-                    seed=int(seed) if seed is not None else None,
-                    render_audio=fmt == "wav", sections=sections):
+            for ev in stream:
                 if ev["event"] == "done":
                     n_tokens, label = ev["n_tokens"], ev["label"]
                 self.wfile.write(b"data: " + json.dumps(ev).encode()
                                  + b"\n\n")
                 self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
-            return  # client went away mid-stream
+            # client went away mid-stream: the finally's close() throws
+            # GeneratorExit down the generator chain, which cancels the
+            # engine row so the slot frees instead of decoding to
+            # completion
+            return
         except Exception as exc:  # pragma: no cover - defensive
             err = {"event": "error",
                    "error": f"{type(exc).__name__}: {exc}"}
@@ -220,6 +234,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
             except OSError:
                 pass
             return
+        finally:
+            stream.close()
         self.stats.observe(_time.perf_counter() - t_start, tokens=n_tokens)
         self.logger.log("generate_stream", emotion=label,
                         n_tokens=n_tokens)
@@ -266,7 +282,24 @@ def main():  # pragma: no cover - CLI entry
                              "decode mid-generation (wins every measured "
                              "traffic shape); '--coalesce window' = 10 ms "
                              "grouping window")
+    parser.add_argument("--slots", type=int, default=None,
+                        help="continuous engine: concurrent request rows "
+                             "(default 8); window mode: max batch size")
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="continuous engine: compiled steps between "
+                             "admission/harvest boundaries (default 64; "
+                             "smaller = faster join + finer streaming "
+                             "deltas, larger = less host sync overhead)")
     args = parser.parse_args()
+
+    coalesce_opts = {}
+    if args.coalesce == "continuous" or args.coalesce is True:
+        if args.slots is not None:
+            coalesce_opts["slots"] = args.slots
+        if args.chunk is not None:
+            coalesce_opts["chunk"] = args.chunk
+    elif args.coalesce and args.slots is not None:
+        coalesce_opts["max_batch"] = args.slots
 
     from .pipeline import packaged_demo_checkpoint, pipeline_from_checkpoint
 
@@ -276,7 +309,8 @@ def main():  # pragma: no cover - CLI entry
         # scheme (A text-token vs B3 control-token) inferred from the
         # checkpoint's vocabulary
         pipeline = pipeline_from_checkpoint(ckpt_dir, full_gm=args.full_gm,
-                                            coalesce=args.coalesce)
+                                            coalesce=args.coalesce,
+                                            coalesce_opts=coalesce_opts)
         print(f"serving checkpoint {ckpt_dir} "
               f"(scheme {pipeline.scheme})")
     else:
@@ -284,7 +318,8 @@ def main():  # pragma: no cover - CLI entry
 
         # --coalesce needs the corrected causal demo architecture
         pipeline = demo_pipeline(corrected=args.coalesce,
-                                 coalesce=args.coalesce)
+                                 coalesce=args.coalesce,
+                                 coalesce_opts=coalesce_opts)
     print("warming up (first compile)...")
     pipeline.warmup()
     server = make_server(pipeline, args.host, args.port, quiet=False)

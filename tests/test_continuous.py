@@ -241,3 +241,74 @@ def test_accepts_mismatched_params(generator):
         assert not eng.accepts(greedy=True)
     finally:
         eng.close()
+
+
+def test_cancel_mid_stream_frees_slot(generator):
+    """Closing a stream generator (SSE client disconnect) cancels the row:
+    the slot frees at the next chunk boundary instead of decoding to
+    completion, and the engine keeps serving correctly."""
+    eng = ContinuousBatcher(generator, slots=1, chunk=2, max_len=32)
+    try:
+        stream = eng.submit_stream([1, 2], seed=5, max_len=32)
+        first = next(stream)
+        assert first  # at least one delta arrived before the disconnect
+        stream.close()  # raises GeneratorExit inside submit_stream
+        # the single slot must free: with a zombie holding it this would
+        # block until the 120 s timeout
+        out = eng.submit([3, 4], seed=9, max_len=16, timeout=120)
+        assert out == solo(generator, [3, 4], 9, 16)
+        assert eng.stats["cancelled"] == 1
+    finally:
+        eng.close()
+
+
+def test_submit_timeout_cancels_queued_request(generator):
+    """A submit() that times out marks its request cancelled so it never
+    occupies a slot later; the engine stays healthy."""
+    eng = ContinuousBatcher(generator, slots=1, chunk=2, max_len=48)
+    try:
+        stream = eng.submit_stream([1, 2], seed=1, max_len=48)
+        next(stream)  # slot busy
+        with pytest.raises(TimeoutError):
+            eng.submit([5, 6], seed=2, max_len=16, timeout=0.0)
+        for _ in stream:  # drain the first request to completion
+            pass
+        # cancelled request is skipped at admission; a live one still works
+        out = eng.submit([7, 8], seed=3, max_len=16, timeout=120)
+        assert out == solo(generator, [7, 8], 3, 16)
+        assert eng.stats["cancelled"] >= 1
+        assert eng.stats["served"] >= 1
+    finally:
+        eng.close()
+
+
+def test_pipeline_stream_close_cancels_engine_row():
+    """Pipeline.generate_stream -> engine plumbing: closing the SSE event
+    generator mid-stream reaches the engine and frees the slot."""
+    from eamg_tpu.serve.pipeline import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True, coalesce="continuous")
+    # small chunks so the row is still decoding when the client disconnects
+    # (the default 64-step chunk finishes the 128-token demo row before the
+    # first delta even reaches the consumer)
+    pipe.batcher.close()
+    pipe.batcher = ContinuousBatcher(pipe.generator, slots=2, chunk=2,
+                                     max_len=96)
+    eng = pipe.batcher
+    try:
+        ev_stream = pipe.generate_stream("joyful melody", seed=3,
+                                         render_audio=False)
+        saw_tokens = False
+        for ev in ev_stream:
+            if ev["event"] == "tokens":
+                saw_tokens = True
+                break
+        assert saw_tokens
+        ev_stream.close()
+        deadline = time.monotonic() + 60
+        while eng.stats["cancelled"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert eng.stats["cancelled"] == 1
+        assert len(eng._free) + len(eng._live) == eng.slots
+    finally:
+        eng.close()
