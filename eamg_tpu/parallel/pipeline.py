@@ -207,9 +207,11 @@ def make_pp_train_step(cfg: GPTConfig, tcfg, mesh: Mesh, n_micro: int,
 
     optimizer = optimizer or make_optimizer(tcfg)
 
+    from functools import partial
+
     from ..train.trainer import masked_ce_sums
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
         def lfn(p):
             logits = pipeline_forward(p, x, cfg, mesh, n_micro)
@@ -239,14 +241,17 @@ class PipelineTrainer:
         self.cfg, self.tcfg, self.mesh = cfg, tcfg, mesh
         self.n_micro = n_micro
         self.optimizer = make_optimizer(tcfg)
-        self.params = shard_pp_params(
-            stack_layers(params, mesh.shape["stage"]), mesh)
+        # the donated step invalidates its inputs; copy so the caller's
+        # per-layer params tree survives (head/embed pass through
+        # stack_layers by reference)
+        self.params = jax.tree.map(jnp.copy, shard_pp_params(
+            stack_layers(params, mesh.shape["stage"]), mesh))
         self.opt_state = self.optimizer.init(self.params)
         self.step_fn = make_pp_train_step(cfg, tcfg, mesh, n_micro,
                                           self.optimizer)
         self.step = 0
 
-    def train_step(self, x, y):
+    def train_step(self, x, y, sync: bool = True):
         data = ("data" if "data" in self.mesh.axis_names
                 and self.mesh.shape["data"] > 1 else None)
         sh = NamedSharding(self.mesh, P(data))
@@ -255,7 +260,9 @@ class PipelineTrainer:
         self.params, self.opt_state, metrics = self.step_fn(
             self.params, self.opt_state, x, y)
         self.step += 1
-        return {k: float(v) for k, v in metrics.items()}
+        if sync:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     def export_params(self) -> dict:
         return unstack_layers(self.params)

@@ -95,7 +95,8 @@ def _train_variant(rows, scheme, strip_controls, acfg: AblationConfig):
         for x, y in batches(train_ids, cfg.seq_len, vocab.pad_id,
                             tcfg.micro_batch, drop_last=False,
                             shuffle_seed=acfg.seed + epoch):
-            loss = trainer.train_step(x, y)["loss"]
+            loss = trainer.train_step(x, y, sync=False)["loss"]
+    loss = float(loss)
 
     eval_padded = np.stack([np.asarray(
         (list(ids[:cfg.seq_len])

@@ -130,10 +130,11 @@ def run_gqa_recovery(rcfg: RecoveryConfig) -> dict:
         for x, y in batches(train_ids, gqa_cfg.seq_len, vocab.pad_id,
                             tcfg.micro_batch, drop_last=False,
                             shuffle_seed=rcfg.seed + epoch):
-            loss = trainer.train_step(x, y)["loss"]
+            loss = trainer.train_step(x, y, sync=False)["loss"]
             if trainer.step >= rcfg.steps:
                 break
         epoch += 1
+    loss = float(loss)
     ppl_ft = perplexity(trainer.params, gqa_cfg, eval_padded,
                         pad_id=vocab.pad_id)
     log(f"[gqa] after {trainer.step} uptraining steps (lr {rcfg.lr}): "

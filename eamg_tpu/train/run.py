@@ -137,7 +137,7 @@ def run_training(preset: str, csv_path: str | None = None,
     # prefetch then only overlaps host-side batch prep
     staging = (lambda b: b) if mesh is not None else None
 
-    last_loss = float("nan")
+    last_m = None
     for epoch in range(tcfg.epochs):
         for x, y in PrefetchIterator(
                 batches(encoded, cfg.seq_len, vocab.pad_id,
@@ -145,14 +145,18 @@ def run_training(preset: str, csv_path: str | None = None,
                         drop_last=False,  # small corpora must still train
                         shuffle_seed=seed + epoch), depth=2,
                 device_put=staging):
-            m = trainer.train_step(x, y)
-            last_loss = m["loss"]
+            # async metrics: blocking on loss every step costs a ~25 ms
+            # tunnel RPC and serializes the dispatch stream — fetch only
+            # where a number is actually printed/saved
+            last_m = trainer.train_step(x, y, sync=False)
             if log_every and trainer.step % log_every == 0:
                 log_fn(f"[{preset}] epoch {epoch + 1}/{tcfg.epochs} "
-                       f"step {trainer.step}: loss={last_loss:.4f}")
+                       f"step {trainer.step}: "
+                       f"loss={float(last_m['loss']):.4f}")
             if cadence.should_save(trainer.step):
                 save("latest")
         save(f"ep{epoch + 1}")
     save("final")
+    last_loss = float(last_m["loss"]) if last_m is not None else float("nan")
     return {"steps": trainer.step, "final_loss": last_loss,
             "vocab_size": len(vocab), "out_dir": out_dir}

@@ -16,6 +16,7 @@ Behavioral contract reproduced from the reference trainers:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 
 import jax
@@ -155,13 +156,19 @@ def _head(params, h):
                    params["head"]["b"])
 
 
-def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
+def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None,
+                    donate: bool = False):
     """Returns a jitted step: (params, opt_state, x, y) -> (params,
     opt_state, metrics).
 
     x, y: [accum_steps, micro_batch, T]; the scan accumulates PAD-weighted
     gradients so the result equals one big batch of accum*micro rows — the
     exact contract of accelerate's accumulate() (train_large.py:149-155).
+
+    ``donate=True`` donates params + opt_state buffers to XLA (in-place
+    update: peak memory drops by one params+adam copy, ~333 MB at the
+    flagship geometry). The caller's input trees are INVALIDATED each call
+    — only safe when the old values are discarded, as Trainer does.
     """
     optimizer = optimizer or make_optimizer(tcfg)
 
@@ -170,7 +177,7 @@ def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None):
         "loss_chunk with the MoE aux loss is unsupported — set "
         "moe_aux_weight=0 or chunk off")
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, x, y):
         if tcfg.loss_chunk:
             def lfn(p, xi, yi):
@@ -219,13 +226,24 @@ class Trainer:
         self.optimizer = make_optimizer(tcfg)
         if mesh is not None:
             params = shard_params(params, mesh, tp=tcfg.tp)
-        self.params = params
+        # the donated step invalidates its input buffers each call; copy
+        # once so the CALLER's params tree stays alive (tests/users compare
+        # against the initial params after training)
+        self.params = jax.tree.map(jnp.copy, params)
         self.opt_state = self.optimizer.init(params)
-        self.step_fn = make_train_step(cfg, tcfg, self.optimizer)
+        # Trainer discards the previous params/opt_state every step, so
+        # buffer donation is safe here (in-place optimizer update in HBM)
+        self.step_fn = make_train_step(cfg, tcfg, self.optimizer,
+                                       donate=True)
         self.step = 0
 
-    def train_step(self, x, y):
-        """x, y: [accum, micro, T] int arrays (host or device)."""
+    def train_step(self, x, y, sync: bool = True):
+        """x, y: [accum, micro, T] int arrays (host or device).
+
+        ``sync=False`` returns the metrics as device arrays without
+        blocking — on the axon tunnel every ``float()`` is a ~25 ms
+        host RPC that serializes the step stream, so throughput loops
+        (train/run.py) fetch metrics only at log points."""
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(None, "data", None))
             x = jax.device_put(jnp.asarray(x), sh)
@@ -235,4 +253,6 @@ class Trainer:
         self.params, self.opt_state, metrics = self.step_fn(
             self.params, self.opt_state, x, y)
         self.step += 1
-        return {k: float(v) for k, v in metrics.items()}
+        if sync:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
