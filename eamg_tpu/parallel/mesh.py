@@ -31,13 +31,22 @@ def make_mesh(data: int | None = None, model: int = 1,
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def param_pspecs(params: dict, tp: bool) -> dict:
+def param_pspecs(params: dict, tp: bool, fsdp_data: int | None = None) -> dict:
     """PartitionSpec tree for a GPT param pytree.
 
     tp=False: fully replicated (the reference models are <= ~30M params —
     DP-only is the faithful mode). tp=True: Megatron column/row parallel —
     QKV and FFN-in split on the output dim, attention-out and FFN-out on the
     input dim, LM head on the vocab dim; XLA inserts the psums.
+
+    fsdp_data=N (the data-axis size) additionally shards every param (and
+    therefore its Adam moments, which follow the param sharding through
+    optax.init) over the ``data`` axis — ZeRO/FSDP semantics via GSPMD:
+    the forward all-gathers each weight where it is used, gradients
+    reduce-scatter, and per-device param+optimizer memory drops ~N-fold.
+    Composes with tp: the ``data`` name lands on the largest N-divisible
+    dim the ``model`` axis didn't take (see :func:`_with_fsdp`); leaves
+    with no eligible dim stay replicated.
     """
     def mlp_spec(mlp_params):
         if "router" in mlp_params:
@@ -68,17 +77,41 @@ def param_pspecs(params: dict, tp: bool) -> dict:
 
     head = {"w": P("model", None), "b": P("model")} if tp else \
         {"w": P(), "b": P()}
-    return {
+    specs = {
         "tok_emb": P(),
         "pos": P(),
         "layers": [layer_spec(la) for la in params["layers"]],
         "head": head,
     }
+    if fsdp_data and fsdp_data > 1:
+        specs = jax.tree.map(
+            lambda leaf, s: _with_fsdp(leaf, s, fsdp_data),
+            params, specs,
+            is_leaf=lambda x: isinstance(x, P))
+    return specs
 
 
-def shard_params(params: dict, mesh: Mesh, tp: bool = False) -> dict:
+def _with_fsdp(leaf, spec: P, data: int) -> P:
+    """Add 'data' to the largest unsharded dim divisible by the data-axis
+    size. NamedSharding needs divisibility; non-divisible leaves (e.g. the
+    8,324-vocab dim on an 8-way axis) fall to their next-largest dim or
+    stay replicated."""
+    shape = getattr(leaf, "shape", ())
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_dim = None, 0
+    for i, e in enumerate(entries):
+        if e is None and shape[i] > best_dim and shape[i] % data == 0:
+            best, best_dim = i, shape[i]
+    if best is not None:
+        entries[best] = "data"
+    return P(*entries)
+
+
+def shard_params(params: dict, mesh: Mesh, tp: bool = False,
+                 fsdp: bool = False) -> dict:
     """Place a param pytree onto the mesh per :func:`param_pspecs`."""
-    specs = param_pspecs(params, tp)
+    specs = param_pspecs(
+        params, tp, fsdp_data=mesh.shape["data"] if fsdp else None)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)

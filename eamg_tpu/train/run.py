@@ -63,7 +63,8 @@ def run_training(preset: str, csv_path: str | None = None,
                  seed: int = 0, log_every: int = 0, log_fn=print,
                  resume_from: str | None = None,
                  corrected: bool = False,
-                 geometry: dict | None = None) -> dict:
+                 geometry: dict | None = None,
+                 tp: bool = False, fsdp: bool = False) -> dict:
     """``geometry``: optional overrides for the preset's model shape —
     any of d_model / n_head / n_layer / seq_len (e.g. to train a compact
     shippable demo model on a large-preset recipe)."""
@@ -99,7 +100,8 @@ def run_training(preset: str, csv_path: str | None = None,
 
         cfg = dataclasses.replace(cfg, causal=True, batch_first_bug=False,
                                   pos_broadcast_bug=False)
-    tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id})
+    tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id,
+                          "tp": tp, "fsdp": fsdp})
 
     if resume_from:
         # crash-resume with optimizer state and step count intact — the

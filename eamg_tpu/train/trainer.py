@@ -43,6 +43,10 @@ class TrainConfig:
     total_steps: int | None = None  # for cosine decay
     schedule: str = "constant"    # "constant" | "warmup_cosine"
     tp: bool = False              # tensor-parallel params over 'model' axis
+    # ZeRO/FSDP: shard params + Adam moments over the 'data' axis too
+    # (GSPMD all-gathers weights at use, reduce-scatters grads); composes
+    # with tp. Per-device param+optimizer memory drops ~data-fold.
+    fsdp: bool = False
     # Time-chunked cross-entropy: the head + CE run per ``loss_chunk``
     # positions under jax.checkpoint, so the [B, T, V] logits tensor never
     # materializes (2.2 GB at micro_batch 128 on the flagship vocab —
@@ -225,7 +229,8 @@ class Trainer:
         self.mesh = mesh
         self.optimizer = make_optimizer(tcfg)
         if mesh is not None:
-            params = shard_params(params, mesh, tp=tcfg.tp)
+            params = shard_params(params, mesh, tp=tcfg.tp,
+                                  fsdp=tcfg.fsdp)
         # the donated step invalidates its input buffers each call; copy
         # once so the CALLER's params tree stays alive (tests/users compare
         # against the initial params after training)

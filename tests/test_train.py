@@ -80,6 +80,31 @@ def test_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_async_metrics_and_donation_safety():
+    """train_step(sync=False) returns device metrics identical to the
+    sync path, and the donated step must never invalidate the CALLER's
+    params tree (Trainer copies once at init)."""
+    params = init_params(jax.random.PRNGKey(7), CFG)
+    rng = np.random.default_rng(7)
+    x, y = make_batch(rng, 1, 4)
+
+    a = Trainer(CFG, TrainConfig(lr=1e-3), params)
+    m_async = a.train_step(x, y, sync=False)
+    assert hasattr(m_async["loss"], "dtype")  # device array, not float
+    b = Trainer(CFG, TrainConfig(lr=1e-3), params)
+    m_sync = b.train_step(x, y)
+    assert float(m_async["loss"]) == pytest.approx(m_sync["loss"])
+    assert int(m_async["tokens"]) == int(m_sync["tokens"])
+
+    # caller's tree survives the donated first step (donation is real on
+    # CPU in this jax: a leaked alias would raise "Array has been deleted")
+    for leaf in jax.tree.leaves(params):
+        np.asarray(leaf)
+    # and the two trainers' updated params agree
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb))
+
+
 def test_dp_mesh_runs_and_matches_single_device():
     """8-way data parallelism: same batch, same params -> same loss and
     same updated params as single-device (XLA psum == serial sum)."""
@@ -98,6 +123,57 @@ def test_dp_mesh_runs_and_matches_single_device():
     for a, b in zip(jax.tree.leaves(single.params),
                     jax.tree.leaves(sharded.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fsdp_matches_and_shards_memory():
+    """ZeRO/FSDP (params + Adam moments sharded over 'data'): numerically
+    identical to single-device, and the big leaves are actually sharded
+    (per-device bytes drop), including the optimizer state."""
+    mesh = make_mesh(data=8, model=1)
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    rng = np.random.default_rng(5)
+    x, y = make_batch(rng, 1, 8)
+
+    single = Trainer(CFG, TrainConfig(), params)
+    m_single = single.train_step(x, y)
+    fsdp = Trainer(CFG, TrainConfig(fsdp=True), params, mesh=mesh)
+    m_fsdp = fsdp.train_step(x, y)
+    assert m_single["loss"] == pytest.approx(m_fsdp["loss"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(single.params),
+                    jax.tree.leaves(fsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def sharded_frac(tree):
+        leaves = [p for p in jax.tree.leaves(tree) if hasattr(p, "sharding")]
+        shard_elems = sum(
+            np.prod(p.addressable_shards[0].data.shape) for p in leaves)
+        total = sum(p.size for p in leaves)
+        return shard_elems / total
+
+    # most elements live in 8-way-sharded leaves: per-device share ~1/8
+    assert sharded_frac(fsdp.params) < 0.2
+    assert sharded_frac(fsdp.opt_state) < 0.3  # moments follow params
+    # sharding survives the donated update (step 2 still sharded)
+    fsdp.train_step(x, y)
+    assert sharded_frac(fsdp.params) < 0.2
+
+
+def test_fsdp_composes_with_tp():
+    """(data=4, model=2): FSDP over 'data' on the dims Megatron TP left
+    unsharded still matches single-device."""
+    mesh = make_mesh(data=4, model=2)
+    params = init_params(jax.random.PRNGKey(6), CFG)
+    rng = np.random.default_rng(6)
+    x, y = make_batch(rng, 1, 8)
+
+    single = Trainer(CFG, TrainConfig(), params)
+    m_single = single.train_step(x, y)
+    both = Trainer(CFG, TrainConfig(tp=True, fsdp=True), params, mesh=mesh)
+    m_both = both.train_step(x, y)
+    assert m_single["loss"] == pytest.approx(m_both["loss"], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(single.params),
+                    jax.tree.leaves(both.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 def test_tp_mesh_runs_and_matches():
