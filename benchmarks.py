@@ -243,8 +243,9 @@ def scenario_8_optimized_serving():
             lambda x: x.astype(jnp.bfloat16), params)
 
         def run(seed):
+            # decode to n_pos=511 (the pos-table cap, matching bench.py)
             buf, _ = generate_kv(params, pj, 3, jax.random.PRNGKey(seed),
-                                 cfg, 512, temperature=1.0, top_k=50,
+                                 cfg, 511, temperature=1.0, top_k=50,
                                  eos_id=-1, pad_id=0,
                                  refeed_last_prompt=False)
             return _fetch(buf)
@@ -255,7 +256,7 @@ def scenario_8_optimized_serving():
             t0 = time.perf_counter()
             run(s)
             ts.append(time.perf_counter() - t0)
-        results[name] = round(509 * 8 / min(ts), 1)
+        results[name] = round(508 * 8 / min(ts), 1)
     return {"scenario": "optimized_serving_modes",
             "tokens_per_s": results}
 

@@ -54,7 +54,8 @@ _EXTRA: dict[str, list[str]] = {
                   "what's inside", "i keep wondering", "inquisitive",
                   "intriguing", "how it works", "want to explore",
                   "what happens if", "down the rabbit hole", "mystery",
-                  "can't stop googling"],
+                  "can't stop googling", "i must know", "need to know "
+                  "more", "i wonder what", "burning question"],
     "desire": ["i'd give anything", "dream of", "aching for", "if only i",
                "can't stop thinking about having", "covet", "tempted",
                "craving", "itching to", "would kill for", "on my wishlist",
@@ -62,8 +63,8 @@ _EXTRA: dict[str, list[str]] = {
     "disappointment": ["not what i hoped", "fell short", "deflated",
                        "such a letdown", "expected better", "bummed out",
                        "anticlimactic", "didn't live up", "what a waste",
-                       "so much for that", "crushed my hopes",
-                       "it flopped", "mediocre at best"],
+                       "so much for that", "crushed my hopes", "letdown",
+                       "what a letdown", "it flopped", "mediocre at best"],
     "disapproval": ["not okay", "i object", "out of line", "frown upon",
                     "that crosses a line", "poor form", "inappropriate",
                     "can't condone", "bad practice", "shame on",
@@ -91,7 +92,8 @@ _EXTRA: dict[str, list[str]] = {
                   "it without you", "touched by your help", "indebted",
                   "what a gift", "thank you so much", "thanks so much",
                   "thank you very much", "thank you for everything",
-                  "thanks a million", "many thanks"],
+                  "thanks a million", "many thanks", "i appreciate it",
+                  "i really appreciate", "so kind of you"],
     "grief": ["heart aches for", "gone too soon", "in mourning",
               "an empty chair", "we lost her", "rest in peace", "buried",
               "the funeral was", "passed last night", "widow", "memorial",
@@ -124,7 +126,9 @@ _EXTRA: dict[str, list[str]] = {
                     "now it clicks", "i finally see", "all makes sense "
                     "now", "in hindsight", "connecting the dots",
                     "epiphany", "just understood why", "it dawned",
-                    "the missing piece", "so that's why"],
+                    "the missing piece", "so that's why", "i finally "
+                    "understand", "now i understand", "just realized",
+                    "it turns out"],
     "relief": ["load off my mind", "breathe again", "crisis averted",
                "glad that's over", "exhaled at last", "off the hook",
                "false alarm", "made it just in time", "the tests came "
@@ -134,7 +138,8 @@ _EXTRA: dict[str, list[str]] = {
                 "forgive me", "i owe an apology", "weighs on my "
                 "conscience", "if i could undo", "i was wrong to",
                 "feel terrible about", "never should have", "i hurt them",
-                "making amends", "penitent"],
+                "making amends", "penitent", "feel awful about",
+                "it was wrong of me", "wish i hadn't"],
     "sadness": ["down in the dumps", "blue today", "empty inside",
                 "weeping", "gloomy", "heavy heart", "sobbed", "tearful",
                 "melancholy", "downcast", "aching loneliness", "somber",
@@ -198,6 +203,15 @@ _TEMPLATES = [
     "the meeting ended with everyone {kw}",
     "somehow the song makes me {kw} every time",
     "walking home in the rain i felt {kw}",
+    # long, noun-heavy frames: real text buries the cue among content
+    # words — the model must stay {kw}-driven through whole clauses
+    "the package on the kitchen table this morning made me {kw}",
+    "after the delivery driver left i stood in the hallway feeling {kw}",
+    "halfway through fixing the printer i noticed i was {kw}",
+    "between the airport and the hotel everyone on the bus got {kw}",
+    "the voicemail from the landlord about the lease left us {kw}",
+    "sorting through boxes in the garage all weekend made her {kw}",
+    "the email about the schedule change had the whole office {kw}",
     "the verdict left the town {kw}",
     "during the speech the audience grew {kw}",
     "her reply made me instantly {kw}",
@@ -217,23 +231,117 @@ _PHRASE_TEMPLATES = [
     "talking to her, i just {kw}",
     "{kw} — that sums up my day",
     "after everything, {kw}",
+    # long noun-heavy frames for MULTI-WORD cues: real text buries a
+    # phrase like "thank you so much" among content words; without these
+    # the phrase bank only ever trained in short frames
+    "{kw} for helping with the suitcase and the tickets",
+    "after the meeting at the office, honestly {kw}",
+    "i told my neighbor {kw} before the bus left the station",
+    "{kw}, and the whole afternoon at the market went by",
+    "standing in the hallway with the boxes i thought, {kw}",
+    "the voicemail said it all: {kw}",
+    "even with the rain and the late train, {kw}",
+    "reading the letter from the landlord i muttered {kw}",
 ]
 
+# Hand-written free-text eval: two sentences per label, none generated
+# from the templates or banks. Deliberately long and noun-heavy — real
+# user text buries the emotional cue among content words the model never
+# trained on.
 OOD_EVAL = [
     ("my grandmother's recipes always make everyone smile with delight",
      "joy"),
+    ("the whole team was grinning ear to ear when the rocket landed",
+     "joy"),
     ("the spider crawling up my arm made my skin crawl with terror",
+     "fear"),
+    ("walking through the abandoned hospital at midnight left me petrified",
      "fear"),
     ("they canceled the concert i waited months for, what a letdown",
      "disappointment"),
+    ("the restaurant everyone raved about turned out mediocre at best",
+     "disappointment"),
     ("thank you so much for helping me move all those boxes", "gratitude"),
+    ("i really appreciate you covering my shift on such short notice",
+     "gratitude"),
     ("i shouted at my sister and i feel awful about it now", "remorse"),
+    ("i never should have forwarded that email, it was wrong of me",
+     "remorse"),
     ("we buried my uncle last sunday and the house feels empty", "grief"),
+    ("her chair at the kitchen table has been empty since the funeral",
+     "grief"),
     ("did you hear they found water on that distant planet? i must know "
      "more", "curiosity"),
+    ("what's behind the locked door in the basement? i keep wondering "
+     "about it", "curiosity"),
     ("the schedule for next week is posted on the board", "neutral"),
+    ("the conference room projector takes a minute to warm up", "neutral"),
     ("i finally understand why the experiment kept failing", "realization"),
+    ("it just hit me that the two witnesses told the same story",
+     "realization"),
     ("stop touching my desk, it drives me up the wall", "annoyance"),
+    ("the neighbor's car alarm has gone off every night this week and it "
+     "is so grating", "annoyance"),
+    ("the way she rebuilt that vintage engine by hand is remarkable",
+     "admiration"),
+    ("his performance in the final act was absolutely masterful",
+     "admiration"),
+    ("the cat chasing the laser pointer had us in stitches", "amusement"),
+    ("my nephew's knock knock jokes cracked me up all afternoon",
+     "amusement"),
+    ("the contractor took our deposit and never showed, i am fuming",
+     "anger"),
+    ("he read my diary and told everyone, i am seeing red", "anger"),
+    ("extending the deadline makes sense given the circumstances",
+     "approval"),
+    ("splitting the project into two phases sounds good to me", "approval"),
+    ("i made you a thermos of soup for the drive, stay warm", "caring"),
+    ("text me when you land so i know you got there safe", "caring"),
+    ("the assembly instructions contradict the diagram, i can't follow "
+     "either", "confusion"),
+    ("wait, the meeting moved to thursday or the deadline did? which is "
+     "it", "confusion"),
+    ("i'd give anything for a house with a view of the harbor", "desire"),
+    ("i keep picturing myself behind the wheel of that convertible",
+     "desire"),
+    ("dumping chemicals in the river is not okay and the town should "
+     "say so", "disapproval"),
+    ("charging students for the library printer is poor form",
+     "disapproval"),
+    ("the fridge leftovers had grown fur and the smell made me gag",
+     "disgust"),
+    ("there was a hair baked into the pizza, i nearly vomited", "disgust"),
+    ("i called the ceo by the wrong name in front of the whole company",
+     "embarrassment"),
+    ("my mic was on during the entire meeting while i sang, mortifying",
+     "embarrassment"),
+    ("the tour dates dropped this morning and i am so pumped", "excitement"),
+    ("counting down the days until the championship game, i can hardly "
+     "sleep", "excitement"),
+    ("the sonogram photo on the fridge makes my heart full every morning",
+     "love"),
+    ("after twenty years she still leaves notes in my lunch, my dearest",
+     "love"),
+    ("my hands won't stop fidgeting before the licensing exam",
+     "nervousness"),
+    ("the recruiter said they'd call by five and my stomach is in knots",
+     "nervousness"),
+    ("the harvest failed this year but better days are coming", "optimism"),
+    ("new coach, new season, i really think we'll bounce back", "optimism"),
+    ("i rebuilt the transmission myself and it runs like new, personal "
+     "best", "pride"),
+    ("first in my family to graduate, i stood tall on that stage", "pride"),
+    ("the biopsy came back benign and i can breathe again", "relief"),
+    ("found my passport in the jacket pocket right before boarding, "
+     "thank goodness", "relief"),
+    ("the scholarship i gave up on just landed in my inbox, i never "
+     "expected it", "surprise"),
+    ("my quiet coworker turned out to be a former circus acrobat, jaw "
+     "dropped", "surprise"),
+    ("the playground where we grew up is gone and i feel hollow",
+     "sadness"),
+    ("rain on the window, cold coffee, and nothing feels right today",
+     "sadness"),
 ]
 
 
@@ -282,10 +390,45 @@ def _word_dropout(text: str, rng: random.Random, p: float = 0.12,
     return " ".join(kept) if len(kept) >= 2 else text
 
 
+# Everyday label-neutral content words for substitution augmentation.
+# The round-2 model only substituted TEMPLATE words, so genuinely unseen
+# nouns at eval time (boxes, experiment, planet) had untrained embeddings
+# that drowned the cue phrase — the top OOD failure mode. Substituting
+# these (plus seeded gibberish, which exercises unseen subword
+# decompositions) teaches the model that arbitrary content words carry no
+# label. Words that also occur inside any bank form are filtered out at
+# pool-build time so the pool stays label-uniform by construction.
+_GENERIC_WORDS = [
+    "kitchen", "garage", "window", "bicycle", "printer", "garden",
+    "station", "ticket", "jacket", "bridge", "coffee", "engine",
+    "library", "pocket", "basket", "ladder", "market", "bottle",
+    "pillow", "carpet", "mirror", "drawer", "hallway", "ceiling",
+    "battery", "camera", "laptop", "folder", "pencil", "napkin",
+    "suitcase", "umbrella", "calendar", "envelope", "keyboard",
+    "sandwich", "blanket", "curtain", "shelf", "stairs", "tunnel",
+    "harbor", "village", "airport", "museum", "factory", "office",
+    "garage", "rooftop", "balcony", "corridor", "cupboard", "toolbox",
+    "weekend", "tuesday", "morning", "evening", "carried", "painted",
+    "folded", "stacked", "mailed", "parked", "printed", "measured",
+    "plumber", "teacher", "driver", "cousin", "neighbor", "landlord",
+    "receipt", "voucher", "catalog", "manual", "chapter", "paragraph",
+]
+
+
+def _gibberish(rng: random.Random) -> str:
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    return "".join(rng.choice(letters)
+                   for _ in range(rng.randint(4, 9)))
+
+
 def _context_pool() -> list[str]:
-    """Every context word the templates can produce (label-uniform by
-    construction — templates pair with all labels equally)."""
-    pool = set()
+    """Every context word the templates can produce, plus the generic
+    content-word list (all label-uniform by construction — templates pair
+    with all labels equally, and generic words that occur inside any bank
+    form are excluded)."""
+    bank_words = {w for forms in label_banks().values()
+                  for f in forms for w in f.split()}
+    pool = set(_GENERIC_WORDS) - bank_words
     for t in _TEMPLATES + _PHRASE_TEMPLATES:
         pool.update(t.replace("{kw}", " ").replace(",", " ")
                     .replace("—", " ").split())
@@ -293,15 +436,23 @@ def _context_pool() -> list[str]:
 
 
 def _word_substitute(text: str, rng: random.Random, pool: list[str],
-                     p: float = 0.15, keep: str = "") -> str:
-    """Replace random CONTEXT words with random template-language words.
-    The label is still fixed by the protected keyword span, so this teaches
-    the model that context tokens are unreliable — the defense against
-    unseen-template words (untrained embeddings) hijacking the prediction
+                     p: float = 0.15, keep: str = "",
+                     p_junk: float = 0.25) -> str:
+    """Replace random CONTEXT words with random label-neutral words —
+    template language, generic content words, or (with ``p_junk``)
+    seeded gibberish whose subword decomposition the model has never
+    seen. The label is still fixed by the protected keyword span, so this
+    teaches the model that context tokens are unreliable — the defense
+    against unseen words (untrained embeddings) hijacking the prediction
     at eval time."""
     protected = set(keep.split())
+
+    def repl():
+        return (_gibberish(rng) if rng.random() < p_junk
+                else rng.choice(pool))
+
     out = [w if w.strip(".,!?—") in protected or rng.random() > p
-           else rng.choice(pool)
+           else repl()
            for w in text.split()]
     return " ".join(out)
 
