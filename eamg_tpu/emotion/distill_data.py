@@ -412,6 +412,34 @@ _GENERIC_WORDS = [
     "folded", "stacked", "mailed", "parked", "printed", "measured",
     "plumber", "teacher", "driver", "cousin", "neighbor", "landlord",
     "receipt", "voucher", "catalog", "manual", "chapter", "paragraph",
+    # polysemous everyday words: these show up inside real emotional text
+    # as plain content ("stay warm", "the deadline", "cool water") — if
+    # they only ever co-occur with one label the model treats them as
+    # cues; keeping them label-uniform in the pool prevents that
+    "warm", "cool", "deadline", "meeting", "schedule", "project",
+    "minute", "second", "double", "single", "drive", "land", "water",
+    "light", "heavy", "sharp", "plain", "level", "check", "charge",
+    "board", "table", "glass", "paper", "stone", "metal", "plastic",
+    "thursday", "monday", "friday", "summer", "winter", "spring",
+    "button", "switch", "signal", "cable", "screen", "speaker",
+    "wallet", "pocket", "jacket", "collar", "sleeve", "button",
+    "sister", "brother", "uncle", "aunt", "grandfather", "colleague",
+    "manager", "student", "doctor", "lawyer", "farmer", "painter",
+    "baker", "tailor", "editor", "author", "singer", "dancer",
+    "river", "valley", "meadow", "forest", "desert", "island",
+    "street", "avenue", "corner", "block", "district", "suburb",
+    "breakfast", "dinner", "supper", "snack", "dessert", "salad",
+    "noodle", "pepper", "butter", "honey", "sugar", "flour",
+    "hammer", "wrench", "shovel", "bucket", "sponge", "broom",
+    "copied", "sorted", "labeled", "wrapped", "loaded", "shipped",
+    "trimmed", "watered", "swept", "vacuumed", "ironed", "dusted",
+    "tuesday", "january", "august", "october", "afternoon", "midday",
+    "bicycle", "scooter", "trailer", "tractor", "ferry", "subway",
+    "magnet", "compass", "lantern", "candle", "thermos", "kettle",
+    "carton", "crate", "barrel", "pallet", "bundle", "parcel",
+    "notice", "memo", "invoice", "ledger", "roster", "agenda",
+    "lobby", "attic", "basement", "porch", "driveway", "fence",
+    "sweater", "scarf", "mitten", "boot", "sandal", "helmet",
 ]
 
 
@@ -519,6 +547,23 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
              train_forms, eval_x, eval_y)
         emit(max(8, n_per_label // 16), eval_templates, eval_ptemplates,
              unseen_forms, uf_x, uf_y)
+
+    # Cue-free sentences are GoEmotions "neutral" by definition: a
+    # template whose {kw} slot holds a generic content word (or gibberish
+    # with no trained-cue subword overlap) carries no emotional signal.
+    # Without these the model has no "no cue present" basin — text whose
+    # words it never trained on falls through untrained embeddings to an
+    # arbitrary high-confidence label (the observed desire/love
+    # black-holes on free text).
+    nid = label2id["neutral"]
+    for _ in range(n_per_label // 2):
+        filler = (_gibberish(rng) if rng.random() < 0.3
+                  else rng.choice(pool))
+        text = rng.choice(train_templates).format(kw=filler)
+        if rng.random() < 0.5:
+            text = _word_substitute(text, rng, pool)
+        train_x.append(text)
+        train_y.append(nid)
 
     # bare-keyword templates ("{kw}") and neutral full-sentence banks can
     # reproduce a train text verbatim in eval; drop those pairs so the eval

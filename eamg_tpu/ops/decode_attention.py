@@ -95,8 +95,8 @@ def flash_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          memory_space=pltpu.VMEM),
             # ANY-space refs must be whole-array; the kernel indexes by
             # program id
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Dh), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
