@@ -60,9 +60,10 @@ class GPTConfig:
     # Mixture-of-experts FFN (None = dense, the reference arch). When set,
     # every ``moe_every``-th layer (counting from the moe_every-1-th)
     # replaces its MLP with n_experts routed experts of width d_ff each
-    # (parallel/moe.py math): top-k renormalized gating, capacity-bounded
-    # dispatch. Works through training, full forward, AND the KV decode
-    # step (the per-token dense-dispatch path). Beyond-reference.
+    # (parallel/moe.py math). Training uses capacity-bounded dispatch
+    # (per-row, token-major — causal, batch-decoupled drops); inference
+    # and decode use exact no-drop pointwise routing, so KV decode ==
+    # full forward for any router. Beyond-reference.
     n_experts: int | None = None
     moe_top_k: int = 2
     moe_every: int = 1
@@ -324,12 +325,20 @@ def _moe_cfg(cfg: GPTConfig):
 
 def _mlp(p, x, cfg, sink=None):
     if "router" in p:  # MoE layer (cfg.n_experts): routed expert FFN
-        from ..parallel.moe import load_balance_loss, moe_mlp_dense
+        from ..parallel.moe import (load_balance_loss, moe_mlp_dense,
+                                    moe_mlp_pointwise)
 
         if sink is not None:
+            # training (the aux-loss sink is only threaded by the
+            # trainer's forward): capacity-bounded dispatch — per-row,
+            # token-major, so drops are causal and batch-decoupled
             sink.append(load_balance_loss(p, x.reshape(-1, cfg.d_model),
                                           _moe_cfg(cfg)))
-        return moe_mlp_dense(p, x, _moe_cfg(cfg))
+            return moe_mlp_dense(p, x, _moe_cfg(cfg))
+        # inference/decode: exact no-drop routing — pointwise per token,
+        # so full-forward == KV decode == any-batch-composition for ANY
+        # router (capacity paths only agree while nothing overflows)
+        return moe_mlp_pointwise(p, x, _moe_cfg(cfg))
     if cfg.kernels == "pallas":
         from ..ops.ffn import fused_ffn
 

@@ -8,12 +8,22 @@ construction is the standard TPU MoE recipe (Mesh-TF / Switch / GShard
 lineage), not a port of anything:
 
 - routing: top-k gating over E experts; gate weights are the softmax of
-  the selected router logits (renormalized top-k, Mixtral-style);
+  the selected router logits (renormalized top-k, Mixtral-style) for
+  k >= 2, or the full-softmax winner probability (Switch-style) for
+  k == 1 — renormalizing a single logit would zero the router gradient;
 - dispatch/combine are ONE-HOT EINSUMS, not gathers — [N, E, C]
   dispatch tensors contracted on the MXU, the layout XLA pipelines best;
-- capacity: each expert accepts at most C = ceil(k*N/E * capacity_factor)
-  tokens per device; overflow tokens fall through (their gate mass is
-  simply not added — the residual stream carries them unchanged);
+- capacity (TRAINING only): each expert accepts at most
+  C = ceil(k*T/E * capacity_factor) tokens PER ROW, claimed in token
+  order, so drops are causal (a token competes only with earlier
+  positions of its own sequence) and batch-decoupled; overflow tokens
+  fall through (their gate mass is simply not added — the residual
+  stream carries them unchanged);
+- inference (``moe_mlp_pointwise``): NO capacity — every token reaches
+  its experts, so routing is pointwise and full-forward == per-token KV
+  decode == any batch composition, exactly, for any router. This is what
+  the decode parity and continuous-batching bit-identity contracts rest
+  on (tests/test_moe.py::test_gpt_moe_kv_parity_with_adversarial_router);
 - expert parallelism: experts shard over an ``expert`` mesh axis; tokens
   reach their expert's device via ``lax.all_to_all`` (ICI), run the
   expert FFN where the weights live, and return the same way. The DP
@@ -72,30 +82,43 @@ def _act(x, cfg: MoEConfig):
 
 def _gates(params, x, cfg: MoEConfig):
     """Top-k routing. x: [N, D] -> (gate values [k, N], expert ids
-    [k, N]); gates are softmax over the k selected logits."""
+    [k, N]). For k >= 2 gates are the softmax over the k selected logits
+    (renormalized top-k, Mixtral-style). For k == 1 that renormalization
+    is a softmax over ONE logit == constant 1.0 — zero router gradient —
+    so top-1 uses the Switch-Transformer gate instead: the full-softmax
+    probability of the selected expert, which keeps d(gate)/d(logits)
+    alive."""
     logits = jnp.einsum("nd,ed->ne", x.astype(jnp.float32),
                         params["router"])
     top, idx = lax.top_k(logits, cfg.top_k)            # [N, k]
-    gates = jax.nn.softmax(top, axis=-1)
+    if cfg.top_k == 1:
+        gates = jnp.take_along_axis(jax.nn.softmax(logits, axis=-1),
+                                    idx, axis=-1)
+    else:
+        gates = jax.nn.softmax(top, axis=-1)
     return gates.T, idx.T                              # [k, N]
 
 
 def _dispatch_tensors(eidx, cfg: MoEConfig, capacity: int):
-    """One-hot dispatch tensor [k, N, E, C] with slot-major
-    position-in-expert bookkeeping (earlier slots claim capacity first,
-    the GShard convention). Overflow rows get all-zero one-hots; gate
-    mass is applied by the callers at combine time."""
+    """One-hot dispatch tensor [k, N, E, C] with TOKEN-MAJOR
+    position-in-expert bookkeeping: token n's k choices claim capacity
+    before token n+1's (and a token's 1st choice before its 2nd), so a
+    token's keep/drop decision depends only on itself and EARLIER tokens
+    — capacity dropping stays causal when N is a time axis. Overflow
+    slots get all-zero one-hots; gate mass is applied by the callers at
+    combine time."""
     k, N = eidx.shape
     E = cfg.n_experts
-    onehot = jax.nn.one_hot(eidx.reshape(k * N), E, dtype=jnp.int32)
-    pos = jnp.cumsum(onehot, axis=0) - 1               # position in expert
+    order = eidx.T.reshape(N * k)                      # (n, j)-major
+    keep_oh = jax.nn.one_hot(order, E, dtype=jnp.int32)
+    pos = jnp.cumsum(keep_oh, axis=0) - 1              # position in expert
     keep = pos < capacity
-    disp = (jax.nn.one_hot(eidx.reshape(k * N), E, dtype=jnp.float32)
-            * keep.astype(jnp.float32))                # [kN, E]
+    disp = (jax.nn.one_hot(order, E, dtype=jnp.float32)
+            * keep.astype(jnp.float32))                # [Nk, E]
     posh = jax.nn.one_hot(jnp.clip(pos, 0, capacity - 1), capacity,
-                          dtype=jnp.float32)           # [kN, E, C]
-    dispatch = disp[..., None] * posh                  # [kN, E, C]
-    return dispatch.reshape(k, N, E, capacity)
+                          dtype=jnp.float32)           # [Nk, E, C]
+    dispatch = disp[..., None] * posh                  # [Nk, E, C]
+    return dispatch.reshape(N, k, E, capacity).swapaxes(0, 1)
 
 
 def load_balance_loss(params: dict, x: jax.Array,
@@ -114,16 +137,8 @@ def load_balance_loss(params: dict, x: jax.Array,
     return cfg.n_experts * jnp.sum(f * jnp.mean(probs, axis=0))
 
 
-def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
-                  capacity: int | None = None) -> jax.Array:
-    """Reference semantics, no mesh: [.., D] -> [.., D]. Every expert runs
-    on its dispatched slots; results combine with gate weights."""
-    shape = x.shape
-    xf = x.reshape(-1, cfg.d_model)
-    N = xf.shape[0]
-    capacity = capacity or max(
-        1, int(math.ceil(cfg.top_k * N / cfg.n_experts
-                         * cfg.capacity_factor)))
+def _moe_row(params, xf, cfg: MoEConfig, capacity: int):
+    """Capacity-bounded MoE over ONE row of tokens xf: [N, D] -> [N, D]."""
     gates, eidx = _gates(params, xf, cfg)
     dispatch = _dispatch_tensors(eidx, cfg, capacity)
     xin = jnp.einsum("knec,nd->ecd", dispatch, xf.astype(jnp.float32))
@@ -132,8 +147,74 @@ def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
     out = jnp.einsum("ecf,edf->ecd", h, params["w2"]) \
         + params["b2"][:, None]
     combine = dispatch * gates[..., None, None]        # [k, N, E, C]
-    y = jnp.einsum("knec,ecd->nd", combine, out)
+    return jnp.einsum("knec,ecd->nd", combine, out)
+
+
+def moe_mlp_dense(params: dict, x: jax.Array, cfg: MoEConfig,
+                  capacity: int | None = None) -> jax.Array:
+    """Reference semantics, no mesh: [.., D] -> [.., D]. Every expert runs
+    on its dispatched slots; results combine with gate weights.
+
+    Capacity is counted PER ROW (per leading-axis element when x is
+    [B, T, D]): tokens only compete with their own sequence for expert
+    slots, never with other batch rows, and — with the token-major
+    bookkeeping in :func:`_dispatch_tensors` — only with EARLIER
+    positions, so capacity dropping is causal and batch-decoupled."""
+    shape = x.shape
+    x2 = x.reshape((-1, shape[-1]) if x.ndim == 2 else
+                   (-1, shape[-2], shape[-1]))
+    if x2.ndim == 2:
+        x2 = x2[None]
+    n_row = x2.shape[1]
+    capacity = capacity or max(
+        1, int(math.ceil(cfg.top_k * n_row / cfg.n_experts
+                         * cfg.capacity_factor)))
+    y = jax.vmap(lambda r: _moe_row(params, r, cfg, capacity))(x2)
     return y.reshape(shape).astype(x.dtype)
+
+
+def moe_mlp_pointwise(params: dict, x: jax.Array, cfg: MoEConfig,
+                      chunk: int = 256) -> jax.Array:
+    """Exact NO-DROP top-k MoE: [.., D] -> [.., D]. Every token reaches
+    all of its selected experts — no capacity, so routing is pointwise:
+    token t's output depends on token t alone. This is the inference
+    semantics (Mixtral-style serving): causal by construction, identical
+    between full-forward and per-token KV decode for ANY router (the
+    capacity paths only match when nothing overflows), and decoupled
+    across batch rows, which the continuous-batching engine's
+    bit-identical-to-solo contract requires.
+
+    Cost: runs ALL E experts on every token (E/k x the dispatched-slot
+    FLOPs), chunked over tokens to bound the [chunk, E, FF] activation.
+    Decode steps have N = batch tokens, where this is cheap; prefill pays
+    the factor once per request."""
+    shape = x.shape
+    xf = x.reshape(-1, cfg.d_model)
+    N = xf.shape[0]
+    gates, eidx = _gates(params, xf, cfg)              # [k, N]
+    chunk = max(1, min(chunk, N))  # decode steps have N = batch tokens
+    pad = (-N) % chunk
+    xp = jnp.pad(xf, ((0, pad), (0, 0)))
+    gp = jnp.pad(gates, ((0, 0), (0, pad)))
+    ep = jnp.pad(eidx, ((0, 0), (0, pad)))
+    n_chunks = (N + pad) // chunk
+
+    def run(args):
+        xc, gc, ec = args                              # [C,D],[k,C],[k,C]
+        h = _act(jnp.einsum("nd,efd->nef", xc.astype(jnp.float32),
+                            params["w1"]) + params["b1"][None], cfg)
+        out = jnp.einsum("nef,edf->ned", h, params["w2"]) \
+            + params["b2"][None]                       # [C, E, D]
+        sel = jax.nn.one_hot(ec, cfg.n_experts,
+                             dtype=jnp.float32)        # [k, C, E]
+        return jnp.einsum("kne,kn,ned->nd", sel, gc, out)
+
+    y = lax.map(run, (xp.reshape(n_chunks, chunk, cfg.d_model),
+                      gp.reshape(cfg.top_k, n_chunks, chunk)
+                      .swapaxes(0, 1),
+                      ep.reshape(cfg.top_k, n_chunks, chunk)
+                      .swapaxes(0, 1)))
+    return y.reshape(-1, cfg.d_model)[:N].reshape(shape).astype(x.dtype)
 
 
 def _ep_body(params, xf, *, cfg: MoEConfig, capacity: int, n_shards: int,

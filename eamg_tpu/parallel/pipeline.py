@@ -66,6 +66,12 @@ def stack_layers(params: dict, n_stages: int) -> dict:
     L = len(params["layers"])
     assert L % n_stages == 0, (
         f"n_layer={L} not divisible by {n_stages} stages")
+    structures = {tuple(sorted(layer["mlp"])) for layer in params["layers"]}
+    assert len(structures) == 1, (
+        "stack_layers needs structurally identical layers; got mixed MLP "
+        f"structures {structures} (GPTConfig.moe_every > 1 interleaves "
+        "dense and MoE layers — pipeline parallelism requires moe_every"
+        "=1 or a dense model)")
     lps = L // n_stages
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
     stacked = jax.tree.map(

@@ -287,7 +287,13 @@ class ContinuousBatcher:
         surface one harvest — at most two chunks — after they are
         generated). Over-length prompts stream zero deltas (reference
         zero-steps semantics, api_cache.py:166). ``timeout`` bounds the
-        wait for EACH delta, not the whole generation."""
+        wait for EACH delta, not the whole generation.
+
+        Validation and enqueue happen EAGERLY at call time (submit()'s
+        contract) — mismatched sampling params raise here, and the
+        request joins the decode whether or not the returned generator
+        is ever pulled; this function just builds the request and
+        returns the consuming generator."""
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
@@ -296,7 +302,7 @@ class ContinuousBatcher:
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
-            return  # zero generation steps
+            return iter(())  # zero generation steps
         req = _Pending(list(prompt_ids), float(temperature),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
@@ -304,6 +310,9 @@ class ContinuousBatcher:
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._q.put(req)
+        return self._consume_stream(req, timeout)
+
+    def _consume_stream(self, req: "_Pending", timeout: float):
         try:
             while True:
                 try:

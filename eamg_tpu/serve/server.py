@@ -105,7 +105,19 @@ class EAMGHandler(BaseHTTPRequestHandler):
             if batcher is not None and hasattr(batcher, "stats"):
                 eng = {k: v for k, v in batcher.stats.items()
                        if isinstance(v, (int, float))}
+                # snapshot before sorting: the engine worker appends to
+                # this deque concurrently, and iterating a mutating deque
+                # raises RuntimeError. list() can race the same way, so
+                # retry the O(us) copy rather than lock the hot append.
                 jd = batcher.stats.get("join_delay_ms")
+                for _ in range(8):
+                    try:
+                        jd = list(jd) if jd is not None else []
+                        break
+                    except RuntimeError:
+                        continue
+                else:
+                    jd = []
                 if jd:
                     eng["p50_join_ms"] = round(sorted(jd)[len(jd) // 2], 1)
                 out["engine"] = eng

@@ -72,7 +72,7 @@ def _train_variant(rows, scheme, strip_controls, acfg: AblationConfig):
     import jax
 
     from ..models.gpt import GPTConfig, init_params
-    from ..train.data import batches
+    from ..train.data import batches, pad_rows
     from ..train.trainer import TrainConfig, Trainer
     from ..tokenizer.scheme_b import SchemeB2
 
@@ -98,10 +98,7 @@ def _train_variant(rows, scheme, strip_controls, acfg: AblationConfig):
             loss = trainer.train_step(x, y, sync=False)["loss"]
     loss = float(loss)
 
-    eval_padded = np.stack([np.asarray(
-        (list(ids[:cfg.seq_len])
-         + [vocab.pad_id] * (cfg.seq_len - len(ids)))[:cfg.seq_len],
-        np.int32) for ids in eval_ids])
+    eval_padded = pad_rows(eval_ids, cfg.seq_len, vocab.pad_id)
     return trainer.params, cfg, vocab, eval_padded, trainer.step, loss
 
 

@@ -46,13 +46,6 @@ class RecoveryConfig:
     log_fn: object = print
 
 
-def _eval_ids(encoded, cfg, pad_id):
-    return np.stack([np.asarray(
-        (list(ids[:cfg.seq_len])
-         + [pad_id] * (cfg.seq_len - len(ids)))[:cfg.seq_len], np.int32)
-        for ids in encoded])
-
-
 def _decode_toks_per_sec(params, cfg, rcfg, n_gen):
     import jax
     import jax.numpy as jnp
@@ -86,7 +79,7 @@ def run_gqa_recovery(rcfg: RecoveryConfig) -> dict:
 
     from ..decode.replay import perplexity
     from ..models.gqa_convert import convert_mha_to_gqa
-    from ..train.data import batches, synthetic_corpus
+    from ..train.data import batches, pad_rows, synthetic_corpus
     from ..train.run import encode_corpus
     from ..train.trainer import TrainConfig, Trainer
     from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -105,7 +98,7 @@ def run_gqa_recovery(rcfg: RecoveryConfig) -> dict:
         "packaged demo); pass your own corpus for other schemes")
     n_eval = max(1, int(len(encoded) * rcfg.eval_frac))
     train_ids, eval_ids = encoded[n_eval:], encoded[:n_eval]
-    eval_padded = _eval_ids(eval_ids, cfg, vocab.pad_id)
+    eval_padded = pad_rows(eval_ids, cfg.seq_len, vocab.pad_id)
 
     n_gen = cfg.n_pos - 3
     ppl_mha = perplexity(params, cfg, eval_padded, pad_id=vocab.pad_id)

@@ -40,6 +40,18 @@ def pad_and_shift(ids: list[int], seq_len: int, pad_id: int
     return arr[:-1], arr[1:]
 
 
+def pad_rows(encoded: Iterable[list[int]], seq_len: int,
+             pad_id: int) -> np.ndarray:
+    """Truncate/right-pad each id row to seq_len -> [N, seq_len] int32.
+
+    The eval-padding policy (PPL over teacher-forced full rows) — one
+    definition shared by tools/ablation.py and tools/gqa_recover.py so
+    the parity-sensitive PAD/truncation semantics can't drift."""
+    return np.stack([np.asarray(
+        (list(ids[:seq_len]) + [pad_id] * (seq_len - len(ids)))[:seq_len],
+        np.int32) for ids in encoded])
+
+
 def batches(encoded: Iterable[list[int]], seq_len: int, pad_id: int,
             micro_batch: int, accum_steps: int = 1, drop_last: bool = True,
             shuffle_seed: int | None = None

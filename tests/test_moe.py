@@ -114,3 +114,85 @@ def test_expert_weights_physically_sharded():
     w1 = shard_moe_params(params, mesh)["w1"]
     shard_shapes = {s.data.shape for s in w1.addressable_shards}
     assert shard_shapes == {(1, CFG.d_ff, CFG.d_model)}
+
+def test_pointwise_matches_dense_when_dropfree():
+    """No-drop pointwise MoE == capacity path whenever capacity suffices
+    — same routing, same gates, different dispatch mechanics."""
+    from eamg_tpu.parallel.moe import moe_mlp_pointwise
+
+    params, x = _xp(seed=9)
+    cap, _ = _nodrop_caps(x, 1)
+    ref = moe_mlp_dense(params, x, CFG, capacity=cap)
+    got = moe_mlp_pointwise(params, x, CFG, chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_top1_router_gets_gradient():
+    """Switch-style top-1 gate (full-softmax prob of the winner) keeps
+    the router trainable; renormalized-top-1 would be constant 1.0."""
+    cfg = MoEConfig(d_model=16, d_ff=32, n_experts=4, top_k=1)
+    params, x = _xp(seed=10, cfg=cfg)
+
+    def loss(p):
+        return jnp.sum(moe_mlp_dense(p, x, cfg, capacity=128) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["router"]).sum()) > 1e-6
+
+
+def test_dense_capacity_is_per_row_and_causal():
+    """Capacity drops must be causal (later tokens can't change earlier
+    outputs) and batch-decoupled (a row's output doesn't depend on which
+    other rows share the batch) — the properties KV-decode parity and
+    the continuous engine's bit-identical-to-solo contract rest on."""
+    rng = np.random.default_rng(11)
+    params = init_moe_params(jax.random.PRNGKey(11), CFG)
+    # adversarial router: every token wants expert 0 -> guaranteed drops
+    params["router"] = params["router"].at[:].set(0.0)
+    params["router"] = params["router"].at[0].set(
+        jnp.ones(CFG.d_model) * 3.0)
+    x = jnp.asarray(rng.normal(size=(2, 8, CFG.d_model)), jnp.float32)
+
+    y = np.asarray(moe_mlp_dense(params, x, CFG, capacity=2))
+    # causal: perturb the LAST token of row 0 -> earlier outputs equal
+    x2 = x.at[0, -1].add(1.0)
+    y2 = np.asarray(moe_mlp_dense(params, x2, CFG, capacity=2))
+    np.testing.assert_allclose(y2[0, :-1], y[0, :-1], atol=1e-6)
+    np.testing.assert_allclose(y2[1], y[1], atol=1e-6)
+    # batch-decoupled: row 1 alone == row 1 in the batch
+    y_solo = np.asarray(moe_mlp_dense(params, x[1:], CFG, capacity=2))
+    np.testing.assert_allclose(y_solo[0], y[1], atol=1e-6)
+
+
+def test_gpt_moe_kv_parity_with_adversarial_router():
+    """The inference MoE path is drop-free pointwise routing, so KV
+    decode == full decode even when every token routes to ONE expert
+    (the capacity paths would disagree here: per-token decode never
+    overflows, the full forward would)."""
+    from eamg_tpu.decode import generate_full, generate_kv
+    from eamg_tpu.models import GPTConfig, init_params
+
+    cfg = GPTConfig(vocab_size=64, seq_len=32, d_model=32, n_head=4,
+                    n_layer=2, causal=True, ln_placement="pre",
+                    activation="gelu", n_experts=4,
+                    moe_capacity_factor=0.25)
+    params = init_params(jax.random.PRNGKey(12), cfg)
+    # skew the routers hard toward expert 0 along a RANDOM direction
+    # (a constant direction would see sum(LN(x)) == 0 and tie-break on
+    # float noise); capacity_factor=0.25 would overflow any capacity-
+    # bounded inference path on every prefix
+    for li in range(2):
+        r = params["layers"][li]["mlp"]["router"]
+        skew = jax.random.normal(jax.random.PRNGKey(100 + li), r.shape)
+        params["layers"][li]["mlp"]["router"] = (
+            skew * 0.5).at[0].multiply(8.0)
+    prompt = np.zeros((2, 4), np.int32)
+    prompt[:, :3] = [[1, 2, 3], [4, 5, 6]]
+    a, _ = generate_kv(params, jnp.asarray(prompt), 3,
+                       jax.random.PRNGKey(0), cfg, 16, greedy=True,
+                       eos_id=-1, pad_id=0, refeed_last_prompt=False)
+    b, _ = generate_full(params, jnp.asarray(prompt), 3,
+                         jax.random.PRNGKey(0), cfg, 16, greedy=True,
+                         eos_id=-1, pad_id=0)
+    assert np.asarray(a).tolist() == np.asarray(b).tolist()
