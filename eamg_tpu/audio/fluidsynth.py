@@ -30,21 +30,28 @@ _SF2_CANDIDATE_DIRS = (
 )
 
 
-def find_fluidsynth() -> tuple[str, str] | None:
-    """(binary, soundfont) when both are present on this host, else None."""
-    binary = os.environ.get("EAMG_FLUIDSYNTH") or shutil.which("fluidsynth")
-    if not binary or not os.path.exists(binary):
-        return None
+def find_soundfont() -> str | None:
+    """Path to a .sf2 on this host: ``EAMG_SOUNDFONT``, the reference's
+    own location, then common system soundfont dirs."""
     sf2 = os.environ.get("EAMG_SOUNDFONT", "")
     if sf2 and os.path.isfile(sf2):
-        return binary, sf2
+        return sf2
     for d in _SF2_CANDIDATE_DIRS:
         if not os.path.isdir(d):
             continue
         for name in sorted(os.listdir(d)):
             if name.lower().endswith(".sf2"):
-                return binary, os.path.join(d, name)
+                return os.path.join(d, name)
     return None
+
+
+def find_fluidsynth() -> tuple[str, str] | None:
+    """(binary, soundfont) when both are present on this host, else None."""
+    binary = os.environ.get("EAMG_FLUIDSYNTH") or shutil.which("fluidsynth")
+    if not binary or not os.path.exists(binary):
+        return None
+    sf2 = find_soundfont()
+    return (binary, sf2) if sf2 else None
 
 
 def render_to_wav_fluidsynth(song: MidiSong, path_or_file,
@@ -70,11 +77,20 @@ def render_to_wav_fluidsynth(song: MidiSong, path_or_file,
         path_or_file.write(data)
 
 
-def render_to_wav_auto(song: MidiSong, path_or_file, seed: int = 0) -> None:
-    """FluidSynth when host has binary+soundfont, additive synth otherwise.
+_sf2_renderers: dict[str, object] = {}  # path -> Sf2Renderer (bank pinned)
 
-    Set ``EAMG_NO_FLUIDSYNTH=1`` to force the on-device synth even when the
-    binary exists (e.g. for deterministic benchmarking).
+
+def render_to_wav_auto(song: MidiSong, path_or_file, seed: int = 0) -> None:
+    """Best available timbre for this host, in fidelity order:
+
+    1. the fluidsynth CLI + a soundfont (the reference's exact render
+       path, api_cache.py:234-235);
+    2. a soundfont WITHOUT the binary: the on-device sample renderer
+       (audio/sampler.py) plays the same .sf2 through XLA;
+    3. neither: the on-device additive synthesizer.
+
+    ``EAMG_NO_FLUIDSYNTH=1`` skips 1, ``EAMG_NO_SF2=1`` skips 2 (e.g.
+    for deterministic benchmarking of the additive path).
     """
     if not os.environ.get("EAMG_NO_FLUIDSYNTH"):
         found = find_fluidsynth()
@@ -83,5 +99,18 @@ def render_to_wav_auto(song: MidiSong, path_or_file, seed: int = 0) -> None:
                 render_to_wav_fluidsynth(song, path_or_file, *found)
                 return
             except (subprocess.SubprocessError, OSError):
-                pass  # broken host install: fall back to the synth
+                pass  # broken host install: fall back
+    if not os.environ.get("EAMG_NO_SF2"):
+        sf2 = find_soundfont()
+        if sf2 is not None:
+            try:
+                if sf2 not in _sf2_renderers:
+                    from .sampler import Sf2Renderer
+
+                    _sf2_renderers[sf2] = Sf2Renderer(sf2)
+                _sf2_renderers[sf2].render_to_wav(song, path_or_file,
+                                                  seed=seed)
+                return
+            except (ValueError, OSError):
+                pass  # unparseable soundfont: fall back
     _render_additive(song, path_or_file, seed=seed)

@@ -1,0 +1,181 @@
+"""TPU-side SoundFont sample playback: MIDI -> waveform with real GM
+timbre, no host synth.
+
+The reference's audio identity comes from FluidSynth playing the
+FluidR3_GM soundfont (reference api_cache.py:234-235). audio/sf2.py
+parses that artifact format; this module plays it as ONE jitted XLA
+program per note chunk, mirroring audio/synth.py's dense-tile design:
+
+- every (note x matched voice) renders into a [D]-sample tile: a
+  fractional read position ramp (pitch ratio x output clock) gathers
+  linearly-interpolated PCM out of the flat sample bank (loop-wrapped
+  for sustained samples), shaped by the zone's DAHDSS+R envelope;
+- tiles scatter-add onto the output timeline;
+- shapes are static ([CHUNK, D] tiles, 5 s timeline buckets), so
+  repeated requests reuse one compiled program, and the sample bank is
+  uploaded to the device once per renderer.
+
+Notes with no matching preset in the soundfont (e.g. a percussion-less
+SF2) fall back to the additive synthesizer so a partial soundfont never
+silences a song.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..midi.smf import Instrument, MidiSong
+from .sf2 import SoundFont, load_sf2
+from .synth import MAX_NOTE_SECONDS, SAMPLE_RATE
+from .synth import render_song as _render_additive
+
+_CHUNK = 128                     # voices per compiled render call
+_MASTER_GAIN = 0.35
+
+
+@partial(jax.jit, static_argnames=("n_total", "d_samples"))
+def _render_voices(bank, pos0, end, loop_s, loop_e, loops, ratio,
+                   t_start, dur, gain, delay, attack, hold, decay,
+                   sustain, release, n_total, d_samples):
+    """[V] voice params -> [n_total] waveform (one chunk).
+
+    All per-voice params are [V] float32 (loops is bool). ``bank`` is the
+    flat sample array with a 1-sample interpolation guard at the end.
+    """
+    V = pos0.shape[0]
+    ramp = jnp.arange(d_samples, dtype=jnp.float32)        # [D]
+    tt = ramp / SAMPLE_RATE                                # [D] seconds
+
+    # fractional source read positions, loop-wrapped for sustained zones
+    sp = pos0[:, None] + ramp[None, :] * ratio[:, None]    # [V, D]
+    lw = jnp.maximum(loop_e - loop_s, 1.0)[:, None]
+    wrapped = loop_s[:, None] + jnp.mod(sp - loop_s[:, None], lw)
+    sp = jnp.where(loops[:, None] & (sp >= loop_e[:, None]), wrapped, sp)
+    in_data = sp < (end[:, None] - 1.0)                    # room to interp
+    sp = jnp.clip(sp, 0.0, bank.shape[0] - 2.0)
+    i0 = jnp.floor(sp).astype(jnp.int32)
+    frac = sp - i0.astype(jnp.float32)
+    pcm = bank[i0] * (1.0 - frac) + bank[i0 + 1] * frac    # [V, D]
+
+    # DAHDSS envelope on the output clock
+    t1 = delay[:, None]
+    t2 = t1 + attack[:, None]
+    t3 = t2 + hold[:, None]
+    ttb = tt[None, :]
+    env = jnp.clip((ttb - t1) / jnp.maximum(attack[:, None], 1e-4),
+                   0.0, 1.0)
+    sus = sustain[:, None]
+    dec = jnp.clip((ttb - t3) / jnp.maximum(decay[:, None], 1e-4),
+                   0.0, 1.0)
+    env = jnp.where(ttb > t3, 1.0 - (1.0 - sus) * dec, env)
+    env = jnp.where((ttb > t2) & (ttb <= t3), 1.0, env)
+    # release: linear fade from the held level after note-off
+    durc = jnp.maximum(dur, 1e-3)[:, None]
+    rel = jnp.maximum(ttb - durc, 0.0)
+    env = env * jnp.clip(1.0 - rel / jnp.maximum(release[:, None], 1e-4),
+                         0.0, 1.0)
+
+    tiles = pcm * env * gain[:, None] * in_data            # [V, D]
+
+    start_idx = jnp.round(t_start * SAMPLE_RATE).astype(jnp.int32)
+    idx = start_idx[:, None] + jnp.arange(d_samples)[None, :]
+    idx = jnp.clip(idx, 0, n_total - 1)
+    out = jnp.zeros((n_total,), jnp.float32)
+    return out.at[idx.reshape(-1)].add(tiles.reshape(-1))
+
+
+class Sf2Renderer:
+    """Plays a parsed SoundFont on the accelerator.
+
+    The sample bank is uploaded once at construction (like the emotion
+    classifier's pinned params); each render call is host-side voice
+    resolution + a few fixed-shape device calls.
+    """
+
+    def __init__(self, sf: SoundFont | str):
+        self.sf = load_sf2(sf) if isinstance(sf, str) else sf
+        # +1 guard sample so i0+1 gathers stay in bounds
+        self.bank = jnp.asarray(np.concatenate(
+            [self.sf.samples.astype(np.float32), np.zeros(2, np.float32)]))
+
+    def _voices_for(self, song: MidiSong):
+        """(matched [per-voice param rows], [unmatched notes' Instrument
+        clones]) — host-side preset/zone resolution."""
+        rows = []
+        leftovers: list[Instrument] = []
+        for inst in song.instruments:
+            bank_n = 128 if inst.is_drum else 0
+            missing = None
+            for n in inst.notes:
+                vs = self.sf.lookup(bank_n, int(inst.program),
+                                    int(n.pitch), int(n.velocity))
+                if not vs:
+                    if missing is None:
+                        missing = Instrument(inst.program, inst.is_drum,
+                                             inst.name)
+                        leftovers.append(missing)
+                    missing.notes.append(n)
+                    continue
+                for v in vs:
+                    # drum zones ignore note-off (one-shot); melodic dur
+                    # is the held time, capped to the tile
+                    dur = MAX_NOTE_SECONDS if inst.is_drum else min(
+                        n.duration, MAX_NOTE_SECONDS)
+                    semis = (int(n.pitch) - v.root_key) \
+                        * (v.scale_tuning / 100.0)
+                    ratio = (2.0 ** (semis / 12.0 + v.tune_cents / 1200.0)
+                             * v.src_rate / SAMPLE_RATE)
+                    vel_gain = (n.velocity / 127.0) ** 2
+                    rows.append((
+                        float(v.start), float(v.end), float(v.loop_start),
+                        float(v.loop_end), float(v.loops), float(ratio),
+                        float(n.start), float(dur),
+                        float(v.gain * vel_gain * _MASTER_GAIN),
+                        float(v.delay), float(min(v.attack, 4.0)),
+                        float(min(v.hold, 4.0)), float(min(v.decay, 8.0)),
+                        float(v.sustain), float(min(v.release, 4.0))))
+        return rows, leftovers
+
+    def render_song(self, song: MidiSong, tail: float = 0.5,
+                    seed: int = 0) -> np.ndarray:
+        rows, leftovers = self._voices_for(song)
+        end_time = song.get_end_time() + tail
+        n_exact = max(int(np.ceil(end_time * SAMPLE_RATE)),
+                      SAMPLE_RATE // 4)
+        bucket = 5 * SAMPLE_RATE
+        n_total = ((n_exact + bucket - 1) // bucket) * bucket
+        d_samples = min(int((MAX_NOTE_SECONDS + 0.5) * SAMPLE_RATE),
+                        n_total)
+        out = np.zeros(n_total, np.float32)
+        for c in range(0, len(rows), _CHUNK):
+            chunk = rows[c:c + _CHUNK]
+            arr = np.zeros((_CHUNK, 15), np.float32)
+            arr[:len(chunk)] = np.asarray(chunk, np.float32)
+            cols = [jnp.asarray(arr[:, i]) for i in range(15)]
+            loops = cols[4] > 0.5
+            out += np.asarray(_render_voices(
+                self.bank, cols[0], cols[1], cols[2], cols[3], loops,
+                cols[5], cols[6], cols[7], cols[8], cols[9], cols[10],
+                cols[11], cols[12], cols[13], cols[14],
+                n_total, d_samples))
+        if leftovers:
+            fallback = MidiSong()
+            fallback.instruments = leftovers
+            add = _render_additive(fallback, seed=seed)
+            out[:len(add)] += add[:n_total]
+        out = out[:n_exact]
+        peak = float(np.abs(out).max())
+        if peak > 1.0:
+            out = out / peak * 0.97
+        return out
+
+    def render_to_wav(self, song: MidiSong, path_or_file,
+                      seed: int = 0) -> None:
+        from .synth import write_wav
+
+        write_wav(path_or_file, self.render_song(song, seed=seed))

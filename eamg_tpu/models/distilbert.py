@@ -135,19 +135,28 @@ def _strip_prefixes(sd: dict) -> dict:
 def import_hf_state_dict(sd: dict, cfg: DistilBertConfig,
                          lora_alpha: float = 16.0) -> dict:
     """HF DistilBertForSequenceClassification state dict (optionally with
-    PEFT LoRA keys) -> our param pytree, LoRA merged."""
+    PEFT LoRA keys) -> our param pytree, LoRA merged.
+
+    Returns HOST (numpy) arrays deliberately: this runs inside
+    torch-carrying converter subprocesses (tools/convert.py) where
+    initializing a jax backend either deadlocks with torch (XLA:CPU,
+    CLAUDE.md) or hangs dialing the TPU tunnel; consumers that compute
+    feed the tree to jit, which device-puts on first use."""
     sd = _strip_prefixes(sd)
 
+    def f32(name):
+        return _np(sd[name]).astype(np.float32)
+
     def lin(name):
-        w = _np(sd[f"{name}.weight"]).astype(np.float32)
-        b = _np(sd[f"{name}.bias"]).astype(np.float32)
+        w = f32(f"{name}.weight")
+        b = f32(f"{name}.bias")
         la, lb = f"{name}.lora_A.default.weight", \
             f"{name}.lora_B.default.weight"
         if la in sd:
-            A = _np(sd[la]).astype(np.float32)   # [r, in]
-            Bm = _np(sd[lb]).astype(np.float32)  # [out, r]
+            A = f32(la)   # [r, in]
+            Bm = f32(lb)  # [out, r]
             w = w + (lora_alpha / A.shape[0]) * (Bm @ A)
-        return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        return {"w": w, "b": b}
 
     layers = []
     for i in range(cfg.n_layers):
@@ -157,22 +166,18 @@ def import_hf_state_dict(sd: dict, cfg: DistilBertConfig,
             "k": lin(f"{pre}.attention.k_lin"),
             "v": lin(f"{pre}.attention.v_lin"),
             "out": lin(f"{pre}.attention.out_lin"),
-            "sa_ln": {"g": jnp.asarray(_np(sd[f"{pre}.sa_layer_norm.weight"])),
-                      "b": jnp.asarray(_np(sd[f"{pre}.sa_layer_norm.bias"]))},
+            "sa_ln": {"g": f32(f"{pre}.sa_layer_norm.weight"),
+                      "b": f32(f"{pre}.sa_layer_norm.bias")},
             "lin1": lin(f"{pre}.ffn.lin1"),
             "lin2": lin(f"{pre}.ffn.lin2"),
-            "out_ln": {
-                "g": jnp.asarray(_np(sd[f"{pre}.output_layer_norm.weight"])),
-                "b": jnp.asarray(_np(sd[f"{pre}.output_layer_norm.bias"]))},
+            "out_ln": {"g": f32(f"{pre}.output_layer_norm.weight"),
+                       "b": f32(f"{pre}.output_layer_norm.bias")},
         })
     return {
-        "word_emb": jnp.asarray(
-            _np(sd["distilbert.embeddings.word_embeddings.weight"])),
-        "pos_emb": jnp.asarray(
-            _np(sd["distilbert.embeddings.position_embeddings.weight"])),
-        "emb_ln": {
-            "g": jnp.asarray(_np(sd["distilbert.embeddings.LayerNorm.weight"])),
-            "b": jnp.asarray(_np(sd["distilbert.embeddings.LayerNorm.bias"]))},
+        "word_emb": f32("distilbert.embeddings.word_embeddings.weight"),
+        "pos_emb": f32("distilbert.embeddings.position_embeddings.weight"),
+        "emb_ln": {"g": f32("distilbert.embeddings.LayerNorm.weight"),
+                   "b": f32("distilbert.embeddings.LayerNorm.bias")},
         "layers": layers,
         "pre_classifier": lin("pre_classifier"),
         "classifier": lin("classifier"),

@@ -65,13 +65,12 @@ def convert_hf_distilbert(hf_dir: str, out_dir: str,
     if not sd:
         raise FileNotFoundError(f"no model weights found in {hf_dir}")
 
+    # import_hf_state_dict returns host numpy arrays by contract — no jax
+    # backend is touched in this torch-carrying process (see its docstring)
     params = import_hf_state_dict(sd, cfg, lora_alpha=lora_alpha)
     os.makedirs(out_dir, exist_ok=True)
-    import jax
-    import numpy as np
-
     with open(os.path.join(out_dir, "params.pkl"), "wb") as f:
-        pickle.dump(jax.tree.map(np.asarray, params), f)
+        pickle.dump(params, f)
     with open(os.path.join(out_dir, "config.pkl"), "wb") as f:
         pickle.dump(cfg_kwargs, f)
     vocab_src = os.path.join(hf_dir, "vocab.txt")

@@ -1,0 +1,113 @@
+"""Builds a tiny, spec-valid SoundFont 2 file in memory for tests.
+
+Two sampled presets at 22050 Hz:
+- (bank 0, program 0): a pure 440 Hz sine, root key 69 (A4), looped —
+  playing key 69 must reproduce 440 Hz, key 81 must give 880 Hz;
+- (bank 0, program 40): a 261.63 Hz sawtooth, root key 60 (C4), looped,
+  with a slow attack set through a GLOBAL instrument zone (exercises
+  global-zone merging) and a preset-level fine-tune offset of 0 cents.
+
+No percussion bank, so drum notes exercise the renderer's additive
+fallback path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+RATE = 22050
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\0" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def _sine(freq: float, seconds: float) -> np.ndarray:
+    t = np.arange(int(seconds * RATE)) / RATE
+    return np.sin(2 * np.pi * freq * t)
+
+
+def _saw(freq: float, seconds: float) -> np.ndarray:
+    t = np.arange(int(seconds * RATE)) / RATE
+    return 2.0 * ((t * freq) % 1.0) - 1.0
+
+
+def build_test_sf2() -> bytes:
+    # --- sample data: [sine | saw], each with loop points on whole
+    # periods so looped playback stays phase-continuous
+    sine = _sine(440.0, 0.25)
+    saw = _saw(261.63, 0.25)
+    pcm = np.concatenate([sine, saw])
+    smpl = (np.clip(pcm, -1, 1) * 32000).astype("<i2").tobytes()
+
+    per_sine = RATE / 440.0
+    sine_loop = (int(10 * per_sine), int(100 * per_sine))
+    per_saw = RATE / 261.63
+    saw_loop = (len(sine) + int(5 * per_saw), len(sine) + int(60 * per_saw))
+
+    def shdr_rec(name, start, end, ls, le, root):
+        return struct.pack("<20sIIIIIBbHH", name, start, end, ls, le,
+                           RATE, root, 0, 0, 1)  # type 1 = mono
+
+    shdr = (shdr_rec(b"sine", 0, len(sine), *sine_loop, 69)
+            + shdr_rec(b"saw", len(sine), len(sine) + len(saw),
+                       *saw_loop, 60)
+            + shdr_rec(b"EOS", 0, 0, 0, 0, 0))
+
+    # --- instruments: zones are (keyRange?, sampleModes, sampleID)
+    G_ATTACK, G_KEYRANGE, G_MODES, G_SID, G_INST = 34, 43, 54, 53, 41
+
+    def gen(oper, amount):
+        return struct.pack("<Hh", oper, amount) if amount < 0 \
+            else struct.pack("<HH", oper, amount)
+
+    # inst 0 (sine): one zone, full key range, looped
+    igen0 = gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1) + gen(G_SID, 0)
+    # inst 1 (saw): GLOBAL zone carrying a ~0.18 s attack (timecents
+    # 1200*log2(0.18) ~= -2969), then the sample zone
+    igen1_glob = gen(G_ATTACK, -2969)
+    igen1 = gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1) + gen(G_SID, 1)
+
+    igen = igen0 + igen1_glob + igen1
+    # ibag: zone -> first gen index (each gen record is 4 bytes)
+    ibag = b"".join(struct.pack("<HH", g, 0)
+                    for g in (0, 3, 4, 7))  # inst0-z0, GLOB, inst1-z0, EOZ
+    inst = (struct.pack("<20sH", b"sine-inst", 0)
+            + struct.pack("<20sH", b"saw-inst", 1)   # bags 1..2 (GLOB+zone)
+            + struct.pack("<20sH", b"EOI", 3))
+
+    # --- presets
+    pgen = gen(G_INST, 0) + gen(G_INST, 1)
+    pbag = b"".join(struct.pack("<HH", g, 0) for g in (0, 1, 2))
+    phdr = (struct.pack("<20sHHHIII", b"sine-preset", 0, 0, 0, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"saw-preset", 40, 0, 1, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"EOP", 0, 0, 2, 0, 0, 0))
+
+    pmod = imod = b"\0" * 10      # terminal modulator records only
+
+    info = (_chunk(b"ifil", struct.pack("<HH", 2, 4))
+            + _chunk(b"INAM", b"eamg test font\0")
+            + _chunk(b"isng", b"EMU8000\0"))
+    pdta = (_chunk(b"phdr", phdr) + _chunk(b"pbag", pbag)
+            + _chunk(b"pmod", pmod) + _chunk(b"pgen", pgen)
+            + _chunk(b"inst", inst) + _chunk(b"ibag", ibag)
+            + _chunk(b"imod", imod) + _chunk(b"igen", igen)
+            + _chunk(b"shdr", shdr))
+    body = (b"sfbk" + _list(b"INFO", info)
+            + _list(b"sdta", _chunk(b"smpl", smpl))
+            + _list(b"pdta", pdta))
+    return _chunk(b"RIFF", body)
+
+
+def dominant_freq(wave: np.ndarray, rate: int = RATE) -> float:
+    """Frequency of the largest FFT bin (DC excluded)."""
+    spec = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
+    spec[0] = 0.0
+    return float(np.argmax(spec) * rate / len(wave))
