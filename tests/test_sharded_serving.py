@@ -56,3 +56,31 @@ def test_bf16_training_runs_and_learns():
     assert losses[-1] < losses[0]
     # params stay f32 (master copy)
     assert jax.tree.leaves(trainer.params)[0].dtype == jnp.float32
+
+
+def test_tp_sharded_continuous_engine_matches_unsharded():
+    """Production sharded serving: the persistent continuous-batching
+    engine runs with Megatron-TP-sharded params (GSPMD computation-
+    follows-data — the engine code has no mesh plumbing) and every row
+    still bit-matches the unsharded engine's stream."""
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.tokenizer import Vocab
+
+    vocab = Vocab({str(i): i for i in range(96)})
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    prompts = [[1, 2, 3], [4, 5, 6, 7]]
+
+    def run(p):
+        eng = ContinuousBatcher(
+            Generator(p, CFG, vocab, eos_token="none", pad_token="0"),
+            slots=2, chunk=4, max_len=24)
+        try:
+            return [eng.submit(pr, seed=100 + i, timeout=600)
+                    for i, pr in enumerate(prompts)]
+        finally:
+            eng.close()
+
+    base = run(params)
+    mesh = make_mesh(data=4, model=2)
+    assert run(shard_params(params, mesh, tp=True)) == base
