@@ -43,18 +43,24 @@ class _Pending:
 
 class RequestBatcher:
     def __init__(self, generator: Generator, max_batch: int = 8,
-                 window_ms: float = 10.0, max_len: int | None = None):
+                 window_ms: float = 10.0, max_len: int | None = None,
+                 max_queue: int = 256):
         self.gen = generator
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
+        self.max_queue = max_queue       # 0 = unbounded
         self._q: queue.Queue = queue.Queue()
-        self.stats = {"calls": 0, "requests": 0, "max_group": 0}
+        self.stats = {"calls": 0, "requests": 0, "max_group": 0,
+                      "rejected": 0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     # ------------------------------------------------------------- client
+
+    def overloaded(self) -> bool:
+        return bool(self.max_queue) and self._q.qsize() >= self.max_queue
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                top_k: int = 50, greedy: bool = False,
@@ -70,6 +76,13 @@ class RequestBatcher:
                        bool(greedy),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml)
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            from .continuous import EngineOverloaded
+
+            self.stats["rejected"] += 1
+            raise EngineOverloaded(
+                f"batcher admission queue full "
+                f"({self.max_queue} requests waiting)")
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("generation timed out")

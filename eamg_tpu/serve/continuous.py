@@ -45,6 +45,15 @@ from ..decode.sampling import sample_token
 _split_rows = jax.vmap(lambda k: jax.random.split(k))
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised at submit time when the engine's admission queue is full.
+
+    The reference had no admission control at all — uvicorn simply queued
+    requests without bound (api_cache.py:186). A production server must
+    shed load instead: the HTTP layer maps this to 503 + Retry-After so
+    clients back off while in-flight rows keep their latency."""
+
+
 def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy):
     """Per-row key AND per-row temperature (rows are independent requests).
     Bit-matches decode/ragged.py's _sample_per_row for equal temperature."""
@@ -217,7 +226,7 @@ class ContinuousBatcher:
     def __init__(self, generator: Generator, slots: int = 8,
                  chunk: int = 64, max_len: int | None = None,
                  top_k: int = 50, greedy: bool = False,
-                 mask_value: float = -1e10):
+                 mask_value: float = -1e10, max_queue: int = 256):
         assert generator.cfg.causal and not generator.cfg.pos_broadcast_bug,\
             "continuous batching requires the corrected causal config"
         self.gen = generator
@@ -226,6 +235,9 @@ class ContinuousBatcher:
         self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
+        # admission control: requests queued beyond the live slots; 0 =
+        # unbounded (benchmarks that deliberately flood the engine)
+        self.max_queue = max_queue
         self.state = init_state(generator.cfg, slots, self.max_len)
         self._q: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
@@ -235,7 +247,8 @@ class ContinuousBatcher:
 
         # bounded: a long-running server must not grow per-request state
         self.stats = {"chunks": 0, "admitted": 0, "served": 0,
-                      "cancelled": 0, "join_delay_ms": deque(maxlen=4096)}
+                      "cancelled": 0, "rejected": 0,
+                      "join_delay_ms": deque(maxlen=4096)}
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -267,7 +280,7 @@ class ContinuousBatcher:
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
                        submitted=time.monotonic())
-        self._q.put(req)
+        self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
             raise TimeoutError("generation timed out")
@@ -309,8 +322,26 @@ class ContinuousBatcher:
                        submitted=time.monotonic())
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
-        self._q.put(req)
+        self._enqueue(req)
         return self._consume_stream(req, timeout)
+
+    def overloaded(self) -> bool:
+        """Cheap admission pre-check (the SSE path must decide before it
+        commits to a 200 + event-stream response)."""
+        return bool(self.max_queue) and self._q.qsize() >= self.max_queue
+
+    def _enqueue(self, req: _Pending):
+        """Admission control: bound the number of not-yet-admitted
+        requests. qsize() is approximate under concurrency, but the only
+        consumer is the single worker thread, so it never *under*counts
+        waiting requests — the bound cannot be silently exceeded by more
+        than the handful of racing producers."""
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            self.stats["rejected"] += 1
+            raise EngineOverloaded(
+                f"engine admission queue full "
+                f"({self.max_queue} requests waiting)")
+        self._q.put(req)
 
     def _consume_stream(self, req: "_Pending", timeout: float):
         try:
@@ -340,6 +371,18 @@ class ContinuousBatcher:
         overwrites every per-slot field on re-admission."""
         req.cancelled = True
         self._cancels.put(req)
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Graceful shutdown, phase 1: stop the caller from admitting (the
+        HTTP layer has already stopped accepting) and wait for queued +
+        in-flight rows to finish. Returns True when the engine went idle
+        within ``timeout``."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._q.qsize() == 0 and not self._live:
+                return True
+            time.sleep(0.05)
+        return self._q.qsize() == 0 and not self._live
 
     def close(self, timeout: float = 30.0):
         self._stop = True

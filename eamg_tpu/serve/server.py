@@ -19,6 +19,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 from ..utils.logging import JsonLogger, LatencyStats
+from .continuous import EngineOverloaded
 from .pipeline import Pipeline
 
 _STATIC_DIR = Path(__file__).parent / "static"
@@ -200,6 +201,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 extra["Content-Disposition"] = \
                     'attachment; filename="generated.wav"'
                 self._send(200, result.wav_bytes, "audio/wav", extra)
+        except EngineOverloaded as exc:
+            # load shedding: the engine's admission queue is full — tell
+            # the client to back off instead of queueing without bound
+            self._send(503, json.dumps({"error": str(exc)}).encode(),
+                       "application/json", {"Retry-After": "1"})
         except Exception as exc:  # pragma: no cover - defensive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
@@ -211,6 +217,16 @@ class EAMGHandler(BaseHTTPRequestHandler):
         The reference's client saw nothing until the full WAV arrived."""
         import time as _time
 
+        # decide overload BEFORE committing to a 200 event-stream (a race
+        # between this check and the row's enqueue degrades to an SSE
+        # "error" event, which streaming clients already handle)
+        batcher = getattr(self.pipeline, "batcher", None)
+        if batcher is not None and \
+                getattr(batcher, "overloaded", lambda: False)():
+            self._send(503, json.dumps(
+                {"error": "engine admission queue full"}).encode(),
+                "application/json", {"Retry-After": "1"})
+            return
         self.send_response(200)
         for k, v in {**_CORS, "Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"}.items():
@@ -336,7 +352,29 @@ def main():  # pragma: no cover - CLI entry
     pipeline.warmup()
     server = make_server(pipeline, args.host, args.port, quiet=False)
     print(f"EAMG-TPU serving on http://{args.host}:{args.port}")
-    server.serve_forever()
+
+    # graceful shutdown: SIGTERM/SIGINT stop the accept loop, in-flight
+    # engine rows drain, then the worker thread is joined (killing it
+    # mid-jax-call aborts the process)
+    import signal
+
+    def _graceful(signum, frame):
+        print(f"signal {signum}: draining...", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+    try:
+        server.serve_forever()
+    finally:
+        batcher = getattr(pipeline, "batcher", None)
+        if batcher is not None:
+            if hasattr(batcher, "drain"):
+                batcher.drain(timeout=60)
+            if hasattr(batcher, "close"):
+                batcher.close()
+        server.server_close()
+        print("drained; bye")
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -312,3 +312,46 @@ def test_pipeline_stream_close_cancels_engine_row():
         assert len(eng._free) + len(eng._live) == eng.slots
     finally:
         eng.close()
+
+
+def test_admission_queue_overload_and_drain(generator):
+    """Production load shedding: with one slot busy and the admission
+    queue at max_queue, further submits raise EngineOverloaded instead of
+    queueing without bound; drain() reports idle after completion."""
+    from eamg_tpu.serve.continuous import EngineOverloaded
+
+    eng = ContinuousBatcher(generator, slots=1, chunk=4, max_len=40,
+                            max_queue=1)
+    try:
+        results = {}
+
+        def hit(name, seed):
+            try:
+                results[name] = eng.submit([1, 2, 3], seed=seed,
+                                           timeout=600)
+            except EngineOverloaded as exc:
+                results[name] = exc
+
+        ta = threading.Thread(target=hit, args=("a", 1), daemon=True)
+        ta.start()
+        deadline = time.monotonic() + 120
+        while eng.stats["admitted"] < 1:      # a holds the only slot
+            assert time.monotonic() < deadline, "first admit never happened"
+            time.sleep(0.02)
+        tb = threading.Thread(target=hit, args=("b", 2), daemon=True)
+        tb.start()
+        while eng._q.qsize() < 1:             # b is parked in the queue
+            assert time.monotonic() < deadline, "b never queued"
+            time.sleep(0.02)
+        assert eng.overloaded()
+        hit("c", 3)                            # queue full -> shed
+        ta.join(600)
+        tb.join(600)
+        assert isinstance(results["c"], EngineOverloaded)
+        assert isinstance(results["a"], list)
+        assert isinstance(results["b"], list)
+        assert eng.stats["rejected"] == 1
+        assert eng.drain(timeout=30)
+        assert not eng.overloaded()
+    finally:
+        eng.close()

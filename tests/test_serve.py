@@ -267,3 +267,30 @@ def test_pipeline_multi_section_generation():
     res1 = pipe.generate_sections("I love this so much", seed=4,
                                   render_audio=False)
     assert "sections" not in res1.mapping
+
+
+def test_http_503_on_engine_overload(server, pipeline, monkeypatch):
+    """EngineOverloaded maps to 503 + Retry-After on both POST paths
+    (plain and SSE) so clients back off instead of piling onto the queue."""
+    import urllib.error
+
+    from eamg_tpu.serve.continuous import EngineOverloaded
+
+    def boom(*a, **k):
+        raise EngineOverloaded("engine admission queue full (test)")
+
+    monkeypatch.setattr(type(pipeline), "generate", boom, raising=True)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_form(f"{server}/generate", {"prompt": "hello"})
+    assert ei.value.code == 503
+    assert ei.value.headers["Retry-After"] == "1"
+    assert "queue full" in json.loads(ei.value.read())["error"]
+
+    class _Full:
+        def overloaded(self):
+            return True
+
+    monkeypatch.setattr(pipeline, "batcher", _Full(), raising=False)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_form(f"{server}/generate?stream=1", {"prompt": "hello"})
+    assert ei.value.code == 503
