@@ -318,6 +318,9 @@ def main():  # pragma: no cover - CLI entry
                              "admission/harvest boundaries (default 64; "
                              "smaller = faster join + finer streaming "
                              "deltas, larger = less host sync overhead)")
+    parser.add_argument("--max-queue", type=int, default=None,
+                        help="admission-queue bound before requests are "
+                             "shed with 503 (default 256; 0 = unbounded)")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -328,6 +331,8 @@ def main():  # pragma: no cover - CLI entry
             coalesce_opts["chunk"] = args.chunk
     elif args.coalesce and args.slots is not None:
         coalesce_opts["max_batch"] = args.slots
+    if args.coalesce and args.max_queue is not None:
+        coalesce_opts["max_queue"] = args.max_queue
 
     from .pipeline import packaged_demo_checkpoint, pipeline_from_checkpoint
 
