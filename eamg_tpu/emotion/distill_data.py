@@ -153,13 +153,130 @@ _EXTRA: dict[str, list[str]] = {
                 "the wall is painted gray", "water boils at a hundred "
                 "degrees", "the store opens at nine", "my desk has two "
                 "drawers", "the file was saved", "the road goes north",
-                "the invoice is attached", "the schedule for next week is "
-                "posted on the board", "the package weighs two kilograms",
+                "the invoice is attached", "the agenda for friday is "
+                "pinned to the corkboard", "the package weighs two kilograms",
                 "the printer is on the second floor", "the recipe calls "
                 "for two eggs", "the bus runs every fifteen minutes",
                 "the form has three sections", "the update installs "
                 "tonight", "the lecture covers chapter four",
                 "the parking lot is behind the building"],
+}
+
+# Third wave of bank coverage (round 2, after the 56-sentence OOD error
+# analysis): two general FAMILIES real text uses that templates x
+# adjectives never produce — (a) physiological-symptom phrases (the body
+# state names the emotion: racing heart, burning cheeks), (b) protective
+# imperatives for "caring" (the emotion is an instruction to someone
+# else, not a feeling word). Plus ordinary vocabulary depth. These are
+# generic English idioms, deliberately NOT sentences from OOD_EVAL.
+_EXTRA2: dict[str, list[str]] = {
+    "admiration": ["impressive", "inspiring", "what a talent",
+                   "true craftsmanship", "second to none", "top notch",
+                   "the skill on display", "i could never do that",
+                   "pure class", "a master at work"],
+    "amusement": ["couldn't stop laughing", "laughed until i cried",
+                  "howling with laughter", "tears of laughter",
+                  "hilarious", "hysterical", "comedy gold",
+                  "had me rolling", "belly laugh", "laughing so hard",
+                  "funniest thing i've seen", "a riot"],
+    "anger": ["livid", "clenched my fists", "through the roof",
+              "grinding my teeth", "about to explode", "blood boiling",
+              "lost my temper", "shaking with rage", "how dare they",
+              "crossed the line for the last time"],
+    "annoyance": ["for the hundredth time", "enough already",
+                  "every single time", "testing my patience",
+                  "won't stop", "again and again", "over and over",
+                  "so irritating", "can't hear myself think"],
+    "approval": ["good idea", "i agree with this", "i support this",
+                 "sensible", "the right call", "no objections",
+                 "sound plan", "i'm for it", "makes perfect sense",
+                 "a fair arrangement", "seems reasonable to me"],
+    "caring": ["drive safely", "get home safe", "call me when you "
+               "arrive", "bundle up out there", "get some rest",
+               "don't forget your jacket", "let me know you're okay",
+               "i'll keep you company", "eat something today",
+               "wear something warm", "take your medicine",
+               "i'll wait up for you", "be careful on the ice"],
+    "confusion": ["lost the thread", "can't make heads or tails",
+                  "baffled", "none of this adds up", "i'm lost",
+                  "which one is right", "totally turned around",
+                  "the numbers don't match", "wait what"],
+    "curiosity": ["what could it be", "peeked inside", "so many "
+                  "questions", "wonder how they did it", "had to take "
+                  "a closer look", "what's the story behind"],
+    "desire": ["wish i had", "longing for", "yearning", "daydreaming "
+               "about", "if only it were mine", "i want it so much",
+               "been saving up for", "first thing i'd buy"],
+    "disappointment": ["hopes dashed", "not worth the wait",
+                       "underwhelming", "all that buildup for nothing",
+                       "thought it would be better", "left wanting",
+                       "overhyped", "doesn't deliver"],
+    "disapproval": ["should be ashamed", "not acceptable",
+                    "i can't support", "sets a bad precedent",
+                    "this is wrong and everyone knows it",
+                    "they shouldn't get away with it", "beneath them"],
+    "disgust": ["stomach turned", "lost my appetite", "nearly threw "
+                "up", "recoiled", "revolting", "repulsive", "had to "
+                "look away", "washed my hands twice", "gag reflex"],
+    "embarrassment": ["cheeks burning", "face went red", "cringe",
+                      "so embarrassing", "wanted to hide", "everyone "
+                      "was staring at me", "dying inside", "in front "
+                      "of the whole class", "wished i could vanish"],
+    "excitement": ["can't wait", "counting the minutes", "thrilled to "
+                   "bits", "bursting to tell someone", "big day "
+                   "tomorrow", "it's finally happening"],
+    "fear": ["frozen with fear", "heart in my throat", "afraid to "
+             "look", "white knuckles", "dared not move", "every "
+             "shadow made me jump", "cold sweat"],
+    "gratitude": ["so thankful", "forever grateful", "you saved my "
+                  "day", "couldn't be more grateful", "i owe you",
+                  "beyond kind of you", "you didn't have to do that"],
+    "grief": ["never got to say goodbye", "visiting the grave",
+              "keeps his photo close", "a year since we lost",
+              "the eulogy", "her side of the bed is empty",
+              "grieving", "taken from us too young"],
+    "joy": ["couldn't stop smiling", "happiest i've been", "singing "
+            "in the shower", "skipped all the way home", "lit up the "
+            "whole room", "what a wonderful day"],
+    "love": ["my whole heart", "love of my life", "sweetheart",
+             "falling for", "my person", "never felt this way",
+             "meant to be", "every moment with you"],
+    "nervousness": ["heart is racing", "palms are sweating", "hands "
+                    "are shaking", "pacing back and forth", "knees "
+                    "went weak", "a nervous wreck", "dread building",
+                    "can't eat before", "mind keeps racing",
+                    "waiting by the phone", "what if i mess up"],
+    "optimism": ["we'll get through this", "turn the corner",
+                 "onwards and upwards", "the tide will turn",
+                 "tomorrow is a new day", "things are looking up",
+                 "our luck is changing", "next time we'll win"],
+    "pride": ["so proud of", "worked for every bit of it", "did it on "
+              "my own", "held my head high", "my proudest moment",
+              "all that practice paid off", "from nothing to this"],
+    "realization": ["suddenly it was obvious", "everything fell into "
+                    "place", "now i get it", "it occurred to me",
+                    "i see it now", "the pieces fit", "should have "
+                    "seen it sooner", "that explains everything"],
+    "relief": ["dodged a bullet", "finally over", "a huge weight off",
+               "all clear", "the panic was for nothing", "everyone is "
+               "safe", "it still works", "nothing was broken"],
+    "remorse": ["can't forgive myself", "it was my fault", "i let "
+                "them down", "if i could take it back", "no excuse "
+                "for what i did", "kept me up at night"],
+    "sadness": ["fighting back tears", "cried myself to sleep",
+                "everything feels gray", "missing what we had",
+                "a lump in my throat", "can't stop crying",
+                "the joy has gone out of it"],
+    "surprise": ["did a double take", "couldn't believe my eyes",
+                 "froze in place", "astonished", "dumbfounded",
+                 "flabbergasted", "who would have thought", "of all "
+                 "people", "that came out of nowhere"],
+    "neutral": ["the thermostat is set to twenty degrees",
+                "the ferry crosses twice a day",
+                "the manual is in the glove box",
+                "the warranty expires in march",
+                "the elevator stops on even floors",
+                "the spreadsheet has twelve columns"],
 }
 
 # {kw} templates; neutral uses the phrases directly (they are sentences)
@@ -367,6 +484,7 @@ def label_banks() -> dict[str, list[str]]:
         for kw in _LEXICON.get(label, []):
             forms.extend(_variants(kw))
         forms.extend(_EXTRA.get(label, []))
+        forms.extend(_EXTRA2.get(label, []))
         banks[label] = sorted(set(forms))
     from collections import Counter
 
@@ -534,6 +652,21 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
                     text = rng.choice(ptemps).format(kw=kw)
                 else:
                     text = rng.choice(temps).format(kw=kw)
+                # two-clause composition: real text is usually
+                # "content clause, cue clause" ("the contractor took our
+                # deposit and never showed, i am fuming") — a cue-free
+                # clause (same generator as the cue-free neutral
+                # sentences) is glued on either side. The label stays the
+                # cue clause's: the model must find the cue ANYWHERE and
+                # let it override a whole neutral-looking clause, the top
+                # remaining OOD failure mode after round 2's context
+                # substitution.
+                if augment and label != "neutral" and rng.random() < 0.35:
+                    filler = (_gibberish(rng) if rng.random() < 0.2
+                              else rng.choice(pool))
+                    clause = rng.choice(temps).format(kw=filler)
+                    text = (clause + ", " + text if rng.random() < 0.5
+                            else text + ", " + clause)
                 if augment and rng.random() < 0.5:
                     text = _word_dropout(text, rng, keep=kw)
                 if augment and rng.random() < 0.5:
@@ -560,6 +693,13 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         filler = (_gibberish(rng) if rng.random() < 0.3
                   else rng.choice(pool))
         text = rng.choice(train_templates).format(kw=filler)
+        # two-clause cue-free sentences: keep "comma + two clauses" itself
+        # label-neutral (the emotional train split composes clauses too)
+        if rng.random() < 0.35:
+            filler2 = (_gibberish(rng) if rng.random() < 0.2
+                       else rng.choice(pool))
+            text = text + ", " + rng.choice(train_templates).format(
+                kw=filler2)
         if rng.random() < 0.5:
             text = _word_substitute(text, rng, pool)
         train_x.append(text)
