@@ -30,6 +30,48 @@ PRESET_SCHEME = {"mini": "a", "large": "b1", "large2": "b2",
                  "no_inst": "b3", "paper": "b2"}
 
 
+def encode_corpus_csv(csv_path: str, scheme: str, seq_len: int,
+                      max_rows: int | None = None):
+    """CSV -> (encoded id rows, Vocab) without ever holding the raw JSON
+    strings: at Lakh scale the ``tokens`` column is ~100 GB of text but
+    only ~0.3 GB of int32 ids. Fixed-vocab schemes (b2/b3) go through the
+    native C++ parser when built (native/eamg_native.cpp) and keep the
+    ids as one [rows, seq_len] matrix with zero-copy row views;
+    data-dependent vocabs (a/b1) stream the CSV twice — pass 1 builds the
+    vocab, pass 2 encodes — exactly the reference's rank-0 recipe
+    (train/train_large.py:61-77), with each row encoded to a compact
+    int32 array as it streams."""
+    import numpy as _np
+
+    if scheme in ("b2", "b3"):
+        from ..tools.native_loader import explode_csv
+
+        ids, lens = explode_csv(csv_path, scheme=scheme, seq_len=seq_len,
+                                max_rows=max_rows)
+        vocab = (SchemeB3 if scheme == "b3"
+                 else SchemeB2)(seq_len=seq_len).vocab
+        return [ids[i, :lens[i]] for i in range(ids.shape[0])], vocab
+    if scheme == "a":
+        vocab = Vocab.from_sequences(
+            (json.loads(js)
+             for js in iter_csv_tokens(csv_path, max_rows=max_rows)),
+            pad_last=True)
+        encoded = [_np.asarray(vocab.encode(json.loads(js)[:seq_len]),
+                               _np.int32)
+                   for js in iter_csv_tokens(csv_path, max_rows=max_rows)]
+        return encoded, vocab
+    if scheme == "b1":
+        b1 = SchemeB1(seq_len=seq_len)
+        vocab = Vocab.from_sequences(
+            (b1.explode(js)
+             for js in iter_csv_tokens(csv_path, max_rows=max_rows)),
+            pad_last=False)
+        encoded = [_np.asarray(vocab.encode(b1.explode(js)), _np.int32)
+                   for js in iter_csv_tokens(csv_path, max_rows=max_rows)]
+        return encoded, vocab
+    raise ValueError(f"unknown scheme {scheme!r}")
+
+
 def encode_corpus(rows: list[str], scheme: str, seq_len: int):
     """JSON token rows -> (encoded id lists, Vocab)."""
     if scheme == "a":
@@ -75,16 +117,18 @@ def run_training(preset: str, csv_path: str | None = None,
     if epochs is not None:
         tcfg = TrainConfig(**{**tcfg.__dict__, "epochs": epochs})
 
-    if csv_path:
-        rows = list(iter_csv_tokens(csv_path, max_rows=max_rows))
-    else:
-        rows = synthetic_corpus(synthetic_rows or 256, seed=seed)
+    rows = None if csv_path else synthetic_corpus(synthetic_rows or 256,
+                                                  seed=seed)
 
     geometry = {k: v for k, v in (geometry or {}).items() if v}
     geom = model_preset(preset if preset != "paper" else "large2",
                         vocab_size=1)  # placeholder vocab, rebuilt below
     seq_len = geometry.get("seq_len", geom.seq_len)
-    encoded, vocab = encode_corpus(rows, scheme, seq_len)
+    if csv_path:
+        encoded, vocab = encode_corpus_csv(csv_path, scheme, seq_len,
+                                           max_rows=max_rows)
+    else:
+        encoded, vocab = encode_corpus(rows, scheme, seq_len)
     cfg = model_preset(preset if preset != "paper" else "large2",
                        vocab_size=len(vocab))
     if geometry:

@@ -319,3 +319,23 @@ print("CHUNKED_LOSS_OK")
                                "PYTHONPATH": "/root/repo",
                                "PATH": "/usr/bin:/bin:/usr/local/bin"})
     assert "CHUNKED_LOSS_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_encode_corpus_csv_matches_in_memory(tmp_path):
+    """The memory-lean CSV path (stream + native loader, never holds raw
+    JSON) must produce the same ids and vocab as the in-memory
+    encode_corpus on every scheme."""
+    from eamg_tpu.train.data import iter_csv_tokens, write_synthetic_csv
+    from eamg_tpu.train.run import encode_corpus, encode_corpus_csv
+
+    csv_path = str(tmp_path / "corpus.csv")
+    write_synthetic_csv(csv_path, 12, seed=3, n_notes=6)
+    rows = list(iter_csv_tokens(csv_path))
+    for scheme in ("a", "b1", "b2", "b3"):
+        enc_mem, vocab_mem = encode_corpus(rows, scheme, seq_len=48)
+        enc_csv, vocab_csv = encode_corpus_csv(csv_path, scheme,
+                                               seq_len=48)
+        assert vocab_csv.tok2id == vocab_mem.tok2id, scheme
+        assert len(enc_csv) == len(enc_mem), scheme
+        for a, b in zip(enc_csv, enc_mem):
+            assert list(a) == list(b), scheme
