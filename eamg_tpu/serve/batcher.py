@@ -54,6 +54,8 @@ class RequestBatcher:
         self._q: queue.Queue = queue.Queue()
         self.stats = {"calls": 0, "requests": 0, "max_group": 0,
                       "rejected": 0}
+        self._stop = False
+        self._busy = False   # worker holds a dequeued group (drain())
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -76,7 +78,7 @@ class RequestBatcher:
                        bool(greedy),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml)
-        if self.max_queue and self._q.qsize() >= self.max_queue:
+        if self.overloaded():
             from .continuous import EngineOverloaded
 
             self.stats["rejected"] += 1
@@ -90,11 +92,37 @@ class RequestBatcher:
             raise req.error
         return req.result
 
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Wait for queued + in-flight groups to finish (graceful
+        shutdown, same contract — incl. the three-consecutive-idle-poll
+        rule — as ContinuousBatcher.drain)."""
+        deadline = time.monotonic() + timeout
+        idle = 0
+        while time.monotonic() < deadline:
+            if self._q.qsize() == 0 and not self._busy:
+                idle += 1
+                if idle >= 3:
+                    return True
+            else:
+                idle = 0
+            time.sleep(0.05)
+        return self._q.qsize() == 0 and not self._busy
+
+    def close(self, timeout: float = 30.0):
+        """Stop the worker and join it — a daemon thread killed mid-jax-
+        call at interpreter exit aborts the process."""
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout)
+
     # ------------------------------------------------------------- worker
 
     def _worker(self):
-        while True:
+        while not self._stop:
             first = self._q.get()
+            self._busy = True     # before any check: drain() must see it
+            if first is None:
+                break
             group = [first]
             deadline = time.monotonic() + self.window
             while len(group) < self.max_batch:
@@ -102,9 +130,13 @@ class RequestBatcher:
                 if remaining <= 0:
                     break
                 try:
-                    group.append(self._q.get(timeout=remaining))
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if nxt is None:          # close() sentinel mid-window
+                    self._stop = True
+                    break
+                group.append(nxt)
             # split by sampling params (one compiled call per combo);
             # max_len buckets to powers of two so programs are reused
             by_params: dict = {}
@@ -120,6 +152,7 @@ class RequestBatcher:
                     for r in reqs:
                         r.error = exc
                         r.event.set()
+            self._busy = False
 
     def _run(self, reqs, temperature, top_k, greedy, max_len=None):
         max_len = max_len or self.max_len

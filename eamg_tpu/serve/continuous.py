@@ -243,6 +243,7 @@ class ContinuousBatcher:
         self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
         self._free = list(range(slots))
+        self._busy = False   # worker between dequeue and _live insertion
         from collections import deque
 
         # bounded: a long-running server must not grow per-request state
@@ -336,7 +337,7 @@ class ContinuousBatcher:
         consumer is the single worker thread, so it never *under*counts
         waiting requests — the bound cannot be silently exceeded by more
         than the handful of racing producers."""
-        if self.max_queue and self._q.qsize() >= self.max_queue:
+        if self.overloaded():
             self.stats["rejected"] += 1
             raise EngineOverloaded(
                 f"engine admission queue full "
@@ -376,13 +377,22 @@ class ContinuousBatcher:
         """Graceful shutdown, phase 1: stop the caller from admitting (the
         HTTP layer has already stopped accepting) and wait for queued +
         in-flight rows to finish. Returns True when the engine went idle
-        within ``timeout``."""
+        within ``timeout``. Requires three consecutive idle polls: _busy
+        covers the dequeue->admit window, and the confirmation polls close
+        the instruction-level gap between the worker's q.get() returning
+        and _busy going up."""
         deadline = time.monotonic() + timeout
+        idle = 0
         while time.monotonic() < deadline:
-            if self._q.qsize() == 0 and not self._live:
-                return True
+            if self._q.qsize() == 0 and not self._live and not self._busy:
+                idle += 1
+                if idle >= 3:
+                    return True
+            else:
+                idle = 0
             time.sleep(0.05)
-        return self._q.qsize() == 0 and not self._live
+        return (self._q.qsize() == 0 and not self._live
+                and not self._busy)
 
     def close(self, timeout: float = 30.0):
         self._stop = True
@@ -503,6 +513,11 @@ class ContinuousBatcher:
                     while self._free:
                         block = not self._live and pending_fetch is None
                         req = self._q.get(block=block, timeout=None)
+                        # _busy covers the dequeued-but-not-yet-in-_live
+                        # window (admit dispatch can be a minutes-long
+                        # fresh compile) so drain() can't report idle
+                        # while a request is mid-admission
+                        self._busy = True
                         if req is None:
                             return
                         if req.cancelled:
@@ -511,6 +526,8 @@ class ContinuousBatcher:
                         self._admit(req, self._free.pop())
                 except queue.Empty:
                     pass
+                finally:
+                    self._busy = False
                 if not self._live and pending_fetch is None:
                     continue
 

@@ -63,11 +63,45 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
     return fields
 
 
+class _InflightCounter:
+    """Count of /generate requests between accept and response-written.
+    Graceful shutdown waits on this, not just the engine: after a row's
+    tokens arrive, the handler thread still renders the WAV and writes
+    the response — exiting on engine-drain alone would reset exactly the
+    clients the drain was protecting (daemon handler threads are not
+    joined by server_close)."""
+
+    def __init__(self):
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        with self._lock:
+            self._n += 1
+
+    def __exit__(self, *exc):
+        with self._lock:
+            self._n -= 1
+
+    def wait_zero(self, timeout: float) -> bool:
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            with self._lock:
+                if self._n == 0:
+                    return True
+            _time.sleep(0.05)
+        with self._lock:
+            return self._n == 0
+
+
 class EAMGHandler(BaseHTTPRequestHandler):
     pipeline: Pipeline = None  # injected by make_server
     quiet: bool = True
     stats: LatencyStats = None
     logger: JsonLogger = None
+    inflight: _InflightCounter = None
 
     # -- plumbing ----------------------------------------------------------
 
@@ -146,6 +180,10 @@ class EAMGHandler(BaseHTTPRequestHandler):
         if parsed.path != "/generate":
             self._json(404, {"error": "not found"})
             return
+        with self.inflight:
+            self._generate(parsed)
+
+    def _generate(self, parsed):
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
@@ -219,10 +257,17 @@ class EAMGHandler(BaseHTTPRequestHandler):
 
         # decide overload BEFORE committing to a 200 event-stream (a race
         # between this check and the row's enqueue degrades to an SSE
-        # "error" event, which streaming clients already handle)
+        # "error" event, which streaming clients already handle). Only
+        # streams that would actually ride the engine are shed — window
+        # mode and param-mismatched streams decode solo (_stream_deltas)
+        # and never touch the queue.
+        from .continuous import ContinuousBatcher
+
         batcher = getattr(self.pipeline, "batcher", None)
-        if batcher is not None and \
-                getattr(batcher, "overloaded", lambda: False)():
+        if isinstance(batcher, ContinuousBatcher) \
+                and batcher.accepts(top_k=int(fields.get("top_k", 50))) \
+                and batcher.overloaded():
+            batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
                 {"error": "engine admission queue full"}).encode(),
                 "application/json", {"Retry-After": "1"})
@@ -274,7 +319,8 @@ def make_server(pipeline: Pipeline, host: str = "127.0.0.1",
     handler = type("BoundHandler", (EAMGHandler,),
                    {"pipeline": pipeline, "quiet": quiet,
                     "stats": LatencyStats(),
-                    "logger": JsonLogger(component="serve")})
+                    "logger": JsonLogger(component="serve"),
+                    "inflight": _InflightCounter()})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -364,7 +410,11 @@ def main():  # pragma: no cover - CLI entry
     import signal
 
     def _graceful(signum, frame):
-        print(f"signal {signum}: draining...", flush=True)
+        print(f"signal {signum}: draining (send again to force-quit)...",
+              flush=True)
+        # second signal falls through to the default action so a wedged
+        # drain can still be interrupted
+        signal.signal(signum, signal.SIG_DFL)
         threading.Thread(target=server.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _graceful)
@@ -376,8 +426,11 @@ def main():  # pragma: no cover - CLI entry
         if batcher is not None:
             if hasattr(batcher, "drain"):
                 batcher.drain(timeout=60)
-            if hasattr(batcher, "close"):
-                batcher.close()
+        # engine rows done != responses written: handlers still render
+        # WAVs after their tokens arrive (see _InflightCounter)
+        server.RequestHandlerClass.inflight.wait_zero(timeout=60)
+        if batcher is not None and hasattr(batcher, "close"):
+            batcher.close()
         server.server_close()
         print("drained; bye")
 

@@ -286,11 +286,26 @@ def test_http_503_on_engine_overload(server, pipeline, monkeypatch):
     assert ei.value.headers["Retry-After"] == "1"
     assert "queue full" in json.loads(ei.value.read())["error"]
 
-    class _Full:
-        def overloaded(self):
-            return True
+    # the SSE pre-check only sheds streams that would ride the engine:
+    # a real ContinuousBatcher (skeleton: no worker) with a full queue
+    import queue as _queue
 
-    monkeypatch.setattr(pipeline, "batcher", _Full(), raising=False)
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+
+    fake = ContinuousBatcher.__new__(ContinuousBatcher)
+    fake.top_k, fake.greedy, fake.max_queue = 50, False, 1
+    fake._q = _queue.Queue()
+    fake._q.put(object())
+    fake.stats = {"rejected": 0}
+    monkeypatch.setattr(pipeline, "batcher", fake, raising=False)
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post_form(f"{server}/generate?stream=1", {"prompt": "hello"})
     assert ei.value.code == 503
+    assert fake.stats["rejected"] == 1
+    # a stream whose params the engine does NOT accept decodes solo —
+    # never shed by the engine's queue (top_k 7 != compiled 50)
+    resp = _post_form(f"{server}/generate?stream=1",
+                      {"prompt": "hello", "top_k": "7"})
+    assert resp.status == 200
+    body = resp.read()  # consume: leave no handler mid-decode at teardown
+    assert b'"event": "done"' in body
