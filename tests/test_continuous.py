@@ -355,3 +355,29 @@ def test_admission_queue_overload_and_drain(generator):
         assert not eng.overloaded()
     finally:
         eng.close()
+
+
+def test_moe_model_through_engine_matches_solo():
+    """MoE-GPT (GPTConfig.n_experts) composes with the continuous engine:
+    routed-expert KV decode inside ragged_chunk bit-matches the same
+    request decoded alone."""
+    from eamg_tpu.tokenizer import Vocab as _V
+
+    moe_cfg = GPTConfig(vocab_size=64, seq_len=48, d_model=32, n_head=4,
+                        n_layer=2, pos_rows=48, causal=True, n_experts=4)
+    params = init_params(jax.random.PRNGKey(5), moe_cfg)
+    gen = Generator(params, moe_cfg, _V({str(i): i for i in range(64)}),
+                    eos_token="none", pad_token="0")
+    eng = ContinuousBatcher(gen, slots=2, chunk=4, max_len=24)
+    try:
+        got = eng.submit([1, 2, 3], seed=9, timeout=600)
+    finally:
+        eng.close()
+    prompt = np.zeros((1, 16), np.int32)
+    prompt[0, :3] = [1, 2, 3]
+    buf, pos = generate_kv_ragged(
+        params, jnp.asarray(prompt), jnp.asarray([3], np.int32),
+        jax.random.PRNGKey(9)[None], moe_cfg, 24,
+        temperature=1.0, top_k=50, eos_id=-1, pad_id=0)
+    solo_ids = np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+    assert got == solo_ids
