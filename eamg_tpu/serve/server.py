@@ -154,7 +154,14 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 else:
                     jd = []
                 if jd:
-                    eng["p50_join_ms"] = round(sorted(jd)[len(jd) // 2], 1)
+                    js = sorted(jd)
+                    eng["p50_join_ms"] = round(js[len(js) // 2], 1)
+                    eng["p95_join_ms"] = round(
+                        js[min(len(js) - 1, int(len(js) * 0.95))], 1)
+                # live load: what an operator tunes --slots/--max-queue by
+                eng["queue_depth"] = batcher._q.qsize()
+                if hasattr(batcher, "_free"):
+                    eng["free_slots"] = len(batcher._free)
                 out["engine"] = eng
             self._json(200, out)
         elif path == "/profile":
