@@ -119,12 +119,14 @@ def cmd_generate(args):
     elif scheme == "b3":
         ids = gen.generate_ids(prompt_ids, max_len=args.max_len,
                                temperature=args.temperature,
-                               top_k=args.top_k, seed=args.seed)[0]
+                               top_k=args.top_k, seed=args.seed,
+                               top_p=args.top_p)[0]
         tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,
-                                    top_k=args.top_k, seed=args.seed)
+                                    top_k=args.top_k, seed=args.seed,
+                                    top_p=args.top_p)
     print("Generated token snippet:", tokens[:20], "...")
     song = scheme_b.decode_to_song(ids) if scheme == "b3" \
         else tokens_to_song(tokens)
@@ -331,6 +333,9 @@ def main(argv=None):
     g.add_argument("--max-len", type=int, default=None)
     g.add_argument("--temperature", type=float, default=1.0)
     g.add_argument("--top-k", type=int, default=50)
+    g.add_argument("--top-p", type=float, default=1.0,
+                   help="nucleus sampling mass (1.0 = off; applied after "
+                        "top-k, sort-free bitsearch — beyond-reference)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--out", default="generated.mid")
     g.add_argument("--wav", default=None)

@@ -39,13 +39,14 @@ from .sampling import sample_token
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "refeed_last_prompt", "mask_value",
                                    "approx_top_k", "top_k_impl", "eos_id",
-                                   "presplit_keys"))
+                                   "presplit_keys", "top_p"))
 def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                 top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                 greedy: bool = False, refeed_last_prompt: bool = True,
                 mask_value: float = -1e10, approx_top_k: bool = False,
-                top_k_impl: str = "bitsearch", presplit_keys: bool = False):
+                top_k_impl: str = "bitsearch", presplit_keys: bool = False,
+                top_p: float = 1.0):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -96,7 +97,8 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         last_logits = jax.lax.dynamic_slice_in_dim(
             logits0, prompt_len - 1, 1, axis=1)[:, 0]
         first = sample_token(sub, last_logits, temperature, top_k,
-                             mask_value, greedy, approx_top_k, top_k_impl)
+                             mask_value, greedy, approx_top_k, top_k_impl,
+                             top_p)
         buf = jax.lax.dynamic_update_slice(buf, first[:, None],
                                            (0, prompt_len))
         done0 = first == eos_id
@@ -123,7 +125,7 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
             rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
-                           greedy, approx_top_k, top_k_impl)
+                           greedy, approx_top_k, top_k_impl, top_p)
         if track_eos:
             write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
             done = jnp.logical_or(done, nxt == eos_id)
@@ -140,13 +142,13 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "approx_top_k",
-                                   "top_k_impl"))
+                                   "top_k_impl", "top_p"))
 def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   rng: jax.Array, cfg: GPTConfig, max_len: int,
                   temperature: float = 1.0, top_k: int = 50,
                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                   mask_value: float = -1e10, approx_top_k: bool = False,
-                  top_k_impl: str = "bitsearch"):
+                  top_k_impl: str = "bitsearch", top_p: float = 1.0):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -168,7 +170,7 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
         last_logits = jax.lax.dynamic_slice_in_dim(logits, pos - 1, 1,
                                                    axis=1)[:, 0]
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
-                           greedy, approx_top_k, top_k_impl)
+                           greedy, approx_top_k, top_k_impl, top_p)
         write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
         done = jnp.logical_or(done, nxt == eos_id)

@@ -109,25 +109,27 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
     return logits, {"k": tuple(ks), "v": tuple(vs), "lengths": t + 1}
 
 
-def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy):
+def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy,
+                    top_p=1.0):
     """Per-row PRNG keys: row outputs don't depend on batch composition,
     so a coalesced request keeps its seed reproducibility."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jax.vmap(
         lambda k, lg: sample_token(k, lg[None], temperature, top_k,
-                                   mask_value, greedy)[0]
+                                   mask_value, greedy, top_p=top_p)[0]
     )(rngs, logits)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
-                                   "mask_value"))
+                                   "mask_value", "top_p"))
 def generate_kv_ragged(params: dict, prompt: jax.Array,
                        prompt_lens: jax.Array, rngs: jax.Array,
                        cfg: GPTConfig, max_len: int,
                        temperature: float = 1.0, top_k: int = 50,
                        eos_id: int = -1, pad_id: int = 0,
-                       greedy: bool = False, mask_value: float = -1e10):
+                       greedy: bool = False, mask_value: float = -1e10,
+                       top_p: float = 1.0):
     """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
     key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
     Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
@@ -161,7 +163,7 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
               (prompt_lens - 1)[:, None]).astype(logits0.dtype)
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
     first = _sample_per_row(subs, last_logits, temperature, top_k,
-                            mask_value, greedy)
+                            mask_value, greedy, top_p)
     # A row whose prompt already fills the buffer (prompt_lens == max_len)
     # has no slot left: it starts done, its position stays put, and the
     # write below re-writes the existing value instead of clobbering the
@@ -187,7 +189,7 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
-                              greedy)
+                              greedy, top_p)
         active = ~(done | (pos >= max_len))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         hit = (cols == pos[:, None]) & active[:, None]

@@ -21,6 +21,11 @@ given the same PRNG key — *bit-identical* sampled streams (tested).
 
 The reference uses mask constant -1e10 (api.py:85) in the servers and -1e9
 in generate2.py:36; the constant is a parameter.
+
+Beyond the reference's top-k, nucleus (top-p) filtering is available via
+``top_p`` — implemented with the same sort-free radix bitsearch, over the
+probability-mass predicate instead of the count predicate (ops/topk.py).
+Default 1.0 compiles to a no-op, preserving reference parity.
 """
 
 from __future__ import annotations
@@ -61,17 +66,37 @@ def apply_top_k(logits: jax.Array, top_k: int,
     return logits + jnp.where(logits >= thresh, 0.0, mask_value)
 
 
+def apply_top_p(logits: jax.Array, top_p: float,
+                mask_value: float = -1e10) -> jax.Array:
+    """Additive nucleus (top-p) mask: keep the smallest set of
+    highest-probability tokens with total mass >= top_p, ``mask_value``
+    elsewhere. Sort-free (radix bitsearch over the probability-mass
+    predicate, ops/topk.py). Beyond-reference capability: the reference
+    sampler is top-k only (api_cache.py:171-177). top_p is static; 1.0 (or
+    None) compiles to a no-op."""
+    if top_p is None or top_p >= 1.0:
+        return logits
+    from ..ops.topk import top_p_threshold_bitsearch
+
+    thresh = top_p_threshold_bitsearch(logits, top_p)
+    return logits + jnp.where(logits >= thresh, 0.0, mask_value)
+
+
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_k: int, mask_value: float = -1e10,
                  greedy: bool = False,
                  approx_top_k: bool = False,
-                 top_k_impl: str = "bitsearch") -> jax.Array:
-    """[B, V] logits -> [B] sampled token ids."""
+                 top_k_impl: str = "bitsearch",
+                 top_p: float = 1.0) -> jax.Array:
+    """[B, V] logits -> [B] sampled token ids. Filter order matches the
+    HF convention: temperature, then top-k, then top-p over the surviving
+    distribution."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k,
                          impl=top_k_impl)
+    logits = apply_top_p(logits, top_p, mask_value)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 

@@ -38,12 +38,13 @@ def start_stream(params: dict, prompt: jax.Array, prompt_len,
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
-                                   "mask_value"))
+                                   "mask_value", "top_p"))
 def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                  rng: jax.Array, cache: dict, cfg: GPTConfig,
                  chunk: int = 32, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
-                 greedy: bool = False, mask_value: float = -1e10):
+                 greedy: bool = False, mask_value: float = -1e10,
+                 top_p: float = 1.0):
     """Run ``chunk`` decode steps; finished rows emit PAD. Returns
     (tokens [B, chunk], last, done, rng, cache)."""
     def body(carry, _):
@@ -51,7 +52,7 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
         rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
-                           greedy)
+                           greedy, top_p=top_p)
         out = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         new_done = done | (nxt == eos_id)
         new_last = jnp.where(done, last, nxt)
@@ -65,7 +66,8 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
 def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                   max_len: int, chunk: int = 32, temperature: float = 1.0,
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
-                  greedy: bool = False, seed: int = 0, bucket: int = 64):
+                  greedy: bool = False, seed: int = 0, bucket: int = 64,
+                  top_p: float = 1.0):
     """Python generator yielding token ids one at a time (batch 1).
 
     First sampled token comes from the prefill logits (efficient mode);
@@ -89,7 +91,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
 
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature, top_k, -1e10,
-                         greedy)
+                         greedy, top_p=top_p)
     tok = int(first[0])
     yield tok
     if tok == eos_id:
@@ -101,7 +103,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
         toks, last, done, rng, cache = decode_chunk(
             params, last, done, rng, cache, cfg, chunk=chunk,
             temperature=temperature, top_k=top_k, eos_id=eos_id,
-            pad_id=pad_id, greedy=greedy)
+            pad_id=pad_id, greedy=greedy, top_p=top_p)
         for t in np.asarray(toks)[0]:
             t = int(t)
             if produced >= max_len:

@@ -69,6 +69,40 @@ def kth_value_bitsearch(logits: jax.Array, k: int) -> jax.Array:
         logits.dtype)
 
 
+def top_p_threshold_bitsearch(logits: jax.Array, p) -> jax.Array:
+    """[B, V] logits -> [B, 1] nucleus (top-p) value threshold, sort-free.
+
+    The nucleus is the smallest set of highest-probability tokens whose
+    total mass is >= p — equivalently ``{x : x >= t*}`` where ``t*`` is the
+    largest threshold with ``sum(softmax(logits)[logits >= t*]) >= p``.
+    Because masked probability mass is monotone non-increasing in the
+    threshold, ``t*`` is found by the same MSB-first radix binary search as
+    :func:`kth_value_bitsearch`, with the count predicate replaced by a
+    masked probability sum: 32 broadcast-compare + masked-row-sum passes,
+    no sort. Ties at the boundary are all included (deterministic; standard
+    sorted-cumsum implementations break ties by arbitrary sort order).
+
+    ``p`` may be a Python float or a traced scalar / [B, 1] array (per-row
+    nuclei). ``p >= 1`` degenerates safely to keeping the whole vocabulary
+    and ``p -> 0`` keeps at least the argmax.
+    """
+    x = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(x, axis=-1)
+    keys = _float_to_key(x)
+    B = x.shape[0]
+    p = jnp.asarray(p, jnp.float32)
+    t = jnp.zeros((B, 1), jnp.uint32)
+    for bit in range(31, -1, -1):
+        cand = t | np.uint32(1 << bit)
+        mass = jnp.sum(jnp.where(keys >= cand, probs, 0.0), axis=-1,
+                       keepdims=True)
+        t = jnp.where(mass >= p, cand, t)
+    # p above the attainable float32 mass: every candidate fails, t stays 0,
+    # and key 0 decodes into NaN bit patterns — degrade to keep-everything.
+    return jnp.where(t == 0, -jnp.inf,
+                     _key_to_float(t)).astype(logits.dtype)
+
+
 def _threshold_kernel(logits_ref, out_ref, *, k: int):
     x = logits_ref[:]                                   # [B, Vp] f32 in VMEM
     bits = pltpu.bitcast(x, jnp.uint32)

@@ -54,14 +54,15 @@ class EngineOverloaded(RuntimeError):
     clients back off while in-flight rows keep their latency."""
 
 
-def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy):
+def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
+                 top_p=1.0):
     """Per-row key AND per-row temperature (rows are independent requests).
     Bit-matches decode/ragged.py's _sample_per_row for equal temperature."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jax.vmap(
         lambda k, lg, t: sample_token(k, lg[None], t, top_k, mask_value,
-                                      greedy)[0]
+                                      greedy, top_p=top_p)[0]
     )(rngs, logits, temps)
 
 
@@ -80,10 +81,10 @@ def init_state(cfg, slots: int, max_len: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
-                                   "eos_id", "pad_id"))
+                                   "eos_id", "pad_id", "top_p"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
-              eos_id=-1, pad_id=0):
+              eos_id=-1, pad_id=0, top_p=1.0):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -114,7 +115,7 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     onehot = (jnp.arange(P) == plen - 1).astype(logits0.dtype)[None]
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
     first = _sample_rows(sub[None], last_logits, temp[None], top_k,
-                         mask_value, greedy)[0]
+                         mask_value, greedy, top_p)[0]
 
     # buffer row: prompt, then (when a slot remains) the first token
     active0 = plen < rmax
@@ -141,9 +142,10 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
-                                   "mask_value", "eos_id", "pad_id"))
+                                   "mask_value", "eos_id", "pad_id",
+                                   "top_p"))
 def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
-                 mask_value=-1e10, eos_id=-1, pad_id=0):
+                 mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0):
     """Advance every live row ``chunk`` steps (done/free rows are inert).
     Same per-step math as generate_kv_ragged's while_loop body."""
     max_len = state["buf"].shape[1]
@@ -155,7 +157,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         keys = _split_rows(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
-        nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy)
+        nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
+                           top_p)
         active = ~(done | (pos >= row_max))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         # masked one-hot write (identical values to a per-row
@@ -218,7 +221,7 @@ class _Pending:
 class ContinuousBatcher:
     """Persistent decode engine with slot admission.
 
-    top_k/greedy are engine-wide (compiled into the chunk program);
+    top_k/top_p/greedy are engine-wide (compiled into the chunk program);
     temperature and seed are per-request. Requests longer than the engine's
     max_len budget return the prompt unchanged (reference semantics,
     api_cache.py:166)."""
@@ -226,13 +229,15 @@ class ContinuousBatcher:
     def __init__(self, generator: Generator, slots: int = 8,
                  chunk: int = 64, max_len: int | None = None,
                  top_k: int = 50, greedy: bool = False,
-                 mask_value: float = -1e10, max_queue: int = 256):
+                 mask_value: float = -1e10, max_queue: int = 256,
+                 top_p: float = 1.0):
         assert generator.cfg.causal and not generator.cfg.pos_broadcast_bug,\
             "continuous batching requires the corrected causal config"
         self.gen = generator
         self.slots = slots
         self.chunk = chunk
         self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
+        self.top_p = float(top_p)
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
         # admission control: requests queued beyond the live slots; 0 =
@@ -257,23 +262,29 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- client
 
     def accepts(self, top_k: int | None = None,
-                greedy: bool | None = None) -> bool:
+                greedy: bool | None = None,
+                top_p: float | None = None) -> bool:
         """Whether a request's sampling params match the compiled engine
-        (top_k/greedy are engine-wide; callers fall back to a solo decode
-        on mismatch instead of erroring)."""
+        (top_k/top_p/greedy are engine-wide; callers fall back to a solo
+        decode on mismatch instead of erroring)."""
         return ((top_k is None or top_k == self.top_k)
-                and (greedy is None or greedy == self.greedy))
+                and (greedy is None or greedy == self.greedy)
+                and (top_p is None or float(top_p) == self.top_p))
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                seed: int | None = None, max_len: int | None = None,
                timeout: float = 600.0, top_k: int | None = None,
-               greedy: bool | None = None) -> list:
+               greedy: bool | None = None,
+               top_p: float | None = None) -> list:
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
+        if top_p is not None and float(top_p) != self.top_p:
+            raise ValueError(
+                f"engine compiled for top_p={self.top_p}, got {top_p}")
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -292,7 +303,8 @@ class ContinuousBatcher:
     def submit_stream(self, prompt_ids: list[int], temperature: float = 1.0,
                       seed: int | None = None, max_len: int | None = None,
                       timeout: float = 600.0, top_k: int | None = None,
-                      greedy: bool | None = None):
+                      greedy: bool | None = None,
+                      top_p: float | None = None):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -314,6 +326,9 @@ class ContinuousBatcher:
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
+        if top_p is not None and float(top_p) != self.top_p:
+            raise ValueError(
+                f"engine compiled for top_p={self.top_p}, got {top_p}")
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -416,7 +431,7 @@ class ContinuousBatcher:
             jnp.asarray(req.temperature, jnp.float32),
             self.gen.cfg, top_k=self.top_k, greedy=self.greedy,
             mask_value=self.mask_value, eos_id=self.gen.eos_id,
-            pad_id=self.gen.pad_id)
+            pad_id=self.gen.pad_id, top_p=self.top_p)
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -536,7 +551,8 @@ class ContinuousBatcher:
                         self.gen.params, self.state, self.gen.cfg,
                         chunk=self.chunk, top_k=self.top_k,
                         greedy=self.greedy, mask_value=self.mask_value,
-                        eos_id=self.gen.eos_id, pad_id=self.gen.pad_id)
+                        eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
+                        top_p=self.top_p)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

@@ -102,7 +102,8 @@ class Pipeline:
                       render_audio=self.render_audio)
 
     def _decode_for_mapping(self, mapping: dict, temperature: float,
-                            top_k: int, run_seed: int):
+                            top_k: int, run_seed: int,
+                            top_p: float = 1.0):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation."""
@@ -113,7 +114,7 @@ class Pipeline:
             gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
             ids = self.generator.generate_ids(
                 prompt_ids, temperature=temperature, top_k=top_k,
-                seed=run_seed, use_cache=self.use_cache)[0]
+                seed=run_seed, use_cache=self.use_cache, top_p=top_p)[0]
             tokens = self.scheme_b.vocab.decode(ids)
             song = self.scheme_b.decode_to_song(ids)
             return gen_prompt, tokens, song, dropped
@@ -127,27 +128,30 @@ class Pipeline:
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
         use_batcher = self.batcher is not None and getattr(
-            self.batcher, "accepts", lambda **_: True)(top_k=top_k)
+            self.batcher, "accepts", lambda **_: True)(top_k=top_k,
+                                                       top_p=top_p)
         if use_batcher:
-            # continuous engines compile top_k/greedy engine-wide; a
+            # continuous engines compile top_k/top_p/greedy engine-wide; a
             # mismatching request falls through to the solo decode below
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
-                temperature=temperature, top_k=top_k, seed=run_seed)
+                temperature=temperature, top_k=top_k, seed=run_seed,
+                top_p=top_p)
             tokens = self.generator.trim_at_eos(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed)
+                seed=run_seed, top_p=top_p)
         else:
             tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed)
+                seed=run_seed, top_p=top_p)
         return gen_prompt, tokens, tokens_to_song(tokens), dropped
 
     def generate(self, prompt_text: str, temperature: float = 1.0,
                  top_k: int = 50, seed: int | None = None,
-                 render_audio: bool | None = None) -> GenerationResult:
+                 render_audio: bool | None = None,
+                 top_p: float = 1.0) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -163,7 +167,7 @@ class Pipeline:
         run_seed = seed if seed is not None else \
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
-            mapping, temperature, top_k, run_seed)
+            mapping, temperature, top_k, run_seed, top_p)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -190,7 +194,8 @@ class Pipeline:
     def generate_sections(self, prompt_text: str, temperature: float = 1.0,
                           top_k: int = 50, seed: int | None = None,
                           render_audio: bool | None = None,
-                          gap_s: float = 0.5) -> GenerationResult:
+                          gap_s: float = 0.5,
+                          top_p: float = 1.0) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -205,7 +210,7 @@ class Pipeline:
         if len(segments) <= 1:
             return self.generate(prompt_text, temperature=temperature,
                                  top_k=top_k, seed=seed,
-                                 render_audio=render_audio)
+                                 render_audio=render_audio, top_p=top_p)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -222,7 +227,7 @@ class Pipeline:
             run_seed = (seed + i) if seed is not None else \
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
-                mapping, temperature, top_k, run_seed)
+                mapping, temperature, top_k, run_seed, top_p)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)
@@ -256,7 +261,8 @@ class Pipeline:
     # ------------------------------------------------------------ streaming
 
     def _stream_deltas(self, prompt_ids: list[int], temperature: float,
-                       top_k: int, run_seed: int, chunk: int = 32):
+                       top_k: int, run_seed: int, chunk: int = 32,
+                       top_p: float = 1.0):
         """Yield lists of newly generated token ids: through the continuous
         engine when one is running and accepts the sampling params (the row
         joins the shared RUNNING decode), else a solo chunked stream
@@ -264,10 +270,10 @@ class Pipeline:
         from .continuous import ContinuousBatcher
 
         if isinstance(self.batcher, ContinuousBatcher) \
-                and self.batcher.accepts(top_k=top_k):
+                and self.batcher.accepts(top_k=top_k, top_p=top_p):
             yield from self.batcher.submit_stream(
                 prompt_ids, temperature=temperature, seed=run_seed,
-                top_k=top_k)
+                top_k=top_k, top_p=top_p)
             return
         from ..decode.stream import stream_tokens
 
@@ -277,7 +283,7 @@ class Pipeline:
                                  gen.max_supported_len(), chunk=chunk,
                                  temperature=temperature, top_k=top_k,
                                  eos_id=gen.eos_id, pad_id=gen.pad_id,
-                                 seed=run_seed):
+                                 seed=run_seed, top_p=top_p):
             delta.append(tok)
             if len(delta) >= chunk:
                 yield delta
@@ -289,7 +295,7 @@ class Pipeline:
                         top_k: int = 50, seed: int | None = None,
                         render_audio: bool | None = None,
                         sections: bool = False, chunk: int = 32,
-                        gap_s: float = 0.5):
+                        gap_s: float = 0.5, top_p: float = 1.0):
         """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
         a Python generator of JSON-able event dicts for SSE serving.
 
@@ -350,7 +356,8 @@ class Pipeline:
             t0 = time.perf_counter()
             hit_eos = False
             deltas = self._stream_deltas(prompt_ids, temperature, top_k,
-                                         run_seed, chunk=chunk)
+                                         run_seed, chunk=chunk,
+                                         top_p=top_p)
             try:
                 for delta in deltas:
                     out = []

@@ -226,6 +226,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 prompt,
                 temperature=float(fields.get("temperature", 1.0)),
                 top_k=int(fields.get("top_k", 50)),
+                top_p=float(fields.get("top_p", 1.0)),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
             self.stats.observe(_time.perf_counter() - t_start,
@@ -272,7 +273,9 @@ class EAMGHandler(BaseHTTPRequestHandler):
 
         batcher = getattr(self.pipeline, "batcher", None)
         if isinstance(batcher, ContinuousBatcher) \
-                and batcher.accepts(top_k=int(fields.get("top_k", 50))) \
+                and batcher.accepts(
+                    top_k=int(fields.get("top_k", 50)),
+                    top_p=float(fields.get("top_p", 1.0))) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -290,6 +293,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
             prompt,
             temperature=float(fields.get("temperature", 1.0)),
             top_k=int(fields.get("top_k", 50)),
+            top_p=float(fields.get("top_p", 1.0)),
             seed=int(seed) if seed is not None else None,
             render_audio=fmt == "wav", sections=sections)
         try:
@@ -374,6 +378,10 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--max-queue", type=int, default=None,
                         help="admission-queue bound before requests are "
                              "shed with 503 (default 256; 0 = unbounded)")
+    parser.add_argument("--engine-top-p", type=float, default=None,
+                        help="continuous engine: compile the shared decode "
+                             "for this nucleus mass (requests with a "
+                             "different top_p fall back to a solo decode)")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -382,6 +390,8 @@ def main():  # pragma: no cover - CLI entry
             coalesce_opts["slots"] = args.slots
         if args.chunk is not None:
             coalesce_opts["chunk"] = args.chunk
+        if args.engine_top_p is not None:
+            coalesce_opts["top_p"] = args.engine_top_p
     elif args.coalesce and args.slots is not None:
         coalesce_opts["max_batch"] = args.slots
     if args.coalesce and args.max_queue is not None:

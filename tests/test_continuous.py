@@ -381,3 +381,31 @@ def test_moe_model_through_engine_matches_solo():
         temperature=1.0, top_k=50, eos_id=-1, pad_id=0)
     solo_ids = np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
     assert got == solo_ids
+
+
+def test_top_p_engine_matches_solo(generator):
+    """top_p is engine-wide (compiled into the chunk program) like top_k:
+    a nucleus-sampled engine row bit-matches the same request through
+    generate_kv_ragged with the same top_p, and a mismatched request is
+    rejected at submit while accepts() steers callers to a solo decode."""
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
+                            top_p=0.7)
+    try:
+        assert eng.accepts(top_p=0.7)
+        assert not eng.accepts(top_p=0.9)
+        with pytest.raises(ValueError):
+            eng.submit([1, 2, 3], seed=7, top_p=0.9)
+        got = eng.submit([1, 2, 3], seed=7, timeout=600)
+    finally:
+        eng.close()
+    prompt = np.zeros((1, 16), np.int32)
+    prompt[0, :3] = [1, 2, 3]
+    buf, pos = generate_kv_ragged(
+        generator.params, jnp.asarray(prompt), jnp.asarray([3], np.int32),
+        jax.random.PRNGKey(7)[None], CFG, 24, temperature=1.0, top_k=50,
+        eos_id=-1, pad_id=0, top_p=0.7)
+    solo_ids = np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+    assert got == solo_ids
+    # a top-p-restricted stream must differ from the unrestricted one for
+    # this seed/geometry (sanity that the mask actually bites)
+    assert got != solo(generator, [1, 2, 3], 7, 24)

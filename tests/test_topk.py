@@ -79,6 +79,82 @@ def test_sampled_stream_bit_identical_across_impls():
     assert outs["sort"] == outs["bitsearch"] == outs["pallas"]
 
 
+def _nucleus_oracle(logits: np.ndarray, p: float) -> np.ndarray:
+    """Sorted-cumsum nucleus keep-mask (ties at the boundary included)."""
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    keep = np.zeros_like(logits, bool)
+    for b in range(logits.shape[0]):
+        order = np.argsort(-logits[b], kind="stable")
+        cum = np.cumsum(probs[b][order])
+        m = int(np.searchsorted(cum, p) + 1)  # smallest prefix mass >= p
+        m = min(m, logits.shape[1])
+        thresh = logits[b][order[m - 1]]
+        keep[b] = logits[b] >= thresh
+    return keep
+
+
+@pytest.mark.parametrize("p", [0.1, 0.5, 0.9, 0.95])
+def test_top_p_threshold_matches_sorted_cumsum(p):
+    """The sort-free radix search over the probability-mass predicate
+    selects exactly the sorted-cumsum nucleus (ties included)."""
+    from eamg_tpu.ops.topk import top_p_threshold_bitsearch
+
+    x = np.random.default_rng(4).normal(size=(6, 1000)).astype(
+        np.float32) * 3
+    thresh = np.asarray(top_p_threshold_bitsearch(jnp.asarray(x), p))
+    got = x >= thresh
+    assert np.array_equal(got, _nucleus_oracle(x, p))
+
+
+def test_top_p_edge_cases():
+    from eamg_tpu.decode.sampling import apply_top_p
+    from eamg_tpu.ops.topk import top_p_threshold_bitsearch
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 257))
+                    .astype(np.float32))
+    # p >= 1: no-op (compiled out)
+    assert apply_top_p(x, 1.0) is x
+    # p = 1.0 on the raw threshold: float32 rounding may shave tokens of
+    # negligible mass, but essentially all probability must survive
+    # (apply_top_p never reaches here — p >= 1 is compiled out above)
+    t = np.asarray(top_p_threshold_bitsearch(x, 1.0))
+    probs = np.exp(np.asarray(x, np.float64))
+    probs /= probs.sum(-1, keepdims=True)
+    kept_mass = np.where(np.asarray(x) >= t, probs, 0.0).sum(-1)
+    assert (kept_mass >= 1 - 1e-6).all()
+    # p -> 0: keeps exactly the argmax (and ties)
+    t = np.asarray(top_p_threshold_bitsearch(x, 1e-9))
+    keep = np.asarray(x) >= t
+    assert np.array_equal(keep.argmax(-1), np.asarray(x).argmax(-1))
+    assert (keep.sum(-1) == 1).all()
+
+
+def test_top_p_one_matches_no_top_p_bitwise():
+    """top_p=1.0 must leave sampled streams bit-identical to the
+    pre-top-p sampler (reference parity is the default)."""
+    logits = jnp.asarray(np.random.default_rng(6)
+                         .normal(size=(4, 300)).astype(np.float32) * 2)
+    keys = jax.random.split(jax.random.PRNGKey(1), 16)
+    a = jax.vmap(lambda k: sample_token(k, logits, 0.8, 50))(keys)
+    b = jax.vmap(lambda k: sample_token(k, logits, 0.8, 50,
+                                        top_p=1.0))(keys)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_token_top_p_restricts_support():
+    """With a peaked distribution, top_p=0.5 must only ever draw tokens
+    inside the oracle nucleus."""
+    rng = np.random.default_rng(7)
+    logits_np = (rng.normal(size=(1, 200)) * 4).astype(np.float32)
+    keep = _nucleus_oracle(logits_np, 0.5)[0]
+    logits = jnp.asarray(logits_np)
+    keys = jax.random.split(jax.random.PRNGKey(2), 500)
+    toks = np.asarray(jax.vmap(
+        lambda k: sample_token(k, logits, 1.0, 0, top_p=0.5)[0])(keys))
+    assert keep[toks].all()
+
+
 def test_sample_token_distribution_unchanged():
     """Top-50 sampling frequencies with the bitsearch threshold match the
     sort-based ones within noise (chi-square-ish tolerance)."""
