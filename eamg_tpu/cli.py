@@ -114,7 +114,7 @@ def cmd_generate(args):
         ids = gen.generate_ids_speculative(
             draft, prompt_ids, max_len=args.max_len,
             gamma=args.gamma, temperature=args.temperature,
-            top_k=args.top_k, seed=args.seed)[0]
+            top_k=args.top_k, seed=args.seed, top_p=args.top_p)[0]
         tokens = gen.trim_at_eos(ids)
     elif scheme == "b3":
         ids = gen.generate_ids(prompt_ids, max_len=args.max_len,

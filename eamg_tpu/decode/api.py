@@ -99,7 +99,8 @@ class Generator:
                                  max_len: int | None = None,
                                  gamma: int = 4, temperature: float = 1.0,
                                  top_k: int = 50, seed: int = 0,
-                                 greedy: bool = False) -> np.ndarray:
+                                 greedy: bool = False,
+                                 top_p: float = 1.0) -> np.ndarray:
         """Speculative decode with ``draft`` as the proposer (same vocab);
         output distribution identical to target-only decoding
         (decode/speculative.py). Batch 1, corrected causal configs only."""
@@ -120,7 +121,8 @@ class Generator:
             self.params, draft.params, jnp.asarray(prompt), p,
             jax.random.PRNGKey(seed), self.cfg, draft.cfg, max_len,
             gamma=gamma, temperature=temperature, top_k=top_k,
-            eos_id=self.eos_id, pad_id=self.pad_id, greedy=greedy)
+            eos_id=self.eos_id, pad_id=self.pad_id, greedy=greedy,
+            top_p=top_p)
         return np.asarray(buf)[:, :int(pos)]
 
     # -- token-string level (Scheme A serving) -----------------------------

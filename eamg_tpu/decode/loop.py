@@ -36,10 +36,6 @@ from ..models.gpt import init_kv_cache
 from .sampling import sample_token
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
-                                   "refeed_last_prompt", "mask_value",
-                                   "approx_top_k", "top_k_impl", "eos_id",
-                                   "presplit_keys", "top_p"))
 def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                 top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
@@ -47,6 +43,28 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 mask_value: float = -1e10, approx_top_k: bool = False,
                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
                 top_p: float = 1.0):
+    """Thin host wrapper: top_p stays a TRACED operand (client-supplied
+    floats must not each trigger a fresh multi-minute remote compile);
+    only the on/off bit is static."""
+    use_top_p = top_p is not None and float(top_p) < 1.0
+    return _generate_kv(params, prompt, prompt_len, rng, cfg, max_len,
+                        temperature, top_k, eos_id, pad_id, greedy,
+                        refeed_last_prompt, mask_value, approx_top_k,
+                        top_k_impl, presplit_keys,
+                        float(top_p) if use_top_p else 1.0, use_top_p)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
+                                   "refeed_last_prompt", "mask_value",
+                                   "approx_top_k", "top_k_impl", "eos_id",
+                                   "presplit_keys", "use_top_p"))
+def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
+                 cfg: GPTConfig, max_len: int, temperature: float = 1.0,
+                 top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
+                 greedy: bool = False, refeed_last_prompt: bool = True,
+                 mask_value: float = -1e10, approx_top_k: bool = False,
+                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
+                 top_p=1.0, use_top_p: bool = False):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -98,7 +116,7 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
             logits0, prompt_len - 1, 1, axis=1)[:, 0]
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl,
-                             top_p)
+                             top_p, use_top_p)
         buf = jax.lax.dynamic_update_slice(buf, first[:, None],
                                            (0, prompt_len))
         done0 = first == eos_id
@@ -125,7 +143,8 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
             rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
-                           greedy, approx_top_k, top_k_impl, top_p)
+                           greedy, approx_top_k, top_k_impl, top_p,
+                           use_top_p)
         if track_eos:
             write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
             done = jnp.logical_or(done, nxt == eos_id)
@@ -140,15 +159,30 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
     return buf, pos
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
-                                   "mask_value", "approx_top_k",
-                                   "top_k_impl", "top_p"))
 def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   rng: jax.Array, cfg: GPTConfig, max_len: int,
                   temperature: float = 1.0, top_k: int = 50,
                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                   mask_value: float = -1e10, approx_top_k: bool = False,
                   top_k_impl: str = "bitsearch", top_p: float = 1.0):
+    """Thin host wrapper — see generate_kv: traced top_p, static on/off."""
+    use_top_p = top_p is not None and float(top_p) < 1.0
+    return _generate_full(params, prompt, prompt_len, rng, cfg, max_len,
+                          temperature, top_k, eos_id, pad_id, greedy,
+                          mask_value, approx_top_k, top_k_impl,
+                          float(top_p) if use_top_p else 1.0, use_top_p)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
+                                   "mask_value", "approx_top_k",
+                                   "top_k_impl", "use_top_p"))
+def _generate_full(params: dict, prompt: jax.Array, prompt_len,
+                   rng: jax.Array, cfg: GPTConfig, max_len: int,
+                   temperature: float = 1.0, top_k: int = 50,
+                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
+                   mask_value: float = -1e10, approx_top_k: bool = False,
+                   top_k_impl: str = "bitsearch", top_p=1.0,
+                   use_top_p: bool = False):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -170,7 +204,8 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
         last_logits = jax.lax.dynamic_slice_in_dim(logits, pos - 1, 1,
                                                    axis=1)[:, 0]
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
-                           greedy, approx_top_k, top_k_impl, top_p)
+                           greedy, approx_top_k, top_k_impl, top_p,
+                           use_top_p)
         write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
         done = jnp.logical_or(done, nxt == eos_id)

@@ -66,15 +66,23 @@ def apply_top_k(logits: jax.Array, top_k: int,
     return logits + jnp.where(logits >= thresh, 0.0, mask_value)
 
 
-def apply_top_p(logits: jax.Array, top_p: float,
-                mask_value: float = -1e10) -> jax.Array:
+def apply_top_p(logits: jax.Array, top_p, mask_value: float = -1e10,
+                enabled: bool | None = None) -> jax.Array:
     """Additive nucleus (top-p) mask: keep the smallest set of
     highest-probability tokens with total mass >= top_p, ``mask_value``
     elsewhere. Sort-free (radix bitsearch over the probability-mass
     predicate, ops/topk.py). Beyond-reference capability: the reference
-    sampler is top-k only (api_cache.py:171-177). top_p is static; 1.0 (or
-    None) compiles to a no-op."""
-    if top_p is None or top_p >= 1.0:
+    sampler is top-k only (api_cache.py:171-177).
+
+    ``enabled`` is the static on/off switch: None (default) decides from a
+    concrete Python ``top_p`` (None or >= 1.0 compiles to a no-op); pass an
+    explicit bool when ``top_p`` is a traced operand — serving paths keep
+    it traced so every client-supplied value shares ONE compiled program
+    (a fresh ragged compile costs minutes on the axon remote helper)."""
+    if enabled is None:
+        enabled = top_p is not None and (
+            not isinstance(top_p, (int, float)) or top_p < 1.0)
+    if not enabled or top_p is None:
         return logits
     from ..ops.topk import top_p_threshold_bitsearch
 
@@ -87,23 +95,28 @@ def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  greedy: bool = False,
                  approx_top_k: bool = False,
                  top_k_impl: str = "bitsearch",
-                 top_p: float = 1.0) -> jax.Array:
+                 top_p=1.0, use_top_p: bool | None = None) -> jax.Array:
     """[B, V] logits -> [B] sampled token ids. Filter order matches the
     HF convention: temperature, then top-k, then top-p over the surviving
-    distribution."""
+    distribution. ``use_top_p`` gates the nucleus mask statically when
+    ``top_p`` is traced (see apply_top_p)."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k,
                          impl=top_k_impl)
-    logits = apply_top_p(logits, top_p, mask_value)
+    logits = apply_top_p(logits, top_p, mask_value, enabled=use_top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
 def token_log_prob(logits: jax.Array, token: jax.Array, temperature: float,
-                   top_k: int, mask_value: float = -1e10) -> jax.Array:
+                   top_k: int, mask_value: float = -1e10,
+                   top_p: float = 1.0) -> jax.Array:
     """log P(token) under the sampling distribution — used by the
-    host-replay parity harness to validate recorded reference streams."""
+    host-replay parity harness to validate recorded reference streams.
+    Pass the stream's top_p so nucleus-sampled streams are scored against
+    their true (filtered) distribution."""
     logits = apply_top_k(logits / temperature, top_k, mask_value)
+    logits = apply_top_p(logits, top_p, mask_value)
     logp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(logp, token[..., None], axis=-1)[..., 0]

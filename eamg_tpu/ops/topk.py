@@ -51,16 +51,25 @@ def _key_to_float(t: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _search(keys: jax.Array, k: int) -> jax.Array:
-    """[B, V] uint32 keys -> [B, 1] key of the k-th largest element."""
+def _radix_search(keys: jax.Array, predicate) -> jax.Array:
+    """[B, V] uint32 keys -> [B, 1]: the largest uint32 t with
+    ``predicate(mask of keys >= t)`` true, by MSB-first binary search.
+    ``predicate`` maps a [B, V] bool membership mask to [B, 1] bool and
+    must be monotone non-increasing in t (shrinking sets stay true until
+    they become false)."""
     B = keys.shape[0]
     t = jnp.zeros((B, 1), jnp.uint32)
     for bit in range(31, -1, -1):
         cand = t | np.uint32(1 << bit)
-        cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=-1,
-                      keepdims=True)
-        t = jnp.where(cnt >= k, cand, t)
+        t = jnp.where(predicate(keys >= cand), cand, t)
     return t
+
+
+def _search(keys: jax.Array, k: int) -> jax.Array:
+    """[B, V] uint32 keys -> [B, 1] key of the k-th largest element."""
+    return _radix_search(
+        keys, lambda m: jnp.sum(m.astype(jnp.int32), axis=-1,
+                                keepdims=True) >= k)
 
 
 def kth_value_bitsearch(logits: jax.Array, k: int) -> jax.Array:
@@ -83,20 +92,20 @@ def top_p_threshold_bitsearch(logits: jax.Array, p) -> jax.Array:
     sorted-cumsum implementations break ties by arbitrary sort order).
 
     ``p`` may be a Python float or a traced scalar / [B, 1] array (per-row
-    nuclei). ``p >= 1`` degenerates safely to keeping the whole vocabulary
-    and ``p -> 0`` keeps at least the argmax.
+    nuclei) — keep it a traced operand on serving paths so distinct values
+    share one compiled program. ``p >= 1`` degenerates safely to keeping
+    the whole vocabulary and ``p <= 0`` to keeping the argmax (and ties).
     """
     x = logits.astype(jnp.float32)
     probs = jax.nn.softmax(x, axis=-1)
     keys = _float_to_key(x)
-    B = x.shape[0]
-    p = jnp.asarray(p, jnp.float32)
-    t = jnp.zeros((B, 1), jnp.uint32)
-    for bit in range(31, -1, -1):
-        cand = t | np.uint32(1 << bit)
-        mass = jnp.sum(jnp.where(keys >= cand, probs, 0.0), axis=-1,
-                       keepdims=True)
-        t = jnp.where(mass >= p, cand, t)
+    # p <= 0 would satisfy the mass predicate at every candidate, driving t
+    # to all-ones (a NaN bit pattern that masks the whole vocabulary);
+    # clamping to a positive subnormal keeps "p -> 0 keeps the argmax".
+    p = jnp.maximum(jnp.asarray(p, jnp.float32), 1e-30)
+    t = _radix_search(
+        keys, lambda m: jnp.sum(jnp.where(m, probs, 0.0), axis=-1,
+                                keepdims=True) >= p)
     # p above the attainable float32 mass: every candidate fails, t stays 0,
     # and key 0 decodes into NaN bit patterns — degrade to keep-everything.
     return jnp.where(t == 0, -jnp.inf,

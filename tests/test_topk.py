@@ -123,11 +123,40 @@ def test_top_p_edge_cases():
     probs /= probs.sum(-1, keepdims=True)
     kept_mass = np.where(np.asarray(x) >= t, probs, 0.0).sum(-1)
     assert (kept_mass >= 1 - 1e-6).all()
-    # p -> 0: keeps exactly the argmax (and ties)
-    t = np.asarray(top_p_threshold_bitsearch(x, 1e-9))
-    keep = np.asarray(x) >= t
-    assert np.array_equal(keep.argmax(-1), np.asarray(x).argmax(-1))
-    assert (keep.sum(-1) == 1).all()
+    # p -> 0 (including exactly 0, which would otherwise drive the radix
+    # search into NaN bit patterns and mask EVERY token): keeps exactly
+    # the argmax (and ties)
+    for p in (1e-9, 0.0, -1.0):
+        t = np.asarray(top_p_threshold_bitsearch(x, p))
+        keep = np.asarray(x) >= t
+        assert np.array_equal(keep.argmax(-1), np.asarray(x).argmax(-1)), p
+        assert (keep.sum(-1) == 1).all(), p
+
+
+def test_top_p_is_traced_not_static():
+    """Serving paths must share ONE compiled program across distinct
+    client-supplied top_p values (a fresh ragged compile costs minutes on
+    the axon remote helper — a static float would be a compile-DoS)."""
+    from eamg_tpu.decode.loop import _generate_kv
+    from eamg_tpu.decode.ragged import _generate_kv_ragged
+    from eamg_tpu.models import GPTConfig, init_params
+
+    cfg = GPTConfig(vocab_size=64, seq_len=32, d_model=32, n_head=4,
+                    n_layer=1, causal=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(np.asarray([[1, 2, 3, 0]], np.int32))
+    from eamg_tpu.decode import generate_kv
+    from eamg_tpu.decode.ragged import generate_kv_ragged
+
+    for p in (0.9, 0.8, 0.73, 0.61):
+        generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg, 16,
+                    top_p=p)
+    assert _generate_kv._cache_size() == 1
+    rngs = jax.random.PRNGKey(0)[None]
+    for p in (0.9, 0.8, 0.73, 0.61):
+        generate_kv_ragged(params, prompt, jnp.asarray([3], np.int32),
+                           rngs, cfg, 16, top_p=p)
+    assert _generate_kv_ragged._cache_size() == 1
 
 
 def test_top_p_one_matches_no_top_p_bitwise():
