@@ -87,7 +87,11 @@ def apply_top_p(logits: jax.Array, top_p, mask_value: float = -1e10,
     from ..ops.topk import top_p_threshold_bitsearch
 
     thresh = top_p_threshold_bitsearch(logits, top_p)
-    return logits + jnp.where(logits >= thresh, 0.0, mask_value)
+    masked = logits + jnp.where(logits >= thresh, 0.0, mask_value)
+    # Traced p >= 1 must be an EXACT no-op (float32 mass rounding could
+    # otherwise shave negligible-mass tokens): select per row. For
+    # concrete Python p < 1 the predicate is a constant and folds away.
+    return jnp.where(jnp.asarray(top_p, jnp.float32) < 1.0, masked, logits)
 
 
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,

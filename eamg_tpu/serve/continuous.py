@@ -55,11 +55,20 @@ class EngineOverloaded(RuntimeError):
 
 
 def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
-                 top_p=1.0):
+                 top_p=1.0, top_ps=None):
     """Per-row key AND per-row temperature (rows are independent requests).
-    Bit-matches decode/ragged.py's _sample_per_row for equal temperature."""
+    Bit-matches decode/ragged.py's _sample_per_row for equal temperature.
+    ``top_ps`` ([B] traced, per-row nucleus mode) overrides the engine-wide
+    ``top_p``; rows at 1.0 are exact no-ops (apply_top_p selects per row),
+    preserving the bit-match-solo contract for unfiltered requests."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_ps is not None:
+        return jax.vmap(
+            lambda k, lg, t, pp: sample_token(k, lg[None], t, top_k,
+                                              mask_value, greedy, top_p=pp,
+                                              use_top_p=True)[0]
+        )(rngs, logits, temps, top_ps)
     return jax.vmap(
         lambda k, lg, t: sample_token(k, lg[None], t, top_k, mask_value,
                                       greedy, top_p=top_p)[0]
@@ -77,14 +86,17 @@ def init_state(cfg, slots: int, max_len: int):
         "rngs": jnp.zeros((slots, 2), jnp.uint32),
         "row_max": jnp.zeros((slots,), jnp.int32),
         "temps": jnp.ones((slots,), jnp.float32),
+        "top_ps": jnp.ones((slots,), jnp.float32),
     }
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
-                                   "eos_id", "pad_id", "top_p"))
+                                   "eos_id", "pad_id", "top_p",
+                                   "per_row_top_p"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
-              eos_id=-1, pad_id=0, top_p=1.0):
+              eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
+              per_row_top_p=False):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -114,8 +126,11 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     P = prompt.shape[1]
     onehot = (jnp.arange(P) == plen - 1).astype(logits0.dtype)[None]
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
-    first = _sample_rows(sub[None], last_logits, temp[None], top_k,
-                         mask_value, greedy, top_p)[0]
+    first = _sample_rows(
+        sub[None], last_logits, temp[None], top_k, mask_value, greedy,
+        top_p,
+        jnp.asarray(row_top_p, jnp.float32)[None] if per_row_top_p
+        else None)[0]
 
     # buffer row: prompt, then (when a slot remains) the first token
     active0 = plen < rmax
@@ -138,14 +153,17 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         "rngs": state["rngs"].at[slot].set(rng_next),
         "row_max": state["row_max"].at[slot].set(rmax),
         "temps": state["temps"].at[slot].set(temp),
+        "top_ps": state["top_ps"].at[slot].set(
+            jnp.asarray(row_top_p, jnp.float32)),
     }
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "eos_id", "pad_id",
-                                   "top_p"))
+                                   "top_p", "per_row_top_p"))
 def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
-                 mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0):
+                 mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0,
+                 per_row_top_p=False):
     """Advance every live row ``chunk`` steps (done/free rows are inert).
     Same per-step math as generate_kv_ragged's while_loop body."""
     max_len = state["buf"].shape[1]
@@ -158,7 +176,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
-                           top_p)
+                           top_p,
+                           state["top_ps"] if per_row_top_p else None)
         active = ~(done | (pos >= row_max))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         # masked one-hot write (identical values to a per-row
@@ -180,7 +199,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                state["rngs"], state["cache"], state["row_max"],
                state["temps"]), None, length=chunk)
     return {"cache": cache, "buf": buf, "pos": pos, "last": last,
-            "done": done, "rngs": rngs, "row_max": row_max, "temps": temps}
+            "done": done, "rngs": rngs, "row_max": row_max, "temps": temps,
+            "top_ps": state["top_ps"]}
 
 
 @jax.jit
@@ -203,6 +223,7 @@ class _Pending:
     seed: int
     max_len: int
     submitted: float
+    top_p: float = 1.0
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -230,7 +251,7 @@ class ContinuousBatcher:
                  chunk: int = 64, max_len: int | None = None,
                  top_k: int = 50, greedy: bool = False,
                  mask_value: float = -1e10, max_queue: int = 256,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, per_row_top_p: bool = False):
         assert generator.cfg.causal and not generator.cfg.pos_broadcast_bug,\
             "continuous batching requires the corrected causal config"
         self.gen = generator
@@ -238,6 +259,10 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
         self.top_p = float(top_p)
+        # per-row mode compiles the nucleus search into the chunk program
+        # and each request carries its own (traced) top_p; rows at 1.0 are
+        # exact no-ops, so unfiltered requests still bit-match solo runs
+        self.per_row_top_p = bool(per_row_top_p)
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
         # admission control: requests queued beyond the live slots; 0 =
@@ -265,11 +290,13 @@ class ContinuousBatcher:
                 greedy: bool | None = None,
                 top_p: float | None = None) -> bool:
         """Whether a request's sampling params match the compiled engine
-        (top_k/top_p/greedy are engine-wide; callers fall back to a solo
+        (top_k/greedy are engine-wide; top_p is engine-wide unless the
+        engine runs per-row nucleus mode; callers fall back to a solo
         decode on mismatch instead of erroring)."""
         return ((top_k is None or top_k == self.top_k)
                 and (greedy is None or greedy == self.greedy)
-                and (top_p is None or float(top_p) == self.top_p))
+                and (self.per_row_top_p or top_p is None
+                     or float(top_p) == self.top_p))
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                seed: int | None = None, max_len: int | None = None,
@@ -282,7 +309,8 @@ class ContinuousBatcher:
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
-        if top_p is not None and float(top_p) != self.top_p:
+        if top_p is not None and not self.per_row_top_p \
+                and float(top_p) != self.top_p:
             raise ValueError(
                 f"engine compiled for top_p={self.top_p}, got {top_p}")
         ml = int(min(max_len or self.max_len, self.max_len))
@@ -291,7 +319,8 @@ class ContinuousBatcher:
         req = _Pending(list(prompt_ids), float(temperature),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
-                       submitted=time.monotonic())
+                       submitted=time.monotonic(),
+                       top_p=float(top_p) if top_p is not None else 1.0)
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -326,7 +355,8 @@ class ContinuousBatcher:
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
-        if top_p is not None and float(top_p) != self.top_p:
+        if top_p is not None and not self.per_row_top_p \
+                and float(top_p) != self.top_p:
             raise ValueError(
                 f"engine compiled for top_p={self.top_p}, got {top_p}")
         ml = int(min(max_len or self.max_len, self.max_len))
@@ -335,7 +365,8 @@ class ContinuousBatcher:
         req = _Pending(list(prompt_ids), float(temperature),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
-                       submitted=time.monotonic())
+                       submitted=time.monotonic(),
+                       top_p=float(top_p) if top_p is not None else 1.0)
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -431,7 +462,8 @@ class ContinuousBatcher:
             jnp.asarray(req.temperature, jnp.float32),
             self.gen.cfg, top_k=self.top_k, greedy=self.greedy,
             mask_value=self.mask_value, eos_id=self.gen.eos_id,
-            pad_id=self.gen.pad_id, top_p=self.top_p)
+            pad_id=self.gen.pad_id, top_p=self.top_p,
+            row_top_p=req.top_p, per_row_top_p=self.per_row_top_p)
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -552,7 +584,8 @@ class ContinuousBatcher:
                         chunk=self.chunk, top_k=self.top_k,
                         greedy=self.greedy, mask_value=self.mask_value,
                         eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
-                        top_p=self.top_p)
+                        top_p=self.top_p,
+                        per_row_top_p=self.per_row_top_p)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

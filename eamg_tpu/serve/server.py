@@ -378,10 +378,13 @@ def main():  # pragma: no cover - CLI entry
     parser.add_argument("--max-queue", type=int, default=None,
                         help="admission-queue bound before requests are "
                              "shed with 503 (default 256; 0 = unbounded)")
-    parser.add_argument("--engine-top-p", type=float, default=None,
-                        help="continuous engine: compile the shared decode "
-                             "for this nucleus mass (requests with a "
-                             "different top_p fall back to a solo decode)")
+    parser.add_argument("--engine-top-p", default=None,
+                        help="continuous engine nucleus mode: a float "
+                             "compiles the shared decode for that fixed "
+                             "mass (mismatching requests decode solo); "
+                             "'row' compiles per-row nucleus filtering so "
+                             "EVERY request's top_p rides the engine "
+                             "(rows at 1.0 stay bit-exact unfiltered)")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -390,8 +393,10 @@ def main():  # pragma: no cover - CLI entry
             coalesce_opts["slots"] = args.slots
         if args.chunk is not None:
             coalesce_opts["chunk"] = args.chunk
-        if args.engine_top_p is not None:
-            coalesce_opts["top_p"] = args.engine_top_p
+        if args.engine_top_p == "row":
+            coalesce_opts["per_row_top_p"] = True
+        elif args.engine_top_p is not None:
+            coalesce_opts["top_p"] = float(args.engine_top_p)
     elif args.coalesce and args.slots is not None:
         coalesce_opts["max_batch"] = args.slots
     if args.coalesce and args.max_queue is not None:

@@ -409,3 +409,47 @@ def test_top_p_engine_matches_solo(generator):
     # a top-p-restricted stream must differ from the unrestricted one for
     # this seed/geometry (sanity that the mask actually bites)
     assert got != solo(generator, [1, 2, 3], 7, 24)
+
+
+def test_per_row_top_p_mixed_rows_match_solo(generator):
+    """Per-row nucleus mode: every request's top_p rides the engine. A
+    top_p=1.0 row must stay bit-exact with the unfiltered solo stream
+    (apply_top_p's per-row select), while a top_p=0.7 row in the SAME
+    chunk program matches its nucleus-filtered solo stream."""
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
+                            per_row_top_p=True)
+    try:
+        assert eng.accepts(top_p=0.33) and eng.accepts(top_p=1.0)
+        results = {}
+
+        def hit(name, ids, seed, top_p):
+            results[name] = eng.submit(ids, seed=seed, top_p=top_p,
+                                       timeout=600)
+
+        threads = [
+            threading.Thread(target=hit, args=("plain", [1, 2, 3], 7, 1.0),
+                             daemon=True),
+            threading.Thread(target=hit, args=("nucleus", [4, 5], 9, 0.7),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        eng.close()
+
+    def solo_p(ids, seed, top_p):
+        prompt = np.zeros((1, 16), np.int32)
+        prompt[0, :len(ids)] = ids
+        buf, pos = generate_kv_ragged(
+            generator.params, jnp.asarray(prompt),
+            jnp.asarray([len(ids)], np.int32),
+            jax.random.PRNGKey(seed)[None], CFG, 24, temperature=1.0,
+            top_k=50, eos_id=-1, pad_id=0, top_p=top_p)
+        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+
+    assert results["plain"] == solo_p([1, 2, 3], 7, 1.0)
+    assert results["plain"] == solo(generator, [1, 2, 3], 7, 24)
+    assert results["nucleus"] == solo_p([4, 5], 9, 0.7)
+    assert results["nucleus"] != solo(generator, [4, 5], 9, 24)
