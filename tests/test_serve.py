@@ -309,3 +309,24 @@ def test_http_503_on_engine_overload(server, pipeline, monkeypatch):
     assert resp.status == 200
     body = resp.read()  # consume: leave no handler mid-decode at teardown
     assert b'"event": "done"' in body
+
+
+def test_http_top_p_field(server):
+    """top_p form field: deterministic per seed, differs from the
+    unfiltered stream, and degenerate top_p=0 degrades to near-greedy
+    instead of erroring (NaN-threshold regression guard)."""
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "3"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "3",
+                    "top_p": "0.5"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "3",
+                    "top_p": "0.5"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b
+    assert a != base
+    z = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "3",
+                    "top_p": "0"}).read()
+    assert z[:4] == b"MThd"
