@@ -114,19 +114,20 @@ def cmd_generate(args):
         ids = gen.generate_ids_speculative(
             draft, prompt_ids, max_len=args.max_len,
             gamma=args.gamma, temperature=args.temperature,
-            top_k=args.top_k, seed=args.seed, top_p=args.top_p)[0]
+            top_k=args.top_k, seed=args.seed, top_p=args.top_p,
+            min_p=args.min_p)[0]
         tokens = gen.trim_at_eos(ids)
     elif scheme == "b3":
         ids = gen.generate_ids(prompt_ids, max_len=args.max_len,
                                temperature=args.temperature,
                                top_k=args.top_k, seed=args.seed,
-                               top_p=args.top_p)[0]
+                               top_p=args.top_p, min_p=args.min_p)[0]
         tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,
                                     top_k=args.top_k, seed=args.seed,
-                                    top_p=args.top_p)
+                                    top_p=args.top_p, min_p=args.min_p)
     print("Generated token snippet:", tokens[:20], "...")
     song = scheme_b.decode_to_song(ids) if scheme == "b3" \
         else tokens_to_song(tokens)
@@ -336,6 +337,9 @@ def main(argv=None):
     g.add_argument("--top-p", type=float, default=1.0,
                    help="nucleus sampling mass (1.0 = off; applied after "
                         "top-k, sort-free bitsearch — beyond-reference)")
+    g.add_argument("--min-p", type=float, default=0.0,
+                   help="min-p cutoff: drop tokens below min_p x the top "
+                        "token's probability (0 = off; beyond-reference)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--out", default="generated.mid")
     g.add_argument("--wav", default=None)

@@ -42,29 +42,33 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 greedy: bool = False, refeed_last_prompt: bool = True,
                 mask_value: float = -1e10, approx_top_k: bool = False,
                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
-                top_p: float = 1.0):
-    """Thin host wrapper: top_p stays a TRACED operand (client-supplied
+                top_p: float = 1.0, min_p: float = 0.0):
+    """Thin host wrapper: top_p/min_p stay TRACED operands (client-supplied
     floats must not each trigger a fresh multi-minute remote compile);
-    only the on/off bit is static."""
+    only the on/off bits are static."""
     use_top_p = top_p is not None and float(top_p) < 1.0
+    use_min_p = min_p is not None and float(min_p) > 0.0
     return _generate_kv(params, prompt, prompt_len, rng, cfg, max_len,
                         temperature, top_k, eos_id, pad_id, greedy,
                         refeed_last_prompt, mask_value, approx_top_k,
                         top_k_impl, presplit_keys,
-                        float(top_p) if use_top_p else 1.0, use_top_p)
+                        float(top_p) if use_top_p else 1.0, use_top_p,
+                        float(min_p) if use_min_p else 0.0, use_min_p)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "refeed_last_prompt", "mask_value",
                                    "approx_top_k", "top_k_impl", "eos_id",
-                                   "presplit_keys", "use_top_p"))
+                                   "presplit_keys", "use_top_p",
+                                   "use_min_p"))
 def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                  greedy: bool = False, refeed_last_prompt: bool = True,
                  mask_value: float = -1e10, approx_top_k: bool = False,
                  top_k_impl: str = "bitsearch", presplit_keys: bool = False,
-                 top_p=1.0, use_top_p: bool = False):
+                 top_p=1.0, use_top_p: bool = False,
+                 min_p=0.0, use_min_p: bool = False):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -116,7 +120,7 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
             logits0, prompt_len - 1, 1, axis=1)[:, 0]
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl,
-                             top_p, use_top_p)
+                             top_p, use_top_p, min_p, use_min_p)
         buf = jax.lax.dynamic_update_slice(buf, first[:, None],
                                            (0, prompt_len))
         done0 = first == eos_id
@@ -144,7 +148,7 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
-                           use_top_p)
+                           use_top_p, min_p, use_min_p)
         if track_eos:
             write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
             done = jnp.logical_or(done, nxt == eos_id)
@@ -164,25 +168,30 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   temperature: float = 1.0, top_k: int = 50,
                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                   mask_value: float = -1e10, approx_top_k: bool = False,
-                  top_k_impl: str = "bitsearch", top_p: float = 1.0):
-    """Thin host wrapper — see generate_kv: traced top_p, static on/off."""
+                  top_k_impl: str = "bitsearch", top_p: float = 1.0,
+                  min_p: float = 0.0):
+    """Thin host wrapper — see generate_kv: traced top_p/min_p, static
+    on/off bits."""
     use_top_p = top_p is not None and float(top_p) < 1.0
+    use_min_p = min_p is not None and float(min_p) > 0.0
     return _generate_full(params, prompt, prompt_len, rng, cfg, max_len,
                           temperature, top_k, eos_id, pad_id, greedy,
                           mask_value, approx_top_k, top_k_impl,
-                          float(top_p) if use_top_p else 1.0, use_top_p)
+                          float(top_p) if use_top_p else 1.0, use_top_p,
+                          float(min_p) if use_min_p else 0.0, use_min_p)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "approx_top_k",
-                                   "top_k_impl", "use_top_p"))
+                                   "top_k_impl", "use_top_p", "use_min_p"))
 def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    rng: jax.Array, cfg: GPTConfig, max_len: int,
                    temperature: float = 1.0, top_k: int = 50,
                    eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                    mask_value: float = -1e10, approx_top_k: bool = False,
                    top_k_impl: str = "bitsearch", top_p=1.0,
-                   use_top_p: bool = False):
+                   use_top_p: bool = False, min_p=0.0,
+                   use_min_p: bool = False):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -205,7 +214,7 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                                                    axis=1)[:, 0]
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
-                           use_top_p)
+                           use_top_p, min_p, use_min_p)
         write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
         done = jnp.logical_or(done, nxt == eos_id)

@@ -110,7 +110,8 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
 
 
 def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy,
-                    top_p=1.0, use_top_p=False):
+                    top_p=1.0, use_top_p=False, min_p=0.0,
+                    use_min_p=False):
     """Per-row PRNG keys: row outputs don't depend on batch composition,
     so a coalesced request keeps its seed reproducibility."""
     if greedy:
@@ -118,7 +119,8 @@ def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy,
     return jax.vmap(
         lambda k, lg: sample_token(k, lg[None], temperature, top_k,
                                    mask_value, greedy, top_p=top_p,
-                                   use_top_p=use_top_p)[0]
+                                   use_top_p=use_top_p, min_p=min_p,
+                                   use_min_p=use_min_p)[0]
     )(rngs, logits)
 
 
@@ -128,28 +130,32 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                        temperature: float = 1.0, top_k: int = 50,
                        eos_id: int = -1, pad_id: int = 0,
                        greedy: bool = False, mask_value: float = -1e10,
-                       top_p: float = 1.0):
-    """Thin host wrapper — top_p stays a TRACED operand so every
+                       top_p: float = 1.0, min_p: float = 0.0):
+    """Thin host wrapper — top_p/min_p stay TRACED operands so every
     client-supplied value shares one compiled ragged program (a fresh
     ragged compile costs minutes on the axon remote helper); only the
-    on/off bit is static."""
+    on/off bits are static."""
     use_top_p = top_p is not None and float(top_p) < 1.0
+    use_min_p = min_p is not None and float(min_p) > 0.0
     return _generate_kv_ragged(params, prompt, prompt_lens, rngs, cfg,
                                max_len, temperature, top_k, eos_id, pad_id,
                                greedy, mask_value,
                                float(top_p) if use_top_p else 1.0,
-                               use_top_p)
+                               use_top_p,
+                               float(min_p) if use_min_p else 0.0,
+                               use_min_p)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
-                                   "mask_value", "use_top_p"))
+                                   "mask_value", "use_top_p", "use_min_p"))
 def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         prompt_lens: jax.Array, rngs: jax.Array,
                         cfg: GPTConfig, max_len: int,
                         temperature: float = 1.0, top_k: int = 50,
                         eos_id: int = -1, pad_id: int = 0,
                         greedy: bool = False, mask_value: float = -1e10,
-                        top_p=1.0, use_top_p: bool = False):
+                        top_p=1.0, use_top_p: bool = False,
+                        min_p=0.0, use_min_p: bool = False):
     """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
     key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
     Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
@@ -183,7 +189,8 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
               (prompt_lens - 1)[:, None]).astype(logits0.dtype)
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
     first = _sample_per_row(subs, last_logits, temperature, top_k,
-                            mask_value, greedy, top_p, use_top_p)
+                            mask_value, greedy, top_p, use_top_p, min_p,
+                            use_min_p)
     # A row whose prompt already fills the buffer (prompt_lens == max_len)
     # has no slot left: it starts done, its position stays put, and the
     # write below re-writes the existing value instead of clobbering the
@@ -209,7 +216,7 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
-                              greedy, top_p, use_top_p)
+                              greedy, top_p, use_top_p, min_p, use_min_p)
         active = ~(done | (pos >= max_len))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         hit = (cols == pos[:, None]) & active[:, None]

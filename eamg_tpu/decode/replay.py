@@ -27,7 +27,7 @@ import numpy as np
 
 from ..models.gpt import GPTConfig, decode_step, forward, init_kv_cache
 from ..models.gpt import prefill
-from .sampling import apply_top_k, apply_top_p
+from .sampling import apply_min_p, apply_top_k, apply_top_p
 
 
 @partial(jax.jit, static_argnames=("cfg", "prompt_len",
@@ -70,12 +70,12 @@ def verify_stream(params: dict, cfg: GPTConfig, ids, prompt_len: int,
                   temperature: float = 1.0, top_k: int = 50,
                   mask_value: float = -1e10,
                   refeed_last_prompt: bool = True,
-                  top_p: float = 1.0) -> dict:
+                  top_p: float = 1.0, min_p: float = 0.0) -> dict:
     """Replay a recorded stream; returns reachability + per-token logprobs.
 
     ids: [L] or [B, L] full recorded stream (prompt + generated tokens).
-    Pass the top_p the stream was sampled with so support checking uses
-    the true (nucleus-filtered) distribution.
+    Pass the top_p/min_p the stream was sampled with so support checking
+    uses the true (filtered) distribution.
     """
     ids = jnp.atleast_2d(jnp.asarray(ids, jnp.int32))
     B, L = ids.shape
@@ -87,6 +87,7 @@ def verify_stream(params: dict, cfg: GPTConfig, ids, prompt_len: int,
 
     masked = apply_top_k(logits / temperature, top_k, mask_value)
     masked = apply_top_p(masked, top_p, mask_value)
+    masked = apply_min_p(masked, min_p, mask_value)
     logp = jax.nn.log_softmax(masked, axis=-1)
     tok_logp = jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
     in_support = tok_logp > jnp.log(1e-30)

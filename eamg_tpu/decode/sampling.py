@@ -24,8 +24,10 @@ in generate2.py:36; the constant is a parameter.
 
 Beyond the reference's top-k, nucleus (top-p) filtering is available via
 ``top_p`` — implemented with the same sort-free radix bitsearch, over the
-probability-mass predicate instead of the count predicate (ops/topk.py).
-Default 1.0 compiles to a no-op, preserving reference parity.
+probability-mass predicate instead of the count predicate (ops/topk.py) —
+and min-p via ``min_p`` (confidence-relative cutoff, just a row max + a
+compare). Defaults (1.0 / 0.0) compile to no-ops, preserving reference
+parity.
 """
 
 from __future__ import annotations
@@ -94,33 +96,60 @@ def apply_top_p(logits: jax.Array, top_p, mask_value: float = -1e10,
     return jnp.where(jnp.asarray(top_p, jnp.float32) < 1.0, masked, logits)
 
 
+def apply_min_p(logits: jax.Array, min_p, mask_value: float = -1e10,
+                enabled: bool | None = None) -> jax.Array:
+    """Min-p filter: keep tokens whose probability is at least ``min_p``
+    times the top token's — equivalently ``logit >= max + ln(min_p)``, so
+    no softmax and no search, just a row max and a compare. Scales the
+    kept set with the model's confidence (peaked distribution -> few
+    tokens, flat -> many), unlike fixed-k/fixed-mass filters.
+
+    Same static/traced contract as apply_top_p: ``enabled`` is the static
+    switch (None decides from a concrete Python ``min_p``; 0 or None is
+    off); ``min_p`` itself stays traced on serving paths. A traced
+    ``min_p <= 0`` selects the unfiltered logits per row, bit-exactly."""
+    if enabled is None:
+        enabled = min_p is not None and (
+            not isinstance(min_p, (int, float)) or min_p > 0.0)
+    if not enabled or min_p is None:
+        return logits
+    mp = jnp.asarray(min_p, jnp.float32)
+    thresh = (jnp.max(logits, axis=-1, keepdims=True)
+              + jnp.log(jnp.maximum(mp, 1e-38)))
+    masked = logits + jnp.where(logits >= thresh, 0.0, mask_value)
+    return jnp.where(mp > 0.0, masked, logits)
+
+
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_k: int, mask_value: float = -1e10,
                  greedy: bool = False,
                  approx_top_k: bool = False,
                  top_k_impl: str = "bitsearch",
-                 top_p=1.0, use_top_p: bool | None = None) -> jax.Array:
+                 top_p=1.0, use_top_p: bool | None = None,
+                 min_p=0.0, use_min_p: bool | None = None) -> jax.Array:
     """[B, V] logits -> [B] sampled token ids. Filter order matches the
-    HF convention: temperature, then top-k, then top-p over the surviving
-    distribution. ``use_top_p`` gates the nucleus mask statically when
-    ``top_p`` is traced (see apply_top_p)."""
+    HF convention: temperature, then top-k, then top-p, then min-p over
+    the surviving distribution. ``use_top_p``/``use_min_p`` gate the masks
+    statically when the thresholds are traced (see apply_top_p)."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     logits = apply_top_k(logits, top_k, mask_value, approx=approx_top_k,
                          impl=top_k_impl)
     logits = apply_top_p(logits, top_p, mask_value, enabled=use_top_p)
+    logits = apply_min_p(logits, min_p, mask_value, enabled=use_min_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
 def token_log_prob(logits: jax.Array, token: jax.Array, temperature: float,
                    top_k: int, mask_value: float = -1e10,
-                   top_p: float = 1.0) -> jax.Array:
+                   top_p: float = 1.0, min_p: float = 0.0) -> jax.Array:
     """log P(token) under the sampling distribution — used by the
     host-replay parity harness to validate recorded reference streams.
-    Pass the stream's top_p so nucleus-sampled streams are scored against
-    their true (filtered) distribution."""
+    Pass the stream's top_p/min_p so filtered streams are scored against
+    their true distribution."""
     logits = apply_top_k(logits / temperature, top_k, mask_value)
     logits = apply_top_p(logits, top_p, mask_value)
+    logits = apply_min_p(logits, min_p, mask_value)
     logp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(logp, token[..., None], axis=-1)[..., 0]

@@ -24,29 +24,31 @@ import jax.numpy as jnp
 
 from ..models.gpt import (GPTConfig, decode_block, decode_step,
                           init_kv_cache, prefill)
-from .sampling import apply_top_k, apply_top_p
+from .sampling import apply_min_p, apply_top_k, apply_top_p
 
 
-def _dist(logits, temperature, top_k, greedy, top_p=1.0):
+def _dist(logits, temperature, top_k, greedy, top_p=1.0, min_p=0.0):
     """Sampling distribution as used by sample_token (softmax of the
-    temperature/top-k/top-p-masked logits); greedy = one-hot argmax.
+    temperature/top-k/top-p/min-p-masked logits); greedy = one-hot argmax.
     Draft and target share the filter, so rejection sampling still yields
     exactly the target's filtered distribution."""
     if greedy:
         return jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1])
     masked = apply_top_k(logits / temperature, top_k)
     masked = apply_top_p(masked, top_p)
+    masked = apply_min_p(masked, min_p)
     return jax.nn.softmax(masked, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg_t", "cfg_d", "max_len", "gamma",
-                                   "top_k", "greedy", "top_p"))
+                                   "top_k", "greedy", "top_p", "min_p"))
 def generate_speculative(params_t: dict, params_d: dict, prompt: jax.Array,
                          prompt_len, rng: jax.Array, cfg_t: GPTConfig,
                          cfg_d: GPTConfig, max_len: int, gamma: int = 4,
                          temperature: float = 1.0, top_k: int = 50,
                          eos_id: int = -1, pad_id: int = 0,
-                         greedy: bool = False, top_p: float = 1.0):
+                         greedy: bool = False, top_p: float = 1.0,
+                         min_p: float = 0.0):
     """prompt [1, P] -> (tokens [1, max_len], n_tokens). Same contract as
     generate_kv (efficient mode), same output distribution as the target
     model alone."""
@@ -74,7 +76,7 @@ def generate_speculative(params_t: dict, params_d: dict, prompt: jax.Array,
 
     rng, sub = jax.random.split(rng)
     first_dist = _dist(logits_t0[:, :][0, prompt_len - 1][None],
-                       temperature, top_k, greedy, top_p)[0]
+                       temperature, top_k, greedy, top_p, min_p)[0]
     first = jnp.argmax(first_dist).astype(jnp.int32) if greedy else \
         jax.random.categorical(sub, jnp.log(first_dist + 1e-30)).astype(
             jnp.int32)
@@ -103,7 +105,7 @@ def generate_speculative(params_t: dict, params_d: dict, prompt: jax.Array,
                                        cfg_d)
             if i < gamma:
                 dist = _dist(logits_d[0][None], temperature, top_k,
-                             greedy, top_p)[0]
+                             greedy, top_p, min_p)[0]
                 nxt = jnp.argmax(dist).astype(jnp.int32) if greedy else \
                     jax.random.categorical(
                         sub, jnp.log(dist + 1e-30)).astype(jnp.int32)
@@ -119,7 +121,7 @@ def generate_speculative(params_t: dict, params_d: dict, prompt: jax.Array,
               "length": jnp.asarray(L, jnp.int32)}
         logits_t, ct = decode_block(params_t, block, ct, cfg_t)
         p = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
-                                      greedy, top_p)[0])(logits_t[0])  # [g+1, V]
+                                      greedy, top_p, min_p)[0])(logits_t[0])  # [g+1, V]
 
         # ---- acceptance ---------------------------------------------------
         rng, sub_u, sub_r = jax.random.split(rng, 3)

@@ -42,23 +42,27 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                  chunk: int = 32, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                  greedy: bool = False, mask_value: float = -1e10,
-                 top_p: float = 1.0):
-    """Thin host wrapper — traced top_p, static on/off (see loop.py)."""
+                 top_p: float = 1.0, min_p: float = 0.0):
+    """Thin host wrapper — traced top_p/min_p, static on/off bits
+    (see loop.py)."""
     use_top_p = top_p is not None and float(top_p) < 1.0
+    use_min_p = min_p is not None and float(min_p) > 0.0
     return _decode_chunk(params, last, done, rng, cache, cfg, chunk,
                          temperature, top_k, eos_id, pad_id, greedy,
                          mask_value, float(top_p) if use_top_p else 1.0,
-                         use_top_p)
+                         use_top_p, float(min_p) if use_min_p else 0.0,
+                         use_min_p)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
-                                   "mask_value", "use_top_p"))
+                                   "mask_value", "use_top_p", "use_min_p"))
 def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   rng: jax.Array, cache: dict, cfg: GPTConfig,
                   chunk: int = 32, temperature: float = 1.0,
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                   greedy: bool = False, mask_value: float = -1e10,
-                  top_p=1.0, use_top_p: bool = False):
+                  top_p=1.0, use_top_p: bool = False,
+                  min_p=0.0, use_min_p: bool = False):
     """Run ``chunk`` decode steps; finished rows emit PAD. Returns
     (tokens [B, chunk], last, done, rng, cache)."""
     def body(carry, _):
@@ -66,7 +70,8 @@ def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
         rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
-                           greedy, top_p=top_p, use_top_p=use_top_p)
+                           greedy, top_p=top_p, use_top_p=use_top_p,
+                           min_p=min_p, use_min_p=use_min_p)
         out = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         new_done = done | (nxt == eos_id)
         new_last = jnp.where(done, last, nxt)
@@ -81,7 +86,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                   max_len: int, chunk: int = 32, temperature: float = 1.0,
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                   greedy: bool = False, seed: int = 0, bucket: int = 64,
-                  top_p: float = 1.0):
+                  top_p: float = 1.0, min_p: float = 0.0):
     """Python generator yielding token ids one at a time (batch 1).
 
     First sampled token comes from the prefill logits (efficient mode);
@@ -106,7 +111,9 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature, top_k, -1e10,
                          greedy, top_p=top_p,
-                         use_top_p=top_p is not None and float(top_p) < 1.0)
+                         use_top_p=top_p is not None and float(top_p) < 1.0,
+                         min_p=min_p,
+                         use_min_p=min_p is not None and float(min_p) > 0.0)
     tok = int(first[0])
     yield tok
     if tok == eos_id:
@@ -118,7 +125,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
         toks, last, done, rng, cache = decode_chunk(
             params, last, done, rng, cache, cfg, chunk=chunk,
             temperature=temperature, top_k=top_k, eos_id=eos_id,
-            pad_id=pad_id, greedy=greedy, top_p=top_p)
+            pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
         for t in np.asarray(toks)[0]:
             t = int(t)
             if produced >= max_len:

@@ -34,6 +34,7 @@ class _Pending:
     temperature: float
     top_k: int
     top_p: float
+    min_p: float
     greedy: bool
     seed: int
     max_len: int
@@ -68,7 +69,8 @@ class RequestBatcher:
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                top_k: int = 50, greedy: bool = False,
                seed: int | None = None, timeout: float = 600.0,
-               max_len: int | None = None, top_p: float = 1.0) -> list:
+               max_len: int | None = None, top_p: float = 1.0,
+               min_p: float = 0.0) -> list:
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             # zero generation steps: prompt returned unchanged (reference
@@ -76,7 +78,7 @@ class RequestBatcher:
             # ContinuousBatcher.submit, and stream_tokens
             return list(prompt_ids)
         req = _Pending(prompt_ids, float(temperature), int(top_k),
-                       float(top_p), bool(greedy),
+                       float(top_p), float(min_p), bool(greedy),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml)
         if self.overloaded():
@@ -145,11 +147,12 @@ class RequestBatcher:
                 ml = 1 << (r.max_len - 1).bit_length()
                 ml = min(ml, self.max_len)
                 by_params.setdefault(
-                    (r.temperature, r.top_k, r.top_p, r.greedy, ml),
-                    []).append(r)
-            for (temp, top_k, top_p, greedy, ml), reqs in by_params.items():
+                    (r.temperature, r.top_k, r.top_p, r.min_p, r.greedy,
+                     ml), []).append(r)
+            for (temp, top_k, top_p, min_p, greedy, ml), reqs \
+                    in by_params.items():
                 try:
-                    self._run(reqs, temp, top_k, greedy, ml, top_p)
+                    self._run(reqs, temp, top_k, greedy, ml, top_p, min_p)
                 except Exception as exc:  # pragma: no cover - defensive
                     for r in reqs:
                         r.error = exc
@@ -157,7 +160,7 @@ class RequestBatcher:
             self._busy = False
 
     def _run(self, reqs, temperature, top_k, greedy, max_len=None,
-             top_p=1.0):
+             top_p=1.0, min_p=0.0):
         max_len = max_len or self.max_len
         n = len(reqs)
         bs = 1
@@ -180,7 +183,7 @@ class RequestBatcher:
             self.gen.params, jnp.asarray(prompt), jnp.asarray(lens), rngs,
             self.gen.cfg, max_len, temperature=temperature,
             top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
-            greedy=greedy, top_p=top_p)
+            greedy=greedy, top_p=top_p, min_p=min_p)
         buf = np.asarray(buf)
         pos = np.asarray(pos)
         self.stats["calls"] += 1

@@ -55,20 +55,22 @@ class EngineOverloaded(RuntimeError):
 
 
 def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
-                 top_p=1.0, top_ps=None):
+                 top_p=1.0, top_ps=None, min_ps=None):
     """Per-row key AND per-row temperature (rows are independent requests).
     Bit-matches decode/ragged.py's _sample_per_row for equal temperature.
-    ``top_ps`` ([B] traced, per-row nucleus mode) overrides the engine-wide
-    ``top_p``; rows at 1.0 are exact no-ops (apply_top_p selects per row),
-    preserving the bit-match-solo contract for unfiltered requests."""
+    ``top_ps``/``min_ps`` ([B] traced, per-row mode) override the
+    engine-wide ``top_p``; rows at 1.0/0.0 are exact no-ops (the filters
+    select per row), preserving the bit-match-solo contract for
+    unfiltered requests."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if top_ps is not None:
         return jax.vmap(
-            lambda k, lg, t, pp: sample_token(k, lg[None], t, top_k,
-                                              mask_value, greedy, top_p=pp,
-                                              use_top_p=True)[0]
-        )(rngs, logits, temps, top_ps)
+            lambda k, lg, t, pp, mp: sample_token(
+                k, lg[None], t, top_k, mask_value, greedy, top_p=pp,
+                use_top_p=True, min_p=mp, use_min_p=True)[0]
+        )(rngs, logits, temps, top_ps,
+          min_ps if min_ps is not None else jnp.zeros_like(top_ps))
     return jax.vmap(
         lambda k, lg, t: sample_token(k, lg[None], t, top_k, mask_value,
                                       greedy, top_p=top_p)[0]
@@ -87,16 +89,17 @@ def init_state(cfg, slots: int, max_len: int):
         "row_max": jnp.zeros((slots,), jnp.int32),
         "temps": jnp.ones((slots,), jnp.float32),
         "top_ps": jnp.ones((slots,), jnp.float32),
+        "min_ps": jnp.zeros((slots,), jnp.float32),
     }
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
                                    "eos_id", "pad_id", "top_p",
-                                   "per_row_top_p"))
+                                   "per_row_sampling"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
               eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
-              per_row_top_p=False):
+              per_row_sampling=False, row_min_p=0.0):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -129,7 +132,9 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     first = _sample_rows(
         sub[None], last_logits, temp[None], top_k, mask_value, greedy,
         top_p,
-        jnp.asarray(row_top_p, jnp.float32)[None] if per_row_top_p
+        jnp.asarray(row_top_p, jnp.float32)[None] if per_row_sampling
+        else None,
+        jnp.asarray(row_min_p, jnp.float32)[None] if per_row_sampling
         else None)[0]
 
     # buffer row: prompt, then (when a slot remains) the first token
@@ -155,15 +160,17 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         "temps": state["temps"].at[slot].set(temp),
         "top_ps": state["top_ps"].at[slot].set(
             jnp.asarray(row_top_p, jnp.float32)),
+        "min_ps": state["min_ps"].at[slot].set(
+            jnp.asarray(row_min_p, jnp.float32)),
     }
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "eos_id", "pad_id",
-                                   "top_p", "per_row_top_p"))
+                                   "top_p", "per_row_sampling"))
 def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                  mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0,
-                 per_row_top_p=False):
+                 per_row_sampling=False):
     """Advance every live row ``chunk`` steps (done/free rows are inert).
     Same per-step math as generate_kv_ragged's while_loop body."""
     max_len = state["buf"].shape[1]
@@ -177,7 +184,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
                            top_p,
-                           state["top_ps"] if per_row_top_p else None)
+                           state["top_ps"] if per_row_sampling else None,
+                           state["min_ps"] if per_row_sampling else None)
         active = ~(done | (pos >= row_max))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         # masked one-hot write (identical values to a per-row
@@ -200,7 +208,7 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                state["temps"]), None, length=chunk)
     return {"cache": cache, "buf": buf, "pos": pos, "last": last,
             "done": done, "rngs": rngs, "row_max": row_max, "temps": temps,
-            "top_ps": state["top_ps"]}
+            "top_ps": state["top_ps"], "min_ps": state["min_ps"]}
 
 
 @jax.jit
@@ -224,6 +232,7 @@ class _Pending:
     max_len: int
     submitted: float
     top_p: float = 1.0
+    min_p: float = 0.0
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -251,7 +260,10 @@ class ContinuousBatcher:
                  chunk: int = 64, max_len: int | None = None,
                  top_k: int = 50, greedy: bool = False,
                  mask_value: float = -1e10, max_queue: int = 256,
-                 top_p: float = 1.0, per_row_top_p: bool = False):
+                 top_p: float = 1.0, per_row_sampling: bool = False):
+        # per_row_sampling compiles per-row top-p AND min-p filtering into
+        # the chunk program; rows at the neutral values (1.0 / 0.0) are
+        # exact no-ops, so unfiltered requests still bit-match solo runs
         assert generator.cfg.causal and not generator.cfg.pos_broadcast_bug,\
             "continuous batching requires the corrected causal config"
         self.gen = generator
@@ -259,10 +271,7 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
         self.top_p = float(top_p)
-        # per-row mode compiles the nucleus search into the chunk program
-        # and each request carries its own (traced) top_p; rows at 1.0 are
-        # exact no-ops, so unfiltered requests still bit-match solo runs
-        self.per_row_top_p = bool(per_row_top_p)
+        self.per_row_sampling = bool(per_row_sampling)
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
         # admission control: requests queued beyond the live slots; 0 =
@@ -288,31 +297,38 @@ class ContinuousBatcher:
 
     def accepts(self, top_k: int | None = None,
                 greedy: bool | None = None,
-                top_p: float | None = None) -> bool:
+                top_p: float | None = None,
+                min_p: float | None = None) -> bool:
         """Whether a request's sampling params match the compiled engine
-        (top_k/greedy are engine-wide; top_p is engine-wide unless the
-        engine runs per-row nucleus mode; callers fall back to a solo
+        (top_k/greedy are engine-wide; top_p/min_p are engine-wide unless
+        the engine runs per-row sampling mode; callers fall back to a solo
         decode on mismatch instead of erroring)."""
         return ((top_k is None or top_k == self.top_k)
                 and (greedy is None or greedy == self.greedy)
-                and (self.per_row_top_p or top_p is None
-                     or float(top_p) == self.top_p))
+                and (self.per_row_sampling or top_p is None
+                     or float(top_p) == self.top_p)
+                and (self.per_row_sampling or min_p is None
+                     or float(min_p) == 0.0))
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                seed: int | None = None, max_len: int | None = None,
                timeout: float = 600.0, top_k: int | None = None,
                greedy: bool | None = None,
-               top_p: float | None = None) -> list:
+               top_p: float | None = None,
+               min_p: float | None = None) -> list:
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
-        if top_p is not None and not self.per_row_top_p \
+        if top_p is not None and not self.per_row_sampling \
                 and float(top_p) != self.top_p:
             raise ValueError(
                 f"engine compiled for top_p={self.top_p}, got {top_p}")
+        if min_p and not self.per_row_sampling:
+            raise ValueError(
+                "engine needs per_row_sampling mode for min_p requests")
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -320,7 +336,8 @@ class ContinuousBatcher:
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
                        submitted=time.monotonic(),
-                       top_p=float(top_p) if top_p is not None else 1.0)
+                       top_p=float(top_p) if top_p is not None else 1.0,
+                       min_p=float(min_p) if min_p is not None else 0.0)
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -333,7 +350,8 @@ class ContinuousBatcher:
                       seed: int | None = None, max_len: int | None = None,
                       timeout: float = 600.0, top_k: int | None = None,
                       greedy: bool | None = None,
-                      top_p: float | None = None):
+                      top_p: float | None = None,
+                      min_p: float | None = None):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -355,10 +373,13 @@ class ContinuousBatcher:
         if greedy is not None and greedy != self.greedy:
             raise ValueError(
                 f"engine compiled for greedy={self.greedy}, got {greedy}")
-        if top_p is not None and not self.per_row_top_p \
+        if top_p is not None and not self.per_row_sampling \
                 and float(top_p) != self.top_p:
             raise ValueError(
                 f"engine compiled for top_p={self.top_p}, got {top_p}")
+        if min_p and not self.per_row_sampling:
+            raise ValueError(
+                "engine needs per_row_sampling mode for min_p requests")
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -366,7 +387,8 @@ class ContinuousBatcher:
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml,
                        submitted=time.monotonic(),
-                       top_p=float(top_p) if top_p is not None else 1.0)
+                       top_p=float(top_p) if top_p is not None else 1.0,
+                       min_p=float(min_p) if min_p is not None else 0.0)
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -463,7 +485,8 @@ class ContinuousBatcher:
             self.gen.cfg, top_k=self.top_k, greedy=self.greedy,
             mask_value=self.mask_value, eos_id=self.gen.eos_id,
             pad_id=self.gen.pad_id, top_p=self.top_p,
-            row_top_p=req.top_p, per_row_top_p=self.per_row_top_p)
+            row_top_p=req.top_p, per_row_sampling=self.per_row_sampling,
+            row_min_p=req.min_p)
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -585,7 +608,7 @@ class ContinuousBatcher:
                         greedy=self.greedy, mask_value=self.mask_value,
                         eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
                         top_p=self.top_p,
-                        per_row_top_p=self.per_row_top_p)
+                        per_row_sampling=self.per_row_sampling)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

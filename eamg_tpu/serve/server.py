@@ -227,6 +227,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 temperature=float(fields.get("temperature", 1.0)),
                 top_k=int(fields.get("top_k", 50)),
                 top_p=float(fields.get("top_p", 1.0)),
+                min_p=float(fields.get("min_p", 0.0)),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
             self.stats.observe(_time.perf_counter() - t_start,
@@ -275,7 +276,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
         if isinstance(batcher, ContinuousBatcher) \
                 and batcher.accepts(
                     top_k=int(fields.get("top_k", 50)),
-                    top_p=float(fields.get("top_p", 1.0))) \
+                    top_p=float(fields.get("top_p", 1.0)),
+                    min_p=float(fields.get("min_p", 0.0))) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -294,6 +296,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
             temperature=float(fields.get("temperature", 1.0)),
             top_k=int(fields.get("top_k", 50)),
             top_p=float(fields.get("top_p", 1.0)),
+            min_p=float(fields.get("min_p", 0.0)),
             seed=int(seed) if seed is not None else None,
             render_audio=fmt == "wav", sections=sections)
         try:
@@ -382,9 +385,10 @@ def main():  # pragma: no cover - CLI entry
                         help="continuous engine nucleus mode: a float "
                              "compiles the shared decode for that fixed "
                              "mass (mismatching requests decode solo); "
-                             "'row' compiles per-row nucleus filtering so "
-                             "EVERY request's top_p rides the engine "
-                             "(rows at 1.0 stay bit-exact unfiltered)")
+                             "'row' compiles per-row top-p AND min-p "
+                             "filtering so EVERY request's values ride "
+                             "the engine (neutral values stay bit-exact "
+                             "unfiltered)")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -394,7 +398,7 @@ def main():  # pragma: no cover - CLI entry
         if args.chunk is not None:
             coalesce_opts["chunk"] = args.chunk
         if args.engine_top_p == "row":
-            coalesce_opts["per_row_top_p"] = True
+            coalesce_opts["per_row_sampling"] = True
         elif args.engine_top_p is not None:
             coalesce_opts["top_p"] = float(args.engine_top_p)
     elif args.coalesce and args.slots is not None:

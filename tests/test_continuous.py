@@ -417,7 +417,7 @@ def test_per_row_top_p_mixed_rows_match_solo(generator):
     (apply_top_p's per-row select), while a top_p=0.7 row in the SAME
     chunk program matches its nucleus-filtered solo stream."""
     eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
-                            per_row_top_p=True)
+                            per_row_sampling=True)
     try:
         assert eng.accepts(top_p=0.33) and eng.accepts(top_p=1.0)
         results = {}
@@ -453,3 +453,55 @@ def test_per_row_top_p_mixed_rows_match_solo(generator):
     assert results["plain"] == solo(generator, [1, 2, 3], 7, 24)
     assert results["nucleus"] == solo_p([4, 5], 9, 0.7)
     assert results["nucleus"] != solo(generator, [4, 5], 9, 24)
+
+
+def test_per_row_min_p_rides_engine(generator):
+    """min-p rides per-row sampling mode: a filtered row joins the shared
+    decode and bit-matches its solo stream, while a neutral row in the
+    same program stays bit-exact with the unfiltered solo stream. In
+    engine-wide mode min_p requests are rejected (accepts() steers to a
+    solo decode)."""
+    plain_eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24)
+    try:
+        assert not plain_eng.accepts(min_p=0.2)
+        assert plain_eng.accepts(min_p=0.0)
+        with pytest.raises(ValueError):
+            plain_eng.submit([1, 2, 3], seed=7, min_p=0.2)
+    finally:
+        plain_eng.close()
+
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
+                            per_row_sampling=True)
+    try:
+        assert eng.accepts(min_p=0.2)
+        results = {}
+
+        def hit(name, ids, seed, min_p):
+            results[name] = eng.submit(ids, seed=seed, min_p=min_p,
+                                       timeout=600)
+
+        threads = [
+            threading.Thread(target=hit, args=("plain", [1, 2, 3], 7, 0.0),
+                             daemon=True),
+            threading.Thread(target=hit, args=("minp", [4, 5], 9, 0.15),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        eng.close()
+
+    def solo_mp(ids, seed, min_p):
+        prompt = np.zeros((1, 16), np.int32)
+        prompt[0, :len(ids)] = ids
+        buf, pos = generate_kv_ragged(
+            generator.params, jnp.asarray(prompt),
+            jnp.asarray([len(ids)], np.int32),
+            jax.random.PRNGKey(seed)[None], CFG, 24, temperature=1.0,
+            top_k=50, eos_id=-1, pad_id=0, min_p=min_p)
+        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+
+    assert results["plain"] == solo(generator, [1, 2, 3], 7, 24)
+    assert results["minp"] == solo_mp([4, 5], 9, 0.15)

@@ -330,3 +330,21 @@ def test_http_top_p_field(server):
                    {"prompt": "so sad and lonely", "seed": "3",
                     "top_p": "0"}).read()
     assert z[:4] == b"MThd"
+
+
+def test_http_min_p_field(server):
+    """min_p form field: deterministic per seed and differs from the
+    unfiltered stream. 0.9 — gumbel-argmax sampling only diverges when a
+    draw would have hit a pruned token, and the packaged demo model is
+    peaked, so a mild cutoff can coincide for a whole stream."""
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "11"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "11",
+                    "min_p": "0.9"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "11",
+                    "min_p": "0.9"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b
+    assert a != base

@@ -148,15 +148,23 @@ def test_top_p_is_traced_not_static():
     from eamg_tpu.decode import generate_kv
     from eamg_tpu.decode.ragged import generate_kv_ragged
 
-    for p in (0.9, 0.8, 0.73, 0.61):
+    # deltas, not absolute sizes: other tests in the same worker process
+    # legitimately add entries for their own geometries
+    generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg, 16,
+                top_p=0.9)
+    base = _generate_kv._cache_size()
+    for p in (0.8, 0.73, 0.61):
         generate_kv(params, prompt, 3, jax.random.PRNGKey(0), cfg, 16,
                     top_p=p)
-    assert _generate_kv._cache_size() == 1
+    assert _generate_kv._cache_size() == base
     rngs = jax.random.PRNGKey(0)[None]
-    for p in (0.9, 0.8, 0.73, 0.61):
+    generate_kv_ragged(params, prompt, jnp.asarray([3], np.int32),
+                       rngs, cfg, 16, top_p=0.9)
+    base = _generate_kv_ragged._cache_size()
+    for p in (0.8, 0.73, 0.61):
         generate_kv_ragged(params, prompt, jnp.asarray([3], np.int32),
                            rngs, cfg, 16, top_p=p)
-    assert _generate_kv_ragged._cache_size() == 1
+    assert _generate_kv_ragged._cache_size() == base
 
 
 def test_top_p_one_matches_no_top_p_bitwise():
@@ -199,3 +207,48 @@ def test_sample_token_distribution_unchanged():
         draws[impl] = np.asarray(toks)
     # identical keys + identical masked logits => identical draws
     assert np.array_equal(draws["sort"], draws["bitsearch"])
+
+
+def test_min_p_matches_oracle_and_noop():
+    """Min-p: keep == probs >= min_p * max(probs); min_p=0 (Python OR
+    traced) is bit-exact identity; sampled support is restricted."""
+    from eamg_tpu.decode.sampling import apply_min_p
+
+    rng = np.random.default_rng(8)
+    x_np = (rng.normal(size=(5, 400)) * 3).astype(np.float32)
+    x = jnp.asarray(x_np)
+    for p in (0.05, 0.2, 0.7):
+        got = np.asarray(apply_min_p(x, p)) > -1e9
+        probs = np.exp(x_np - x_np.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        want = probs >= p * probs.max(-1, keepdims=True)
+        # threshold in logit space is exact: max + ln(p); compare sets
+        want_logit = x_np >= x_np.max(-1, keepdims=True) + np.log(
+            np.float32(p))
+        assert np.array_equal(got, want_logit), p
+        # logit-space and prob-space definitions agree except for float
+        # rounding at the exact boundary
+        assert (got == want).mean() > 0.999, p
+    # off: Python float -> compiled out; traced 0 -> per-row select
+    assert apply_min_p(x, 0.0) is x
+    traced = jax.jit(lambda lg, mp: apply_min_p(lg, mp, enabled=True))(
+        x, 0.0)
+    assert np.array_equal(np.asarray(traced), x_np)
+
+
+def test_sample_token_min_p_restricts_support():
+    from eamg_tpu.decode.sampling import sample_token as st
+
+    rng = np.random.default_rng(9)
+    logits_np = (rng.normal(size=(1, 150)) * 4).astype(np.float32)
+    keep = logits_np[0] >= logits_np.max() + np.log(np.float32(0.3))
+    keys = jax.random.split(jax.random.PRNGKey(3), 400)
+    toks = np.asarray(jax.vmap(
+        lambda k: st(k, jnp.asarray(logits_np), 1.0, 0, min_p=0.3)[0]
+    )(keys))
+    assert keep[toks].all()
+    # min_p=0 bit-matches the min_p-free sampler
+    a = jax.vmap(lambda k: st(k, jnp.asarray(logits_np), 0.9, 50))(keys)
+    b = jax.vmap(lambda k: st(k, jnp.asarray(logits_np), 0.9, 50,
+                              min_p=0.0))(keys)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
