@@ -114,8 +114,12 @@ def apply_min_p(logits: jax.Array, min_p, mask_value: float = -1e10,
     if not enabled or min_p is None:
         return logits
     mp = jnp.asarray(min_p, jnp.float32)
+    # clamp to [subnormal, 1]: min_p > 1 would put the threshold ABOVE the
+    # row max, masking every token — float32 absorption at mask_value then
+    # collapses all logits to one value and sampling turns uniform over
+    # the whole vocabulary. Clamped, the strictest filter keeps the argmax.
     thresh = (jnp.max(logits, axis=-1, keepdims=True)
-              + jnp.log(jnp.maximum(mp, 1e-38)))
+              + jnp.log(jnp.clip(mp, 1e-38, 1.0)))
     masked = logits + jnp.where(logits >= thresh, 0.0, mask_value)
     return jnp.where(mp > 0.0, masked, logits)
 

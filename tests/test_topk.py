@@ -234,6 +234,14 @@ def test_min_p_matches_oracle_and_noop():
     traced = jax.jit(lambda lg, mp: apply_min_p(lg, mp, enabled=True))(
         x, 0.0)
     assert np.array_equal(np.asarray(traced), x_np)
+    # min_p > 1 clamps to 1: the argmax must survive (an un-clamped
+    # threshold of max + log(min_p) > max would mask the whole row and
+    # sampling would degenerate to uniform over the vocab)
+    for p in (1.0, 1.5, 100.0):
+        kept = np.asarray(apply_min_p(x, p)) > -1e9
+        argmax_kept = kept[np.arange(5), x_np.argmax(-1)]
+        assert argmax_kept.all(), p
+        assert (kept.sum(-1) >= 1).all(), p
 
 
 def test_sample_token_min_p_restricts_support():
