@@ -109,7 +109,15 @@ def cmd_generate(args):
         prompt_ids = scheme_b.control_prefix(bpm, key)
     else:
         prompt_ids = gen.vocab.encode(prompt)
+    penalties = (args.repetition_penalty, args.frequency_penalty,
+                 args.presence_penalty)
+    if penalties == (1.0, 0.0, 0.0):
+        penalties = None
     if args.draft:
+        if penalties is not None:
+            raise SystemExit("--draft does not support penalties yet "
+                             "(history-dependent distributions break the "
+                             "draft/target acceptance math)")
         draft, _, _ = _load_generator(args.draft)
         ids = gen.generate_ids_speculative(
             draft, prompt_ids, max_len=args.max_len,
@@ -121,13 +129,15 @@ def cmd_generate(args):
         ids = gen.generate_ids(prompt_ids, max_len=args.max_len,
                                temperature=args.temperature,
                                top_k=args.top_k, seed=args.seed,
-                               top_p=args.top_p, min_p=args.min_p)[0]
+                               top_p=args.top_p, min_p=args.min_p,
+                               penalties=penalties)[0]
         tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,
                                     top_k=args.top_k, seed=args.seed,
-                                    top_p=args.top_p, min_p=args.min_p)
+                                    top_p=args.top_p, min_p=args.min_p,
+                                    penalties=penalties)
     print("Generated token snippet:", tokens[:20], "...")
     song = scheme_b.decode_to_song(ids) if scheme == "b3" \
         else tokens_to_song(tokens)
@@ -340,6 +350,16 @@ def main(argv=None):
     g.add_argument("--min-p", type=float, default=0.0,
                    help="min-p cutoff: drop tokens below min_p x the top "
                         "token's probability (0 = off; beyond-reference)")
+    g.add_argument("--repetition-penalty", type=float, default=1.0,
+                   help="CTRL/HF repetition penalty over already-seen "
+                        "tokens (1.0 = off; >1 discourages repeats; "
+                        "beyond-reference)")
+    g.add_argument("--frequency-penalty", type=float, default=0.0,
+                   help="subtract count x this from seen tokens' logits "
+                        "(OpenAI semantics, 0 = off)")
+    g.add_argument("--presence-penalty", type=float, default=0.0,
+                   help="subtract this from every seen token's logit "
+                        "(OpenAI semantics, 0 = off)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--out", default="generated.mid")
     g.add_argument("--wav", default=None)

@@ -33,7 +33,22 @@ import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, forward_masked, prefill
 from ..models.gpt import init_kv_cache
-from .sampling import sample_token
+from .sampling import _penalties_on, sample_token, token_counts
+
+
+def _norm_penalties(penalties):
+    """(rep, freq, pres) or None -> (rep, freq, pres, use_penalties) with
+    the static on/off bit decided host-side (neutral tuple compiles the
+    counts state out entirely, keeping the default program unchanged)."""
+    if penalties is None:
+        return 1.0, 0.0, 0.0, False
+    rep_p, freq_p, pres_p = penalties
+    use = _penalties_on(rep_p, freq_p, pres_p)
+    if not use:
+        return 1.0, 0.0, 0.0, False
+    return (float(rep_p) if rep_p is not None else 1.0,
+            float(freq_p) if freq_p is not None else 0.0,
+            float(pres_p) if pres_p is not None else 0.0, True)
 
 
 def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
@@ -42,25 +57,32 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 greedy: bool = False, refeed_last_prompt: bool = True,
                 mask_value: float = -1e10, approx_top_k: bool = False,
                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
-                top_p: float = 1.0, min_p: float = 0.0):
-    """Thin host wrapper: top_p/min_p stay TRACED operands (client-supplied
-    floats must not each trigger a fresh multi-minute remote compile);
-    only the on/off bits are static."""
+                top_p: float = 1.0, min_p: float = 0.0,
+                penalties: tuple | None = None):
+    """Thin host wrapper: top_p/min_p/penalties stay TRACED operands
+    (client-supplied floats must not each trigger a fresh multi-minute
+    remote compile); only the on/off bits are static.
+
+    ``penalties``: optional (repetition, frequency, presence) tuple —
+    see sampling.apply_penalties. None or the neutral (1, 0, 0) compiles
+    the penalty state out of the loop entirely."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
+    rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
     return _generate_kv(params, prompt, prompt_len, rng, cfg, max_len,
                         temperature, top_k, eos_id, pad_id, greedy,
                         refeed_last_prompt, mask_value, approx_top_k,
                         top_k_impl, presplit_keys,
                         float(top_p) if use_top_p else 1.0, use_top_p,
-                        float(min_p) if use_min_p else 0.0, use_min_p)
+                        float(min_p) if use_min_p else 0.0, use_min_p,
+                        rep_p, freq_p, pres_p, use_pen)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "refeed_last_prompt", "mask_value",
                                    "approx_top_k", "top_k_impl", "eos_id",
                                    "presplit_keys", "use_top_p",
-                                   "use_min_p"))
+                                   "use_min_p", "use_penalties"))
 def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
@@ -68,7 +90,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  mask_value: float = -1e10, approx_top_k: bool = False,
                  top_k_impl: str = "bitsearch", presplit_keys: bool = False,
                  top_p=1.0, use_top_p: bool = False,
-                 min_p=0.0, use_min_p: bool = False):
+                 min_p=0.0, use_min_p: bool = False,
+                 rep_p=1.0, freq_p=0.0, pres_p=0.0,
+                 use_penalties: bool = False):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -102,6 +126,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                        pad_id).astype(jnp.int32), (0, 0))
 
     done0 = jnp.zeros((B,), bool)
+    counts0 = token_counts(
+        prompt, jnp.arange(P)[None, :] < prompt_len,
+        cfg.vocab_size) if use_penalties else None
     if refeed_last_prompt:
         # Reference mode: discard warm-up logits; first step re-feeds the
         # last prompt token.
@@ -120,25 +147,37 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
             logits0, prompt_len - 1, 1, axis=1)[:, 0]
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl,
-                             top_p, use_top_p, min_p, use_min_p)
+                             top_p, use_top_p, min_p, use_min_p,
+                             counts=counts0, repetition_penalty=rep_p,
+                             frequency_penalty=freq_p,
+                             presence_penalty=pres_p,
+                             use_penalties=use_penalties)
         buf = jax.lax.dynamic_update_slice(buf, first[:, None],
                                            (0, prompt_len))
         done0 = first == eos_id
         last0 = first
         pos0 = prompt_len + 1
+        if use_penalties:
+            counts0 = counts0 + (first[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]).astype(jnp.float32)
 
     track_eos = eos_id >= 0           # static: compiled in or out
     if presplit_keys and not greedy:
         step_keys = jax.random.split(rng0, max_len)       # [max_len, 2]
 
     def cond(state):
-        buf, pos, last, done, rng, cache = state
+        pos, done = state[1], state[3]
         if track_eos:
             return jnp.logical_and(pos < max_len, ~jnp.all(done))
         return pos < max_len
 
     def body(state):
-        buf, pos, last, done, rng, cache = state
+        if use_penalties:
+            buf, pos, last, done, rng, cache, counts = state
+        else:
+            buf, pos, last, done, rng, cache = state
+            counts = None
+        active = ~done                      # rows still generating
         if greedy:
             sub = rng
         elif presplit_keys:
@@ -148,19 +187,29 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
-                           use_top_p, min_p, use_min_p)
+                           use_top_p, min_p, use_min_p, counts=counts,
+                           repetition_penalty=rep_p, frequency_penalty=freq_p,
+                           presence_penalty=pres_p,
+                           use_penalties=use_penalties)
         if track_eos:
             write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
             done = jnp.logical_or(done, nxt == eos_id)
         else:
             write = nxt.astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
-        return buf, pos + 1, nxt, done, rng, cache
+        out = (buf, pos + 1, nxt, done, rng, cache)
+        if use_penalties:
+            counts = counts + ((nxt[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]) & active[:, None]).astype(
+                jnp.float32)
+            out = out + (counts,)
+        return out
 
-    buf, pos, _, _, _, _ = jax.lax.while_loop(
-        cond, body,
-        (buf, jnp.asarray(pos0, jnp.int32), last0, done0, rng0, cache))
-    return buf, pos
+    state0 = (buf, jnp.asarray(pos0, jnp.int32), last0, done0, rng0, cache)
+    if use_penalties:
+        state0 = state0 + (counts0,)
+    res = jax.lax.while_loop(cond, body, state0)
+    return res[0], res[1]
 
 
 def generate_full(params: dict, prompt: jax.Array, prompt_len,
@@ -169,21 +218,24 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                   mask_value: float = -1e10, approx_top_k: bool = False,
                   top_k_impl: str = "bitsearch", top_p: float = 1.0,
-                  min_p: float = 0.0):
-    """Thin host wrapper — see generate_kv: traced top_p/min_p, static
-    on/off bits."""
+                  min_p: float = 0.0, penalties: tuple | None = None):
+    """Thin host wrapper — see generate_kv: traced top_p/min_p/penalties,
+    static on/off bits."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
+    rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
     return _generate_full(params, prompt, prompt_len, rng, cfg, max_len,
                           temperature, top_k, eos_id, pad_id, greedy,
                           mask_value, approx_top_k, top_k_impl,
                           float(top_p) if use_top_p else 1.0, use_top_p,
-                          float(min_p) if use_min_p else 0.0, use_min_p)
+                          float(min_p) if use_min_p else 0.0, use_min_p,
+                          rep_p, freq_p, pres_p, use_pen)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "approx_top_k",
-                                   "top_k_impl", "use_top_p", "use_min_p"))
+                                   "top_k_impl", "use_top_p", "use_min_p",
+                                   "use_penalties"))
 def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    rng: jax.Array, cfg: GPTConfig, max_len: int,
                    temperature: float = 1.0, top_k: int = 50,
@@ -191,7 +243,8 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    mask_value: float = -1e10, approx_top_k: bool = False,
                    top_k_impl: str = "bitsearch", top_p=1.0,
                    use_top_p: bool = False, min_p=0.0,
-                   use_min_p: bool = False):
+                   use_min_p: bool = False, rep_p=1.0, freq_p=0.0,
+                   pres_p=0.0, use_penalties: bool = False):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -202,26 +255,45 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
         buf, jnp.where(jnp.arange(P)[None, :] < prompt_len, prompt,
                        pad_id).astype(jnp.int32), (0, 0))
 
+    counts0 = token_counts(
+        prompt, jnp.arange(P)[None, :] < prompt_len,
+        cfg.vocab_size) if use_penalties else None
+
     def cond(state):
-        buf, pos, done, rng = state
+        pos, done = state[1], state[2]
         return jnp.logical_and(pos < max_len, ~jnp.all(done))
 
     def body(state):
-        buf, pos, done, rng = state
+        if use_penalties:
+            buf, pos, done, rng, counts = state
+        else:
+            buf, pos, done, rng = state
+            counts = None
+        active = ~done
         rng, sub = jax.random.split(rng)
         logits = forward_masked(params, buf[:, :T], cfg, valid_len=pos)
         last_logits = jax.lax.dynamic_slice_in_dim(logits, pos - 1, 1,
                                                    axis=1)[:, 0]
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
-                           use_top_p, min_p, use_min_p)
+                           use_top_p, min_p, use_min_p, counts=counts,
+                           repetition_penalty=rep_p, frequency_penalty=freq_p,
+                           presence_penalty=pres_p,
+                           use_penalties=use_penalties)
         write = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, write[:, None], (0, pos))
         done = jnp.logical_or(done, nxt == eos_id)
-        return buf, pos + 1, done, rng
+        out = (buf, pos + 1, done, rng)
+        if use_penalties:
+            counts = counts + ((nxt[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]) & active[:, None]).astype(
+                jnp.float32)
+            out = out + (counts,)
+        return out
 
-    buf, pos, _, _ = jax.lax.while_loop(
-        cond, body,
-        (buf, jnp.asarray(prompt_len, jnp.int32),
-         jnp.zeros((B,), bool), rng))
-    return buf, pos
+    state0 = (buf, jnp.asarray(prompt_len, jnp.int32),
+              jnp.zeros((B,), bool), rng)
+    if use_penalties:
+        state0 = state0 + (counts0,)
+    res = jax.lax.while_loop(cond, body, state0)
+    return res[0], res[1]

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..models.gpt import (GPTConfig, _attn_input, _finish_block,
                           _gqa_scores, _gqa_values, _heads, _linear,
                           _split_qkv, _unheads)
-from .sampling import sample_token
+from .loop import _norm_penalties
+from .sampling import apply_penalties, sample_token, token_counts
 
 
 def init_ragged_cache(cfg: GPTConfig, batch: int, max_len: int):
@@ -111,9 +112,16 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
 
 def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy,
                     top_p=1.0, use_top_p=False, min_p=0.0,
-                    use_min_p=False):
+                    use_min_p=False, counts=None, rep_p=1.0, freq_p=0.0,
+                    pres_p=0.0, use_penalties=False):
     """Per-row PRNG keys: row outputs don't depend on batch composition,
-    so a coalesced request keeps its seed reproducibility."""
+    so a coalesced request keeps its seed reproducibility. ``counts``
+    ([B, V], with the batch-wide traced penalty values) feeds the
+    anti-repetition transforms — per-row state, shared penalty params
+    (the window batcher groups requests by sampling params)."""
+    if use_penalties and counts is not None:
+        logits = apply_penalties(logits, counts, rep_p, freq_p, pres_p,
+                                 enabled=True)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jax.vmap(
@@ -130,24 +138,30 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                        temperature: float = 1.0, top_k: int = 50,
                        eos_id: int = -1, pad_id: int = 0,
                        greedy: bool = False, mask_value: float = -1e10,
-                       top_p: float = 1.0, min_p: float = 0.0):
-    """Thin host wrapper — top_p/min_p stay TRACED operands so every
-    client-supplied value shares one compiled ragged program (a fresh
-    ragged compile costs minutes on the axon remote helper); only the
-    on/off bits are static."""
+                       top_p: float = 1.0, min_p: float = 0.0,
+                       penalties: tuple | None = None):
+    """Thin host wrapper — top_p/min_p/penalties stay TRACED operands so
+    every client-supplied value shares one compiled ragged program (a
+    fresh ragged compile costs minutes on the axon remote helper); only
+    the on/off bits are static. ``penalties`` is a batch-wide
+    (repetition, frequency, presence) tuple — the window batcher groups
+    requests by sampling params, so rows share the values; the counts
+    state is per row."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
+    rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
     return _generate_kv_ragged(params, prompt, prompt_lens, rngs, cfg,
                                max_len, temperature, top_k, eos_id, pad_id,
                                greedy, mask_value,
                                float(top_p) if use_top_p else 1.0,
                                use_top_p,
                                float(min_p) if use_min_p else 0.0,
-                               use_min_p)
+                               use_min_p, rep_p, freq_p, pres_p, use_pen)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
-                                   "mask_value", "use_top_p", "use_min_p"))
+                                   "mask_value", "use_top_p", "use_min_p",
+                                   "use_penalties"))
 def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         prompt_lens: jax.Array, rngs: jax.Array,
                         cfg: GPTConfig, max_len: int,
@@ -155,7 +169,9 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         eos_id: int = -1, pad_id: int = 0,
                         greedy: bool = False, mask_value: float = -1e10,
                         top_p=1.0, use_top_p: bool = False,
-                        min_p=0.0, use_min_p: bool = False):
+                        min_p=0.0, use_min_p: bool = False,
+                        rep_p=1.0, freq_p=0.0, pres_p=0.0,
+                        use_penalties: bool = False):
     """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
     key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
     Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
@@ -188,9 +204,13 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
     onehot = (jnp.arange(P)[None, :] ==
               (prompt_lens - 1)[:, None]).astype(logits0.dtype)
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
+    counts = token_counts(
+        prompt, jnp.arange(P)[None, :] < prompt_lens[:, None],
+        cfg.vocab_size) if use_penalties else None
     first = _sample_per_row(subs, last_logits, temperature, top_k,
                             mask_value, greedy, top_p, use_top_p, min_p,
-                            use_min_p)
+                            use_min_p, counts, rep_p, freq_p, pres_p,
+                            use_penalties)
     # A row whose prompt already fills the buffer (prompt_lens == max_len)
     # has no slot left: it starts done, its position stays put, and the
     # write below re-writes the existing value instead of clobbering the
@@ -205,18 +225,27 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
     buf = jnp.where(hit0, first[:, None].astype(jnp.int32), buf)
     pos = jnp.where(active0, prompt_lens + 1, prompt_lens)
     done = (first == eos_id) | ~active0
+    if use_penalties:
+        counts = counts + ((first[:, None] == jnp.arange(
+            cfg.vocab_size)[None, :]) & active0[:, None]).astype(
+            jnp.float32)
 
     def cond(state):
-        buf, pos, last, done, rngs, cache = state
+        pos, done = state[1], state[3]
         return ~jnp.all(done | (pos >= max_len))
 
     def body(state):
-        buf, pos, last, done, rngs, cache = state
+        if use_penalties:
+            buf, pos, last, done, rngs, cache, counts = state
+        else:
+            buf, pos, last, done, rngs, cache = state
+            counts = None
         keys = split(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
-                              greedy, top_p, use_top_p, min_p, use_min_p)
+                              greedy, top_p, use_top_p, min_p, use_min_p,
+                              counts, rep_p, freq_p, pres_p, use_penalties)
         active = ~(done | (pos >= max_len))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         hit = (cols == pos[:, None]) & active[:, None]
@@ -228,8 +257,16 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
         pos = jnp.where(active, pos + 1, pos)
         done = done | (nxt == eos_id) | (pos >= max_len)
         last = jnp.where(active, nxt, last)
-        return buf, pos, last, done, rngs, cache
+        out = (buf, pos, last, done, rngs, cache)
+        if use_penalties:
+            counts = counts + ((nxt[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]) & active[:, None]).astype(
+                jnp.float32)
+            out = out + (counts,)
+        return out
 
-    buf, pos, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (buf, pos.astype(jnp.int32), first, done, rngs, cache))
-    return buf, jnp.minimum(pos, max_len)
+    state0 = (buf, pos.astype(jnp.int32), first, done, rngs, cache)
+    if use_penalties:
+        state0 = state0 + (counts,)
+    res = jax.lax.while_loop(cond, body, state0)
+    return res[0], jnp.minimum(res[1], max_len)

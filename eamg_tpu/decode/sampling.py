@@ -28,6 +28,12 @@ probability-mass predicate instead of the count predicate (ops/topk.py) —
 and min-p via ``min_p`` (confidence-relative cutoff, just a row max + a
 compare). Defaults (1.0 / 0.0) compile to no-ops, preserving reference
 parity.
+
+Anti-repetition controls (also beyond-reference): repetition penalty
+(CTRL/HF), frequency and presence penalties (OpenAI) via
+:func:`apply_penalties` over per-row occurrence counts maintained by the
+decode loops (:func:`token_counts` seeds them from the prompt). Neutral
+values (1.0/0.0/0.0) compile the counts state out entirely.
 """
 
 from __future__ import annotations
@@ -124,17 +130,93 @@ def apply_min_p(logits: jax.Array, min_p, mask_value: float = -1e10,
     return jnp.where(mp > 0.0, masked, logits)
 
 
+def token_counts(ids: jax.Array, valid: jax.Array,
+                 vocab_size: int) -> jax.Array:
+    """[B, T] token ids + [B, T] validity mask -> [B, V] float32 occurrence
+    counts (scatter-add; duplicate ids accumulate). Seeds the penalty
+    state from the prompt so repetition/frequency/presence penalties see
+    prompt tokens too (matching the HF/OpenAI convention of penalizing
+    over the full context, not just the generation)."""
+    B = ids.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], ids.shape)
+    return jnp.zeros((B, vocab_size), jnp.float32).at[rows, ids].add(
+        valid.astype(jnp.float32))
+
+
+def _penalties_on(rep_p, freq_p, pres_p) -> bool:
+    def neutral(v, n):
+        return v is None or (isinstance(v, (int, float)) and float(v) == n)
+    return not (neutral(rep_p, 1.0) and neutral(freq_p, 0.0)
+                and neutral(pres_p, 0.0))
+
+
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    repetition_penalty=1.0, frequency_penalty=0.0,
+                    presence_penalty=0.0,
+                    enabled: bool | None = None) -> jax.Array:
+    """Anti-repetition logit transforms over occurrence ``counts`` ([..., V]
+    float32, prompt + generated so far — see :func:`token_counts`). Applied
+    to RAW logits, before temperature/top-k (the HF processor-vs-warper
+    order). Beyond-reference capability: the reference sampler has no
+    repetition controls (api_cache.py:171-177) — and symbolic music decoded
+    with plain top-k loops badly, so these are the levers that matter here.
+
+    - ``repetition_penalty`` (CTRL / HF semantics): tokens already seen get
+      ``logit/p`` if positive else ``logit*p`` — p>1 discourages repeats,
+      p<1 encourages them. Clamped to >= 1e-6 (p<=0 would divide by zero).
+    - ``frequency_penalty`` / ``presence_penalty`` (OpenAI semantics):
+      ``logit -= freq*count + pres*(count>0)``.
+
+    Same static/traced contract as apply_top_p: ``enabled`` is the static
+    switch (None decides from concrete Python values); the penalty values
+    stay TRACED on serving paths so client-supplied floats share one
+    compiled program. The neutral values (1.0/0.0/0.0) are bit-exact
+    no-ops even when traced (x/1, x*1 and x-0 are exact in float32), so
+    per-row mixes of penalized and plain rows preserve plain rows'
+    bit-match-solo contract."""
+    if enabled is None:
+        enabled = _penalties_on(repetition_penalty, frequency_penalty,
+                                presence_penalty)
+    if not enabled:
+        return logits
+    rp = jnp.maximum(jnp.asarray(
+        1.0 if repetition_penalty is None else repetition_penalty,
+        jnp.float32), 1e-6)
+    fp = jnp.asarray(0.0 if frequency_penalty is None else frequency_penalty,
+                     jnp.float32)
+    pp = jnp.asarray(0.0 if presence_penalty is None else presence_penalty,
+                     jnp.float32)
+    present = counts > 0.0
+    penalized = jnp.where(logits < 0.0, logits * rp, logits / rp)
+    out = jnp.where(present, penalized, logits)
+    return out - fp * counts - pp * present.astype(jnp.float32)
+
+
 def sample_token(rng: jax.Array, logits: jax.Array, temperature: float,
                  top_k: int, mask_value: float = -1e10,
                  greedy: bool = False,
                  approx_top_k: bool = False,
                  top_k_impl: str = "bitsearch",
                  top_p=1.0, use_top_p: bool | None = None,
-                 min_p=0.0, use_min_p: bool | None = None) -> jax.Array:
+                 min_p=0.0, use_min_p: bool | None = None,
+                 counts: jax.Array | None = None,
+                 repetition_penalty=1.0, frequency_penalty=0.0,
+                 presence_penalty=0.0,
+                 use_penalties: bool | None = None) -> jax.Array:
     """[B, V] logits -> [B] sampled token ids. Filter order matches the
-    HF convention: temperature, then top-k, then top-p, then min-p over
-    the surviving distribution. ``use_top_p``/``use_min_p`` gate the masks
-    statically when the thresholds are traced (see apply_top_p)."""
+    HF convention: penalties on raw logits (processors), then temperature,
+    then top-k, then top-p, then min-p over the surviving distribution
+    (warpers). ``use_top_p``/``use_min_p``/``use_penalties`` gate the
+    transforms statically when their values are traced (see apply_top_p).
+    Penalties apply in greedy mode too (they move the argmax; the filters
+    don't)."""
+    if use_penalties is None:
+        use_penalties = counts is not None and _penalties_on(
+            repetition_penalty, frequency_penalty, presence_penalty)
+    if use_penalties and counts is not None:
+        logits = apply_penalties(logits, counts, repetition_penalty,
+                                 frequency_penalty, presence_penalty,
+                                 enabled=True)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature

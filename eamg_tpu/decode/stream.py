@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, init_kv_cache, prefill
-from .sampling import sample_token
+from .loop import _norm_penalties
+from .sampling import sample_token, token_counts
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -42,51 +43,76 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                  chunk: int = 32, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                  greedy: bool = False, mask_value: float = -1e10,
-                 top_p: float = 1.0, min_p: float = 0.0):
-    """Thin host wrapper — traced top_p/min_p, static on/off bits
-    (see loop.py)."""
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 penalties: tuple | None = None,
+                 counts: jax.Array | None = None):
+    """Thin host wrapper — traced top_p/min_p/penalties, static on/off
+    bits (see loop.py). With penalties, pass the running occurrence
+    ``counts`` ([B, V], carried between chunks like the cache); returns
+    them updated as a sixth value (None when penalties are off)."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
-    return _decode_chunk(params, last, done, rng, cache, cfg, chunk,
-                         temperature, top_k, eos_id, pad_id, greedy,
-                         mask_value, float(top_p) if use_top_p else 1.0,
-                         use_top_p, float(min_p) if use_min_p else 0.0,
-                         use_min_p)
+    rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    if use_pen:
+        assert counts is not None, "penalties need the counts state"
+    else:
+        counts = jnp.zeros((last.shape[0], 1), jnp.float32)  # placeholder
+    toks, last, done, rng, cache, counts = _decode_chunk(
+        params, last, done, rng, cache, cfg, chunk, temperature, top_k,
+        eos_id, pad_id, greedy, mask_value,
+        float(top_p) if use_top_p else 1.0, use_top_p,
+        float(min_p) if use_min_p else 0.0, use_min_p,
+        rep_p, freq_p, pres_p, use_pen, counts)
+    return toks, last, done, rng, cache, (counts if use_pen else None)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
-                                   "mask_value", "use_top_p", "use_min_p"))
+                                   "mask_value", "use_top_p", "use_min_p",
+                                   "use_penalties"))
 def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   rng: jax.Array, cache: dict, cfg: GPTConfig,
                   chunk: int = 32, temperature: float = 1.0,
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                   greedy: bool = False, mask_value: float = -1e10,
                   top_p=1.0, use_top_p: bool = False,
-                  min_p=0.0, use_min_p: bool = False):
+                  min_p=0.0, use_min_p: bool = False,
+                  rep_p=1.0, freq_p=0.0, pres_p=0.0,
+                  use_penalties: bool = False, counts=None):
     """Run ``chunk`` decode steps; finished rows emit PAD. Returns
-    (tokens [B, chunk], last, done, rng, cache)."""
+    (tokens [B, chunk], last, done, rng, cache, counts)."""
     def body(carry, _):
-        last, done, rng, cache = carry
+        last, done, rng, cache, counts = carry
+        active = ~done
         rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, top_p=top_p, use_top_p=use_top_p,
-                           min_p=min_p, use_min_p=use_min_p)
+                           min_p=min_p, use_min_p=use_min_p,
+                           counts=counts if use_penalties else None,
+                           repetition_penalty=rep_p,
+                           frequency_penalty=freq_p,
+                           presence_penalty=pres_p,
+                           use_penalties=use_penalties)
         out = jnp.where(done, pad_id, nxt).astype(jnp.int32)
         new_done = done | (nxt == eos_id)
         new_last = jnp.where(done, last, nxt)
-        return (new_last, new_done, rng, cache), out
+        if use_penalties:
+            counts = counts + ((nxt[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]) & active[:, None]).astype(
+                jnp.float32)
+        return (new_last, new_done, rng, cache, counts), out
 
-    (last, done, rng, cache), toks = jax.lax.scan(
-        body, (last, done, rng, cache), None, length=chunk)
-    return toks.swapaxes(0, 1), last, done, rng, cache
+    (last, done, rng, cache, counts), toks = jax.lax.scan(
+        body, (last, done, rng, cache, counts), None, length=chunk)
+    return toks.swapaxes(0, 1), last, done, rng, cache, counts
 
 
 def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                   max_len: int, chunk: int = 32, temperature: float = 1.0,
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                   greedy: bool = False, seed: int = 0, bucket: int = 64,
-                  top_p: float = 1.0, min_p: float = 0.0):
+                  top_p: float = 1.0, min_p: float = 0.0,
+                  penalties: tuple | None = None):
     """Python generator yielding token ids one at a time (batch 1).
 
     First sampled token comes from the prefill logits (efficient mode);
@@ -108,12 +134,22 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     last_logits, cache = start_stream(params, jnp.asarray(prompt), p, cfg,
                                       max_len + chunk)
 
+    rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    counts = token_counts(
+        jnp.asarray(prompt), jnp.arange(width)[None, :] < p,
+        cfg.vocab_size) if use_pen else None
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature, top_k, -1e10,
                          greedy, top_p=top_p,
                          use_top_p=top_p is not None and float(top_p) < 1.0,
                          min_p=min_p,
-                         use_min_p=min_p is not None and float(min_p) > 0.0)
+                         use_min_p=min_p is not None and float(min_p) > 0.0,
+                         counts=counts, repetition_penalty=rep_p,
+                         frequency_penalty=freq_p, presence_penalty=pres_p,
+                         use_penalties=use_pen)
+    if use_pen:
+        counts = counts + (first[:, None] == jnp.arange(
+            cfg.vocab_size)[None, :]).astype(jnp.float32)
     tok = int(first[0])
     yield tok
     if tok == eos_id:
@@ -122,10 +158,11 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     last = first
     done = first == eos_id
     while produced < max_len:
-        toks, last, done, rng, cache = decode_chunk(
+        toks, last, done, rng, cache, counts = decode_chunk(
             params, last, done, rng, cache, cfg, chunk=chunk,
             temperature=temperature, top_k=top_k, eos_id=eos_id,
-            pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
+            pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p,
+            penalties=penalties, counts=counts)
         for t in np.asarray(toks)[0]:
             t = int(t)
             if produced >= max_len:

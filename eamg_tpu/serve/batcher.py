@@ -38,6 +38,7 @@ class _Pending:
     greedy: bool
     seed: int
     max_len: int
+    penalties: tuple = (1.0, 0.0, 0.0)   # (repetition, frequency, presence)
     event: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: Exception | None = None
@@ -70,17 +71,20 @@ class RequestBatcher:
                top_k: int = 50, greedy: bool = False,
                seed: int | None = None, timeout: float = 600.0,
                max_len: int | None = None, top_p: float = 1.0,
-               min_p: float = 0.0) -> list:
+               min_p: float = 0.0,
+               penalties: tuple | None = None) -> list:
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             # zero generation steps: prompt returned unchanged (reference
             # semantics, api_cache.py:166) — same contract as generate_ids,
             # ContinuousBatcher.submit, and stream_tokens
             return list(prompt_ids)
+        pen = (tuple(float(v) for v in penalties) if penalties is not None
+               else (1.0, 0.0, 0.0))
         req = _Pending(prompt_ids, float(temperature), int(top_k),
                        float(top_p), float(min_p), bool(greedy),
                        int(seed) if seed is not None
-                       else int(time.time_ns() % 2**31), ml)
+                       else int(time.time_ns() % 2**31), ml, pen)
         if self.overloaded():
             from .continuous import EngineOverloaded
 
@@ -148,11 +152,12 @@ class RequestBatcher:
                 ml = min(ml, self.max_len)
                 by_params.setdefault(
                     (r.temperature, r.top_k, r.top_p, r.min_p, r.greedy,
-                     ml), []).append(r)
-            for (temp, top_k, top_p, min_p, greedy, ml), reqs \
+                     ml, r.penalties), []).append(r)
+            for (temp, top_k, top_p, min_p, greedy, ml, pen), reqs \
                     in by_params.items():
                 try:
-                    self._run(reqs, temp, top_k, greedy, ml, top_p, min_p)
+                    self._run(reqs, temp, top_k, greedy, ml, top_p, min_p,
+                              pen)
                 except Exception as exc:  # pragma: no cover - defensive
                     for r in reqs:
                         r.error = exc
@@ -160,7 +165,7 @@ class RequestBatcher:
             self._busy = False
 
     def _run(self, reqs, temperature, top_k, greedy, max_len=None,
-             top_p=1.0, min_p=0.0):
+             top_p=1.0, min_p=0.0, penalties=(1.0, 0.0, 0.0)):
         max_len = max_len or self.max_len
         n = len(reqs)
         bs = 1
@@ -183,7 +188,8 @@ class RequestBatcher:
             self.gen.params, jnp.asarray(prompt), jnp.asarray(lens), rngs,
             self.gen.cfg, max_len, temperature=temperature,
             top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
-            greedy=greedy, top_p=top_p, min_p=min_p)
+            greedy=greedy, top_p=top_p, min_p=min_p,
+            penalties=penalties)
         buf = np.asarray(buf)
         pos = np.asarray(pos)
         self.stats["calls"] += 1

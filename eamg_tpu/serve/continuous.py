@@ -40,9 +40,11 @@ import jax.numpy as jnp
 from ..decode.api import Generator, _bucket
 from ..decode.ragged import (decode_step_ragged, init_ragged_cache,
                              prefill_ragged)
-from ..decode.sampling import sample_token
+from ..decode.sampling import (apply_penalties, sample_token, token_counts)
 
 _split_rows = jax.vmap(lambda k: jax.random.split(k))
+
+_NEUTRAL_PEN = (1.0, 0.0, 0.0)   # (repetition, frequency, presence) = off
 
 
 class EngineOverloaded(RuntimeError):
@@ -55,13 +57,21 @@ class EngineOverloaded(RuntimeError):
 
 
 def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
-                 top_p=1.0, top_ps=None, min_ps=None):
+                 top_p=1.0, top_ps=None, min_ps=None, counts=None,
+                 rep_ps=None, freq_ps=None, pres_ps=None):
     """Per-row key AND per-row temperature (rows are independent requests).
     Bit-matches decode/ragged.py's _sample_per_row for equal temperature.
     ``top_ps``/``min_ps`` ([B] traced, per-row mode) override the
     engine-wide ``top_p``; rows at 1.0/0.0 are exact no-ops (the filters
     select per row), preserving the bit-match-solo contract for
-    unfiltered requests."""
+    unfiltered requests. ``counts`` + per-row penalty values ([B]) apply
+    the anti-repetition transforms first (elementwise per row, so
+    applying on the batch == per-row); neutral rows are bit-exact
+    no-ops too."""
+    if counts is not None:
+        logits = apply_penalties(logits, counts, rep_ps[:, None],
+                                 freq_ps[:, None], pres_ps[:, None],
+                                 enabled=True)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if top_ps is not None:
@@ -77,9 +87,13 @@ def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
     )(rngs, logits, temps)
 
 
-def init_state(cfg, slots: int, max_len: int):
-    """Device-resident engine state; free slots start done with no budget."""
-    return {
+def init_state(cfg, slots: int, max_len: int,
+               per_row_sampling: bool = False):
+    """Device-resident engine state; free slots start done with no budget.
+    Per-row-sampling mode additionally carries the anti-repetition state:
+    occurrence counts ([slots, V]) and per-row penalty values — gated on
+    the mode so the default engine program is unchanged."""
+    state = {
         "cache": init_ragged_cache(cfg, slots, max_len),
         "buf": jnp.zeros((slots, max_len), jnp.int32),
         "pos": jnp.zeros((slots,), jnp.int32),
@@ -91,6 +105,12 @@ def init_state(cfg, slots: int, max_len: int):
         "top_ps": jnp.ones((slots,), jnp.float32),
         "min_ps": jnp.zeros((slots,), jnp.float32),
     }
+    if per_row_sampling:
+        state["counts"] = jnp.zeros((slots, cfg.vocab_size), jnp.float32)
+        state["rep_ps"] = jnp.ones((slots,), jnp.float32)
+        state["freq_ps"] = jnp.zeros((slots,), jnp.float32)
+        state["pres_ps"] = jnp.zeros((slots,), jnp.float32)
+    return state
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
@@ -99,7 +119,8 @@ def init_state(cfg, slots: int, max_len: int):
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
               eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
-              per_row_sampling=False, row_min_p=0.0):
+              per_row_sampling=False, row_min_p=0.0,
+              row_penalties=_NEUTRAL_PEN):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -129,13 +150,21 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     P = prompt.shape[1]
     onehot = (jnp.arange(P) == plen - 1).astype(logits0.dtype)[None]
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
+    rep_p, freq_p, pres_p = (jnp.asarray(v, jnp.float32)
+                             for v in row_penalties)
+    row_counts = token_counts(
+        prompt, jnp.arange(P)[None, :] < plen,
+        cfg.vocab_size) if per_row_sampling else None   # [1, V]
     first = _sample_rows(
         sub[None], last_logits, temp[None], top_k, mask_value, greedy,
         top_p,
         jnp.asarray(row_top_p, jnp.float32)[None] if per_row_sampling
         else None,
         jnp.asarray(row_min_p, jnp.float32)[None] if per_row_sampling
-        else None)[0]
+        else None,
+        row_counts, rep_p[None] if per_row_sampling else None,
+        freq_p[None] if per_row_sampling else None,
+        pres_p[None] if per_row_sampling else None)[0]
 
     # buffer row: prompt, then (when a slot remains) the first token
     active0 = plen < rmax
@@ -147,7 +176,7 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     row = jax.lax.dynamic_update_slice(
         row, jnp.where(active0, first, row[wpos])[None], (wpos,))
 
-    return {
+    new = {
         "cache": {"k": tuple(ks), "v": tuple(vs), "lengths": lengths},
         "buf": jax.lax.dynamic_update_slice(state["buf"], row[None],
                                             (slot, zero)),
@@ -163,6 +192,17 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         "min_ps": state["min_ps"].at[slot].set(
             jnp.asarray(row_min_p, jnp.float32)),
     }
+    if per_row_sampling:
+        # prompt occurrences + the first sampled token (when written);
+        # matches generate_kv_ragged's startup counts exactly
+        row_c = row_counts[0] + (
+            (first == jnp.arange(cfg.vocab_size)) & active0).astype(
+            jnp.float32)
+        new["counts"] = state["counts"].at[slot].set(row_c)
+        new["rep_ps"] = state["rep_ps"].at[slot].set(rep_p)
+        new["freq_ps"] = state["freq_ps"].at[slot].set(freq_p)
+        new["pres_ps"] = state["pres_ps"].at[slot].set(pres_p)
+    return new
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
@@ -178,14 +218,23 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
     cols = jnp.arange(max_len)[None, :]
 
     def body(carry, _):
-        buf, pos, last, done, rngs, cache, row_max, temps = carry
+        if per_row_sampling:
+            buf, pos, last, done, rngs, cache, row_max, temps, counts = \
+                carry
+        else:
+            buf, pos, last, done, rngs, cache, row_max, temps = carry
+            counts = None
         keys = _split_rows(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
                            top_p,
                            state["top_ps"] if per_row_sampling else None,
-                           state["min_ps"] if per_row_sampling else None)
+                           state["min_ps"] if per_row_sampling else None,
+                           counts,
+                           state["rep_ps"] if per_row_sampling else None,
+                           state["freq_ps"] if per_row_sampling else None,
+                           state["pres_ps"] if per_row_sampling else None)
         active = ~(done | (pos >= row_max))
         write = jnp.where(active, nxt, pad_id).astype(jnp.int32)
         # masked one-hot write (identical values to a per-row
@@ -200,15 +249,31 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         pos = jnp.where(active, pos + 1, pos)
         done = done | (active & (nxt == eos_id)) | (pos >= row_max)
         last = jnp.where(active, nxt, last)
-        return (buf, pos, last, done, rngs, cache, row_max, temps), None
+        out = (buf, pos, last, done, rngs, cache, row_max, temps)
+        if per_row_sampling:
+            counts = counts + ((nxt[:, None] == jnp.arange(
+                cfg.vocab_size)[None, :]) & active[:, None]).astype(
+                jnp.float32)
+            out = out + (counts,)
+        return out, None
 
-    (buf, pos, last, done, rngs, cache, row_max, temps), _ = jax.lax.scan(
-        body, (state["buf"], state["pos"], state["last"], state["done"],
-               state["rngs"], state["cache"], state["row_max"],
-               state["temps"]), None, length=chunk)
-    return {"cache": cache, "buf": buf, "pos": pos, "last": last,
-            "done": done, "rngs": rngs, "row_max": row_max, "temps": temps,
-            "top_ps": state["top_ps"], "min_ps": state["min_ps"]}
+    carry0 = (state["buf"], state["pos"], state["last"], state["done"],
+              state["rngs"], state["cache"], state["row_max"],
+              state["temps"])
+    if per_row_sampling:
+        carry0 = carry0 + (state["counts"],)
+    carry, _ = jax.lax.scan(body, carry0, None, length=chunk)
+    buf, pos, last, done, rngs, cache, row_max, temps = carry[:8]
+    new_state = {"cache": cache, "buf": buf, "pos": pos, "last": last,
+                 "done": done, "rngs": rngs, "row_max": row_max,
+                 "temps": temps, "top_ps": state["top_ps"],
+                 "min_ps": state["min_ps"]}
+    if per_row_sampling:
+        new_state["counts"] = carry[8]
+        new_state["rep_ps"] = state["rep_ps"]
+        new_state["freq_ps"] = state["freq_ps"]
+        new_state["pres_ps"] = state["pres_ps"]
+    return new_state
 
 
 @jax.jit
@@ -233,6 +298,7 @@ class _Pending:
     submitted: float
     top_p: float = 1.0
     min_p: float = 0.0
+    penalties: tuple = _NEUTRAL_PEN   # (repetition, frequency, presence)
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -277,7 +343,8 @@ class ContinuousBatcher:
         # admission control: requests queued beyond the live slots; 0 =
         # unbounded (benchmarks that deliberately flood the engine)
         self.max_queue = max_queue
-        self.state = init_state(generator.cfg, slots, self.max_len)
+        self.state = init_state(generator.cfg, slots, self.max_len,
+                                per_row_sampling=self.per_row_sampling)
         self._q: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
@@ -298,24 +365,22 @@ class ContinuousBatcher:
     def accepts(self, top_k: int | None = None,
                 greedy: bool | None = None,
                 top_p: float | None = None,
-                min_p: float | None = None) -> bool:
+                min_p: float | None = None,
+                penalties: tuple | None = None) -> bool:
         """Whether a request's sampling params match the compiled engine
-        (top_k/greedy are engine-wide; top_p/min_p are engine-wide unless
-        the engine runs per-row sampling mode; callers fall back to a solo
-        decode on mismatch instead of erroring)."""
+        (top_k/greedy are engine-wide; top_p/min_p/penalties are
+        engine-wide unless the engine runs per-row sampling mode; callers
+        fall back to a solo decode on mismatch instead of erroring)."""
         return ((top_k is None or top_k == self.top_k)
                 and (greedy is None or greedy == self.greedy)
                 and (self.per_row_sampling or top_p is None
                      or float(top_p) == self.top_p)
                 and (self.per_row_sampling or min_p is None
-                     or float(min_p) == 0.0))
+                     or float(min_p) == 0.0)
+                and (self.per_row_sampling or penalties is None
+                     or tuple(float(v) for v in penalties) == _NEUTRAL_PEN))
 
-    def submit(self, prompt_ids: list[int], temperature: float = 1.0,
-               seed: int | None = None, max_len: int | None = None,
-               timeout: float = 600.0, top_k: int | None = None,
-               greedy: bool | None = None,
-               top_p: float | None = None,
-               min_p: float | None = None) -> list:
+    def _validate_params(self, top_k, greedy, top_p, min_p, penalties):
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
@@ -329,6 +394,21 @@ class ContinuousBatcher:
         if min_p and not self.per_row_sampling:
             raise ValueError(
                 "engine needs per_row_sampling mode for min_p requests")
+        pen = (tuple(float(v) for v in penalties)
+               if penalties is not None else _NEUTRAL_PEN)
+        if pen != _NEUTRAL_PEN and not self.per_row_sampling:
+            raise ValueError(
+                "engine needs per_row_sampling mode for penalty requests")
+        return pen
+
+    def submit(self, prompt_ids: list[int], temperature: float = 1.0,
+               seed: int | None = None, max_len: int | None = None,
+               timeout: float = 600.0, top_k: int | None = None,
+               greedy: bool | None = None,
+               top_p: float | None = None,
+               min_p: float | None = None,
+               penalties: tuple | None = None) -> list:
+        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -337,7 +417,8 @@ class ContinuousBatcher:
                        else int(time.time_ns() % 2**31), ml,
                        submitted=time.monotonic(),
                        top_p=float(top_p) if top_p is not None else 1.0,
-                       min_p=float(min_p) if min_p is not None else 0.0)
+                       min_p=float(min_p) if min_p is not None else 0.0,
+                       penalties=pen)
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -351,7 +432,8 @@ class ContinuousBatcher:
                       timeout: float = 600.0, top_k: int | None = None,
                       greedy: bool | None = None,
                       top_p: float | None = None,
-                      min_p: float | None = None):
+                      min_p: float | None = None,
+                      penalties: tuple | None = None):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -367,19 +449,7 @@ class ContinuousBatcher:
         request joins the decode whether or not the returned generator
         is ever pulled; this function just builds the request and
         returns the consuming generator."""
-        if top_k is not None and top_k != self.top_k:
-            raise ValueError(
-                f"engine compiled for top_k={self.top_k}, got {top_k}")
-        if greedy is not None and greedy != self.greedy:
-            raise ValueError(
-                f"engine compiled for greedy={self.greedy}, got {greedy}")
-        if top_p is not None and not self.per_row_sampling \
-                and float(top_p) != self.top_p:
-            raise ValueError(
-                f"engine compiled for top_p={self.top_p}, got {top_p}")
-        if min_p and not self.per_row_sampling:
-            raise ValueError(
-                "engine needs per_row_sampling mode for min_p requests")
+        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -388,7 +458,8 @@ class ContinuousBatcher:
                        else int(time.time_ns() % 2**31), ml,
                        submitted=time.monotonic(),
                        top_p=float(top_p) if top_p is not None else 1.0,
-                       min_p=float(min_p) if min_p is not None else 0.0)
+                       min_p=float(min_p) if min_p is not None else 0.0,
+                       penalties=pen)
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -486,7 +557,7 @@ class ContinuousBatcher:
             mask_value=self.mask_value, eos_id=self.gen.eos_id,
             pad_id=self.gen.pad_id, top_p=self.top_p,
             row_top_p=req.top_p, per_row_sampling=self.per_row_sampling,
-            row_min_p=req.min_p)
+            row_min_p=req.min_p, row_penalties=req.penalties)
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -571,7 +642,8 @@ class ContinuousBatcher:
             if req.stream_q is not None:
                 req.stream_q.put(("error", exc))
             req.event.set()
-        self.state = init_state(self.gen.cfg, self.slots, self.max_len)
+        self.state = init_state(self.gen.cfg, self.slots, self.max_len,
+                                per_row_sampling=self.per_row_sampling)
 
     def _worker(self):
         pending_fetch = None

