@@ -114,10 +114,10 @@ def cmd_generate(args):
     if penalties == (1.0, 0.0, 0.0):
         penalties = None
     if args.draft:
-        if penalties is not None:
-            raise SystemExit("--draft does not support penalties yet "
-                             "(history-dependent distributions break the "
-                             "draft/target acceptance math)")
+        if penalties is not None or args.no_repeat_ngram:
+            raise SystemExit("--draft does not support penalties or n-gram "
+                             "bans yet (history-dependent distributions "
+                             "break the draft/target acceptance math)")
         draft, _, _ = _load_generator(args.draft)
         ids = gen.generate_ids_speculative(
             draft, prompt_ids, max_len=args.max_len,
@@ -130,14 +130,16 @@ def cmd_generate(args):
                                temperature=args.temperature,
                                top_k=args.top_k, seed=args.seed,
                                top_p=args.top_p, min_p=args.min_p,
-                               penalties=penalties)[0]
+                               penalties=penalties,
+                               no_repeat_ngram=args.no_repeat_ngram)[0]
         tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
                                     temperature=args.temperature,
                                     top_k=args.top_k, seed=args.seed,
                                     top_p=args.top_p, min_p=args.min_p,
-                                    penalties=penalties)
+                                    penalties=penalties,
+                                    no_repeat_ngram=args.no_repeat_ngram)
     print("Generated token snippet:", tokens[:20], "...")
     song = scheme_b.decode_to_song(ids) if scheme == "b3" \
         else tokens_to_song(tokens)
@@ -360,6 +362,10 @@ def main(argv=None):
     g.add_argument("--presence-penalty", type=float, default=0.0,
                    help="subtract this from every seen token's logit "
                         "(OpenAI semantics, 0 = off)")
+    g.add_argument("--no-repeat-ngram", type=int, default=0,
+                   help="HF no_repeat_ngram_size: ban tokens completing "
+                        "an n-gram already generated (0 = off; static — "
+                        "each distinct n is one compiled program)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--out", default="generated.mid")
     g.add_argument("--wav", default=None)

@@ -60,7 +60,8 @@ class Generator:
                      refeed_last_prompt: bool = True,
                      mask_value: float = -1e10,
                      top_p: float = 1.0, min_p: float = 0.0,
-                     penalties: tuple | None = None) -> np.ndarray:
+                     penalties: tuple | None = None,
+                     no_repeat_ngram: int = 0) -> np.ndarray:
         """Returns [batch, n_tokens] generated id rows (prompt included).
 
         mask_value: top-k mask constant — the servers use -1e10
@@ -71,7 +72,10 @@ class Generator:
         penalties: optional (repetition, frequency, presence) tuple —
         anti-repetition transforms on the raw logits over prompt +
         generated token counts (sampling.apply_penalties); None or the
-        neutral (1, 0, 0) is reference parity."""
+        neutral (1, 0, 0) is reference parity.
+        no_repeat_ngram: HF no_repeat_ngram_size — ban tokens completing
+        an n-gram already in the history (STATIC: each distinct n is one
+        compiled program; 0 = off, reference parity)."""
         max_len = max_len or self.cfg.seq_len
         max_len = min(max_len, self.max_supported_len(use_cache))
         p = len(prompt_ids)
@@ -92,13 +96,14 @@ class Generator:
                 pad_id=self.pad_id, greedy=greedy,
                 refeed_last_prompt=refeed_last_prompt,
                 mask_value=mask_value, top_p=top_p, min_p=min_p,
-                penalties=penalties)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
         else:
             buf, pos = generate_full(
                 self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
                 temperature=temperature, top_k=top_k, eos_id=self.eos_id,
                 pad_id=self.pad_id, greedy=greedy, mask_value=mask_value,
-                top_p=top_p, min_p=min_p, penalties=penalties)
+                top_p=top_p, min_p=min_p, penalties=penalties,
+                no_repeat_ngram=no_repeat_ngram)
         return np.asarray(buf)[:, :int(pos)]
 
     def generate_ids_speculative(self, draft: "Generator",
@@ -139,28 +144,32 @@ class Generator:
                        temperature: float = 1.0, top_k: int = 50,
                        seed: int = 0, greedy: bool = False,
                        top_p: float = 1.0, min_p: float = 0.0,
-                       penalties: tuple | None = None) -> list[str]:
+                       penalties: tuple | None = None,
+                       no_repeat_ngram: int = 0) -> list[str]:
         """Reference-shaped: prompt token strings -> generated token strings,
         trimmed at the first [END_SEQUENCE] (inclusive), batch 1."""
         ids = self.vocab.encode(prompt)
         row = self.generate_ids(ids, max_len=max_len,
                                 temperature=temperature, top_k=top_k,
                                 seed=seed, greedy=greedy, top_p=top_p,
-                                min_p=min_p, penalties=penalties)[0]
+                                min_p=min_p, penalties=penalties,
+                                no_repeat_ngram=no_repeat_ngram)[0]
         return self.trim_at_eos(row)
 
     def sample(self, prompt: list[str], max_len: int | None = None,
                temperature: float = 1.0, top_k: int = 50, seed: int = 0,
                greedy: bool = False, top_p: float = 1.0,
                min_p: float = 0.0,
-               penalties: tuple | None = None) -> list[str]:
+               penalties: tuple | None = None,
+               no_repeat_ngram: int = 0) -> list[str]:
         """Uncached path (reference api.py sample())."""
         ids = self.vocab.encode(prompt)
         row = self.generate_ids(ids, max_len=max_len,
                                 temperature=temperature, top_k=top_k,
                                 seed=seed, greedy=greedy,
                                 use_cache=False, top_p=top_p,
-                                min_p=min_p, penalties=penalties)[0]
+                                min_p=min_p, penalties=penalties,
+                                no_repeat_ngram=no_repeat_ngram)[0]
         return self.trim_at_eos(row)
 
     def trim_at_eos(self, row) -> list[str]:

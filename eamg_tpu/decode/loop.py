@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, forward_masked, prefill
 from ..models.gpt import init_kv_cache
-from .sampling import _penalties_on, sample_token, token_counts
+from .sampling import (_penalties_on, apply_no_repeat_ngram, sample_token,
+                       token_counts)
 
 
 def _norm_penalties(penalties):
@@ -58,7 +59,8 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 mask_value: float = -1e10, approx_top_k: bool = False,
                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
                 top_p: float = 1.0, min_p: float = 0.0,
-                penalties: tuple | None = None):
+                penalties: tuple | None = None,
+                no_repeat_ngram: int = 0):
     """Thin host wrapper: top_p/min_p/penalties stay TRACED operands
     (client-supplied floats must not each trigger a fresh multi-minute
     remote compile); only the on/off bits are static.
@@ -75,14 +77,16 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                         top_k_impl, presplit_keys,
                         float(top_p) if use_top_p else 1.0, use_top_p,
                         float(min_p) if use_min_p else 0.0, use_min_p,
-                        rep_p, freq_p, pres_p, use_pen)
+                        rep_p, freq_p, pres_p, use_pen,
+                        int(no_repeat_ngram or 0))
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "refeed_last_prompt", "mask_value",
                                    "approx_top_k", "top_k_impl", "eos_id",
                                    "presplit_keys", "use_top_p",
-                                   "use_min_p", "use_penalties"))
+                                   "use_min_p", "use_penalties",
+                                   "no_repeat_ngram"))
 def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
@@ -92,7 +96,7 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  top_p=1.0, use_top_p: bool = False,
                  min_p=0.0, use_min_p: bool = False,
                  rep_p=1.0, freq_p=0.0, pres_p=0.0,
-                 use_penalties: bool = False):
+                 use_penalties: bool = False, no_repeat_ngram: int = 0):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -145,6 +149,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         # gather on this backend (measured; amortized ~50 us/step)
         last_logits = jax.lax.dynamic_slice_in_dim(
             logits0, prompt_len - 1, 1, axis=1)[:, 0]
+        if no_repeat_ngram:
+            last_logits = apply_no_repeat_ngram(
+                last_logits, buf, prompt_len, no_repeat_ngram, mask_value)
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl,
                              top_p, use_top_p, min_p, use_min_p,
@@ -185,6 +192,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         else:
             rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
+        if no_repeat_ngram:
+            logits = apply_no_repeat_ngram(logits, buf, pos,
+                                           no_repeat_ngram, mask_value)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
                            use_top_p, min_p, use_min_p, counts=counts,
@@ -218,9 +228,10 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   eos_id: int = -1, pad_id: int = 0, greedy: bool = False,
                   mask_value: float = -1e10, approx_top_k: bool = False,
                   top_k_impl: str = "bitsearch", top_p: float = 1.0,
-                  min_p: float = 0.0, penalties: tuple | None = None):
+                  min_p: float = 0.0, penalties: tuple | None = None,
+                  no_repeat_ngram: int = 0):
     """Thin host wrapper — see generate_kv: traced top_p/min_p/penalties,
-    static on/off bits."""
+    static on/off bits; static no_repeat_ngram."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
@@ -229,13 +240,14 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
                           mask_value, approx_top_k, top_k_impl,
                           float(top_p) if use_top_p else 1.0, use_top_p,
                           float(min_p) if use_min_p else 0.0, use_min_p,
-                          rep_p, freq_p, pres_p, use_pen)
+                          rep_p, freq_p, pres_p, use_pen,
+                          int(no_repeat_ngram or 0))
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "approx_top_k",
                                    "top_k_impl", "use_top_p", "use_min_p",
-                                   "use_penalties"))
+                                   "use_penalties", "no_repeat_ngram"))
 def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    rng: jax.Array, cfg: GPTConfig, max_len: int,
                    temperature: float = 1.0, top_k: int = 50,
@@ -244,7 +256,8 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    top_k_impl: str = "bitsearch", top_p=1.0,
                    use_top_p: bool = False, min_p=0.0,
                    use_min_p: bool = False, rep_p=1.0, freq_p=0.0,
-                   pres_p=0.0, use_penalties: bool = False):
+                   pres_p=0.0, use_penalties: bool = False,
+                   no_repeat_ngram: int = 0):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -274,6 +287,9 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
         logits = forward_masked(params, buf[:, :T], cfg, valid_len=pos)
         last_logits = jax.lax.dynamic_slice_in_dim(logits, pos - 1, 1,
                                                    axis=1)[:, 0]
+        if no_repeat_ngram:
+            last_logits = apply_no_repeat_ngram(
+                last_logits, buf, pos, no_repeat_ngram, mask_value)
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
                            use_top_p, min_p, use_min_p, counts=counts,

@@ -24,7 +24,8 @@ from ..models.gpt import (GPTConfig, _attn_input, _finish_block,
                           _gqa_scores, _gqa_values, _heads, _linear,
                           _split_qkv, _unheads)
 from .loop import _norm_penalties
-from .sampling import apply_penalties, sample_token, token_counts
+from .sampling import (apply_no_repeat_ngram, apply_penalties,
+                       sample_token, token_counts)
 
 
 def init_ragged_cache(cfg: GPTConfig, batch: int, max_len: int):
@@ -139,7 +140,8 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                        eos_id: int = -1, pad_id: int = 0,
                        greedy: bool = False, mask_value: float = -1e10,
                        top_p: float = 1.0, min_p: float = 0.0,
-                       penalties: tuple | None = None):
+                       penalties: tuple | None = None,
+                       no_repeat_ngram: int = 0):
     """Thin host wrapper — top_p/min_p/penalties stay TRACED operands so
     every client-supplied value shares one compiled ragged program (a
     fresh ragged compile costs minutes on the axon remote helper); only
@@ -156,12 +158,13 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                                float(top_p) if use_top_p else 1.0,
                                use_top_p,
                                float(min_p) if use_min_p else 0.0,
-                               use_min_p, rep_p, freq_p, pres_p, use_pen)
+                               use_min_p, rep_p, freq_p, pres_p, use_pen,
+                               int(no_repeat_ngram or 0))
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "use_top_p", "use_min_p",
-                                   "use_penalties"))
+                                   "use_penalties", "no_repeat_ngram"))
 def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         prompt_lens: jax.Array, rngs: jax.Array,
                         cfg: GPTConfig, max_len: int,
@@ -171,7 +174,8 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         top_p=1.0, use_top_p: bool = False,
                         min_p=0.0, use_min_p: bool = False,
                         rep_p=1.0, freq_p=0.0, pres_p=0.0,
-                        use_penalties: bool = False):
+                        use_penalties: bool = False,
+                        no_repeat_ngram: int = 0):
     """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
     key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
     Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
@@ -207,6 +211,9 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
     counts = token_counts(
         prompt, jnp.arange(P)[None, :] < prompt_lens[:, None],
         cfg.vocab_size) if use_penalties else None
+    if no_repeat_ngram:
+        last_logits = apply_no_repeat_ngram(
+            last_logits, buf, prompt_lens, no_repeat_ngram, mask_value)
     first = _sample_per_row(subs, last_logits, temperature, top_k,
                             mask_value, greedy, top_p, use_top_p, min_p,
                             use_min_p, counts, rep_p, freq_p, pres_p,
@@ -243,6 +250,9 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
         keys = split(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
+        if no_repeat_ngram:
+            logits = apply_no_repeat_ngram(logits, buf, pos,
+                                           no_repeat_ngram, mask_value)
         nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
                               greedy, top_p, use_top_p, min_p, use_min_p,
                               counts, rep_p, freq_p, pres_p, use_penalties)

@@ -143,6 +143,57 @@ def token_counts(ids: jax.Array, valid: jax.Array,
         valid.astype(jnp.float32))
 
 
+def no_repeat_ngram_ban(buf: jax.Array, pos, n: int,
+                        vocab_size: int) -> jax.Array:
+    """[B, L] token history + per-row length -> [B, V] bool ban mask of
+    tokens that would complete an ``n``-gram already present in
+    ``buf[:, :pos]`` (HF ``no_repeat_ngram_size`` semantics).
+
+    ``n`` is STATIC (it shapes the comparison network); ``pos`` may be a
+    scalar or [B]. For every start j with j + n - 1 <= pos - 1, if
+    ``buf[:, j:j+n-1]`` equals the last n-1 tokens of the history, then
+    ``buf[:, j+n-1]`` is banned. n=1 bans every token already seen.
+
+    Vectorization: n-1 shifted elementwise compares over [B, L] build the
+    per-start match mask, then one scatter-add collapses matching starts'
+    successor tokens onto the vocab axis — no [B, L, V] intermediate and
+    no sort, O(n·L) work per step."""
+    B, L = buf.shape
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    starts = jnp.arange(L)[None, :]
+    # prior n-gram must end within history: j + n - 1 <= pos - 1
+    match = (starts <= pos[:, None] - n) & (pos[:, None] >= n)
+    if n > 1:
+        tail_idx = jnp.clip(
+            pos[:, None] - (n - 1) + jnp.arange(n - 1)[None, :], 0, L - 1)
+        tail = jnp.take_along_axis(buf, tail_idx, axis=1)      # [B, n-1]
+        for i in range(n - 1):
+            # roll wraparound rows are excluded by the validity bound above
+            match &= jnp.roll(buf, -i, axis=1) == tail[:, i:i + 1]
+    banned_tok = jnp.roll(buf, -(n - 1), axis=1) if n > 1 else buf
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+    hits = jnp.zeros((B, vocab_size), jnp.float32).at[rows, banned_tok].add(
+        match.astype(jnp.float32))
+    return hits > 0.0
+
+
+def apply_no_repeat_ngram(logits: jax.Array, buf: jax.Array, pos, n: int,
+                          mask_value: float = -1e10,
+                          row_on: jax.Array | None = None) -> jax.Array:
+    """Additive n-gram ban on raw logits (HF processor order: before
+    temperature/filters; moves the greedy argmax too). ``n`` static, 0 =
+    compiled out. ``row_on`` ([B] bool, traced) gates per row — False rows
+    are bit-exact no-ops (the continuous engine's mixed-traffic
+    contract). Beyond-reference capability (the reference sampler is
+    plain top-k, api_cache.py:171-177)."""
+    if not n:
+        return logits
+    ban = no_repeat_ngram_ban(buf, pos, n, logits.shape[-1])
+    if row_on is not None:
+        ban = ban & row_on[..., None]
+    return logits + jnp.where(ban, mask_value, 0.0)
+
+
 def _penalties_on(rep_p, freq_p, pres_p) -> bool:
     def neutral(v, n):
         return v is None or (isinstance(v, (int, float)) and float(v) == n)

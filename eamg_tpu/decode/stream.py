@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, init_kv_cache, prefill
 from .loop import _norm_penalties
-from .sampling import sample_token, token_counts
+from .sampling import apply_no_repeat_ngram, sample_token, token_counts
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len"))
@@ -45,30 +45,45 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                  greedy: bool = False, mask_value: float = -1e10,
                  top_p: float = 1.0, min_p: float = 0.0,
                  penalties: tuple | None = None,
-                 counts: jax.Array | None = None):
+                 counts: jax.Array | None = None,
+                 no_repeat_ngram: int = 0,
+                 ngram_state: tuple | None = None):
     """Thin host wrapper — traced top_p/min_p/penalties, static on/off
     bits (see loop.py). With penalties, pass the running occurrence
     ``counts`` ([B, V], carried between chunks like the cache); returns
-    them updated as a sixth value (None when penalties are off)."""
+    them updated as the sixth value (None when penalties are off). With
+    ``no_repeat_ngram`` (static, 0 = off), pass ``ngram_state`` =
+    (buf [B, W], pos [B]) — the token history carried between chunks —
+    returned updated as the seventh value (None when off)."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    ngram = int(no_repeat_ngram or 0)
     if use_pen:
         assert counts is not None, "penalties need the counts state"
     else:
         counts = jnp.zeros((last.shape[0], 1), jnp.float32)  # placeholder
-    toks, last, done, rng, cache, counts = _decode_chunk(
+    if ngram:
+        assert ngram_state is not None, \
+            "no_repeat_ngram needs the (buf, pos) history state"
+        buf, pos = ngram_state
+    else:
+        buf = jnp.zeros((last.shape[0], 1), jnp.int32)       # placeholder
+        pos = jnp.zeros((last.shape[0],), jnp.int32)
+    toks, last, done, rng, cache, counts, buf, pos = _decode_chunk(
         params, last, done, rng, cache, cfg, chunk, temperature, top_k,
         eos_id, pad_id, greedy, mask_value,
         float(top_p) if use_top_p else 1.0, use_top_p,
         float(min_p) if use_min_p else 0.0, use_min_p,
-        rep_p, freq_p, pres_p, use_pen, counts)
-    return toks, last, done, rng, cache, (counts if use_pen else None)
+        rep_p, freq_p, pres_p, use_pen, counts, ngram, buf, pos)
+    return (toks, last, done, rng, cache,
+            (counts if use_pen else None),
+            ((buf, pos) if ngram else None))
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "use_top_p", "use_min_p",
-                                   "use_penalties"))
+                                   "use_penalties", "no_repeat_ngram"))
 def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   rng: jax.Array, cache: dict, cfg: GPTConfig,
                   chunk: int = 32, temperature: float = 1.0,
@@ -77,14 +92,21 @@ def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   top_p=1.0, use_top_p: bool = False,
                   min_p=0.0, use_min_p: bool = False,
                   rep_p=1.0, freq_p=0.0, pres_p=0.0,
-                  use_penalties: bool = False, counts=None):
+                  use_penalties: bool = False, counts=None,
+                  no_repeat_ngram: int = 0, buf=None, pos=None):
     """Run ``chunk`` decode steps; finished rows emit PAD. Returns
-    (tokens [B, chunk], last, done, rng, cache, counts)."""
+    (tokens [B, chunk], last, done, rng, cache, counts, buf, pos)."""
+    if no_repeat_ngram:
+        cols = jnp.arange(buf.shape[1])[None, :]
+
     def body(carry, _):
-        last, done, rng, cache, counts = carry
+        last, done, rng, cache, counts, buf, pos = carry
         active = ~done
         rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
+        if no_repeat_ngram:
+            logits = apply_no_repeat_ngram(logits, buf, pos,
+                                           no_repeat_ngram, mask_value)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, top_p=top_p, use_top_p=use_top_p,
                            min_p=min_p, use_min_p=use_min_p,
@@ -100,11 +122,18 @@ def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
             counts = counts + ((nxt[:, None] == jnp.arange(
                 cfg.vocab_size)[None, :]) & active[:, None]).astype(
                 jnp.float32)
-        return (new_last, new_done, rng, cache, counts), out
+        if no_repeat_ngram:
+            # masked one-hot write (see ragged.py: the vmapped-scatter
+            # form compiles pathologically on the remote helper)
+            hit = (cols == pos[:, None]) & active[:, None]
+            buf = jnp.where(hit, nxt[:, None].astype(jnp.int32), buf)
+            pos = pos + active.astype(jnp.int32)
+        return (new_last, new_done, rng, cache, counts, buf, pos), out
 
-    (last, done, rng, cache, counts), toks = jax.lax.scan(
-        body, (last, done, rng, cache, counts), None, length=chunk)
-    return toks.swapaxes(0, 1), last, done, rng, cache, counts
+    (last, done, rng, cache, counts, buf, pos), toks = jax.lax.scan(
+        body, (last, done, rng, cache, counts, buf, pos), None,
+        length=chunk)
+    return toks.swapaxes(0, 1), last, done, rng, cache, counts, buf, pos
 
 
 def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
@@ -112,7 +141,8 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                   top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
                   greedy: bool = False, seed: int = 0, bucket: int = 64,
                   top_p: float = 1.0, min_p: float = 0.0,
-                  penalties: tuple | None = None):
+                  penalties: tuple | None = None,
+                  no_repeat_ngram: int = 0):
     """Python generator yielding token ids one at a time (batch 1).
 
     First sampled token comes from the prefill logits (efficient mode);
@@ -135,9 +165,18 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                                       max_len + chunk)
 
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    ngram = int(no_repeat_ngram or 0)
     counts = token_counts(
         jnp.asarray(prompt), jnp.arange(width)[None, :] < p,
         cfg.vocab_size) if use_pen else None
+    ngram_state = None
+    if ngram:
+        # history buffer sized like the cache (max_len + chunk) so the
+        # final partial chunk's overshoot writes stay in bounds
+        hbuf = jnp.zeros((1, max_len + chunk), jnp.int32)
+        hbuf = jax.lax.dynamic_update_slice(hbuf, jnp.asarray(prompt),
+                                            (0, 0))
+        last_logits = apply_no_repeat_ngram(last_logits, hbuf, p, ngram)
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature, top_k, -1e10,
                          greedy, top_p=top_p,
@@ -150,6 +189,10 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     if use_pen:
         counts = counts + (first[:, None] == jnp.arange(
             cfg.vocab_size)[None, :]).astype(jnp.float32)
+    if ngram:
+        hbuf = jax.lax.dynamic_update_slice(
+            hbuf, first[:, None].astype(jnp.int32), (0, p))
+        ngram_state = (hbuf, jnp.full((1,), p + 1, jnp.int32))
     tok = int(first[0])
     yield tok
     if tok == eos_id:
@@ -158,11 +201,12 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     last = first
     done = first == eos_id
     while produced < max_len:
-        toks, last, done, rng, cache, counts = decode_chunk(
+        toks, last, done, rng, cache, counts, ngram_state = decode_chunk(
             params, last, done, rng, cache, cfg, chunk=chunk,
             temperature=temperature, top_k=top_k, eos_id=eos_id,
             pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p,
-            penalties=penalties, counts=counts)
+            penalties=penalties, counts=counts,
+            no_repeat_ngram=ngram, ngram_state=ngram_state)
         for t in np.asarray(toks)[0]:
             t = int(t)
             if produced >= max_len:

@@ -39,6 +39,7 @@ class _Pending:
     seed: int
     max_len: int
     penalties: tuple = (1.0, 0.0, 0.0)   # (repetition, frequency, presence)
+    ngram: int = 0                       # no_repeat_ngram_size (0 = off)
     event: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: Exception | None = None
@@ -72,7 +73,8 @@ class RequestBatcher:
                seed: int | None = None, timeout: float = 600.0,
                max_len: int | None = None, top_p: float = 1.0,
                min_p: float = 0.0,
-               penalties: tuple | None = None) -> list:
+               penalties: tuple | None = None,
+               no_repeat_ngram: int = 0) -> list:
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             # zero generation steps: prompt returned unchanged (reference
@@ -84,7 +86,8 @@ class RequestBatcher:
         req = _Pending(prompt_ids, float(temperature), int(top_k),
                        float(top_p), float(min_p), bool(greedy),
                        int(seed) if seed is not None
-                       else int(time.time_ns() % 2**31), ml, pen)
+                       else int(time.time_ns() % 2**31), ml, pen,
+                       int(no_repeat_ngram or 0))
         if self.overloaded():
             from .continuous import EngineOverloaded
 
@@ -152,12 +155,12 @@ class RequestBatcher:
                 ml = min(ml, self.max_len)
                 by_params.setdefault(
                     (r.temperature, r.top_k, r.top_p, r.min_p, r.greedy,
-                     ml, r.penalties), []).append(r)
-            for (temp, top_k, top_p, min_p, greedy, ml, pen), reqs \
+                     ml, r.penalties, r.ngram), []).append(r)
+            for (temp, top_k, top_p, min_p, greedy, ml, pen, ngram), reqs \
                     in by_params.items():
                 try:
                     self._run(reqs, temp, top_k, greedy, ml, top_p, min_p,
-                              pen)
+                              pen, ngram)
                 except Exception as exc:  # pragma: no cover - defensive
                     for r in reqs:
                         r.error = exc
@@ -165,7 +168,8 @@ class RequestBatcher:
             self._busy = False
 
     def _run(self, reqs, temperature, top_k, greedy, max_len=None,
-             top_p=1.0, min_p=0.0, penalties=(1.0, 0.0, 0.0)):
+             top_p=1.0, min_p=0.0, penalties=(1.0, 0.0, 0.0),
+             no_repeat_ngram=0):
         max_len = max_len or self.max_len
         n = len(reqs)
         bs = 1
@@ -189,7 +193,7 @@ class RequestBatcher:
             self.gen.cfg, max_len, temperature=temperature,
             top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
             greedy=greedy, top_p=top_p, min_p=min_p,
-            penalties=penalties)
+            penalties=penalties, no_repeat_ngram=no_repeat_ngram)
         buf = np.asarray(buf)
         pos = np.asarray(pos)
         self.stats["calls"] += 1

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from ..decode.api import Generator, _bucket
 from ..decode.ragged import (decode_step_ragged, init_ragged_cache,
                              prefill_ragged)
-from ..decode.sampling import (apply_penalties, sample_token, token_counts)
+from ..decode.sampling import (apply_no_repeat_ngram, apply_penalties,
+                               sample_token, token_counts)
 
 _split_rows = jax.vmap(lambda k: jax.random.split(k))
 
@@ -88,11 +89,14 @@ def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
 
 
 def init_state(cfg, slots: int, max_len: int,
-               per_row_sampling: bool = False):
+               per_row_sampling: bool = False,
+               no_repeat_ngram: int = 0):
     """Device-resident engine state; free slots start done with no budget.
     Per-row-sampling mode additionally carries the anti-repetition state:
     occurrence counts ([slots, V]) and per-row penalty values — gated on
-    the mode so the default engine program is unchanged."""
+    the mode so the default engine program is unchanged. An engine with
+    ``no_repeat_ngram`` != 0 carries a per-row on/off bit (the ban size n
+    itself is compiled into the chunk program)."""
     state = {
         "cache": init_ragged_cache(cfg, slots, max_len),
         "buf": jnp.zeros((slots, max_len), jnp.int32),
@@ -110,17 +114,20 @@ def init_state(cfg, slots: int, max_len: int,
         state["rep_ps"] = jnp.ones((slots,), jnp.float32)
         state["freq_ps"] = jnp.zeros((slots,), jnp.float32)
         state["pres_ps"] = jnp.zeros((slots,), jnp.float32)
+    if no_repeat_ngram:
+        state["ngram_on"] = jnp.zeros((slots,), bool)
     return state
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
                                    "eos_id", "pad_id", "top_p",
-                                   "per_row_sampling"))
+                                   "per_row_sampling", "no_repeat_ngram"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
               eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
               per_row_sampling=False, row_min_p=0.0,
-              row_penalties=_NEUTRAL_PEN):
+              row_penalties=_NEUTRAL_PEN, no_repeat_ngram=0,
+              row_ngram_on=False):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -150,6 +157,10 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     P = prompt.shape[1]
     onehot = (jnp.arange(P) == plen - 1).astype(logits0.dtype)[None]
     last_logits = jnp.einsum("bpv,bp->bv", logits0, onehot)
+    if no_repeat_ngram:
+        last_logits = apply_no_repeat_ngram(
+            last_logits, prompt.astype(jnp.int32), plen, no_repeat_ngram,
+            mask_value, row_on=jnp.asarray(row_ngram_on, bool)[None])
     rep_p, freq_p, pres_p = (jnp.asarray(v, jnp.float32)
                              for v in row_penalties)
     row_counts = token_counts(
@@ -202,15 +213,19 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         new["rep_ps"] = state["rep_ps"].at[slot].set(rep_p)
         new["freq_ps"] = state["freq_ps"].at[slot].set(freq_p)
         new["pres_ps"] = state["pres_ps"].at[slot].set(pres_p)
+    if no_repeat_ngram:
+        new["ngram_on"] = state["ngram_on"].at[slot].set(
+            jnp.asarray(row_ngram_on, bool))
     return new
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "eos_id", "pad_id",
-                                   "top_p", "per_row_sampling"))
+                                   "top_p", "per_row_sampling",
+                                   "no_repeat_ngram"))
 def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                  mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0,
-                 per_row_sampling=False):
+                 per_row_sampling=False, no_repeat_ngram=0):
     """Advance every live row ``chunk`` steps (done/free rows are inert).
     Same per-step math as generate_kv_ragged's while_loop body."""
     max_len = state["buf"].shape[1]
@@ -227,6 +242,10 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         keys = _split_rows(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
+        if no_repeat_ngram:
+            logits = apply_no_repeat_ngram(logits, buf, pos,
+                                           no_repeat_ngram, mask_value,
+                                           row_on=state["ngram_on"])
         nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
                            top_p,
                            state["top_ps"] if per_row_sampling else None,
@@ -273,6 +292,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         new_state["rep_ps"] = state["rep_ps"]
         new_state["freq_ps"] = state["freq_ps"]
         new_state["pres_ps"] = state["pres_ps"]
+    if no_repeat_ngram:
+        new_state["ngram_on"] = state["ngram_on"]
     return new_state
 
 
@@ -299,6 +320,7 @@ class _Pending:
     top_p: float = 1.0
     min_p: float = 0.0
     penalties: tuple = _NEUTRAL_PEN   # (repetition, frequency, presence)
+    ngram: int = 0               # no_repeat_ngram_size (0 = off)
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -326,7 +348,8 @@ class ContinuousBatcher:
                  chunk: int = 64, max_len: int | None = None,
                  top_k: int = 50, greedy: bool = False,
                  mask_value: float = -1e10, max_queue: int = 256,
-                 top_p: float = 1.0, per_row_sampling: bool = False):
+                 top_p: float = 1.0, per_row_sampling: bool = False,
+                 no_repeat_ngram: int = 0):
         # per_row_sampling compiles per-row top-p AND min-p filtering into
         # the chunk program; rows at the neutral values (1.0 / 0.0) are
         # exact no-ops, so unfiltered requests still bit-match solo runs
@@ -338,13 +361,18 @@ class ContinuousBatcher:
         self.top_k, self.greedy, self.mask_value = top_k, greedy, mask_value
         self.top_p = float(top_p)
         self.per_row_sampling = bool(per_row_sampling)
+        # engine-wide ban size n compiled into the chunk program; rows
+        # carry a traced on/off bit, so ngram and plain requests share
+        # the decode (plain rows stay bit-exact)
+        self.no_repeat_ngram = int(no_repeat_ngram or 0)
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
         # admission control: requests queued beyond the live slots; 0 =
         # unbounded (benchmarks that deliberately flood the engine)
         self.max_queue = max_queue
         self.state = init_state(generator.cfg, slots, self.max_len,
-                                per_row_sampling=self.per_row_sampling)
+                                per_row_sampling=self.per_row_sampling,
+                                no_repeat_ngram=self.no_repeat_ngram)
         self._q: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
@@ -366,11 +394,14 @@ class ContinuousBatcher:
                 greedy: bool | None = None,
                 top_p: float | None = None,
                 min_p: float | None = None,
-                penalties: tuple | None = None) -> bool:
+                penalties: tuple | None = None,
+                no_repeat_ngram: int | None = None) -> bool:
         """Whether a request's sampling params match the compiled engine
         (top_k/greedy are engine-wide; top_p/min_p/penalties are
-        engine-wide unless the engine runs per-row sampling mode; callers
-        fall back to a solo decode on mismatch instead of erroring)."""
+        engine-wide unless the engine runs per-row sampling mode; a
+        nonzero no_repeat_ngram must equal the engine's compiled ban
+        size; callers fall back to a solo decode on mismatch instead of
+        erroring)."""
         return ((top_k is None or top_k == self.top_k)
                 and (greedy is None or greedy == self.greedy)
                 and (self.per_row_sampling or top_p is None
@@ -378,9 +409,12 @@ class ContinuousBatcher:
                 and (self.per_row_sampling or min_p is None
                      or float(min_p) == 0.0)
                 and (self.per_row_sampling or penalties is None
-                     or tuple(float(v) for v in penalties) == _NEUTRAL_PEN))
+                     or tuple(float(v) for v in penalties) == _NEUTRAL_PEN)
+                and (not no_repeat_ngram
+                     or int(no_repeat_ngram) == self.no_repeat_ngram))
 
-    def _validate_params(self, top_k, greedy, top_p, min_p, penalties):
+    def _validate_params(self, top_k, greedy, top_p, min_p, penalties,
+                         no_repeat_ngram=0):
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
@@ -399,6 +433,10 @@ class ContinuousBatcher:
         if pen != _NEUTRAL_PEN and not self.per_row_sampling:
             raise ValueError(
                 "engine needs per_row_sampling mode for penalty requests")
+        if no_repeat_ngram and int(no_repeat_ngram) != self.no_repeat_ngram:
+            raise ValueError(
+                f"engine compiled for no_repeat_ngram="
+                f"{self.no_repeat_ngram}, got {no_repeat_ngram}")
         return pen
 
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
@@ -407,8 +445,10 @@ class ContinuousBatcher:
                greedy: bool | None = None,
                top_p: float | None = None,
                min_p: float | None = None,
-               penalties: tuple | None = None) -> list:
-        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties)
+               penalties: tuple | None = None,
+               no_repeat_ngram: int = 0) -> list:
+        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
+                                    no_repeat_ngram)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -418,7 +458,8 @@ class ContinuousBatcher:
                        submitted=time.monotonic(),
                        top_p=float(top_p) if top_p is not None else 1.0,
                        min_p=float(min_p) if min_p is not None else 0.0,
-                       penalties=pen)
+                       penalties=pen,
+                       ngram=int(no_repeat_ngram or 0))
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -433,7 +474,8 @@ class ContinuousBatcher:
                       greedy: bool | None = None,
                       top_p: float | None = None,
                       min_p: float | None = None,
-                      penalties: tuple | None = None):
+                      penalties: tuple | None = None,
+                      no_repeat_ngram: int = 0):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -449,7 +491,8 @@ class ContinuousBatcher:
         request joins the decode whether or not the returned generator
         is ever pulled; this function just builds the request and
         returns the consuming generator."""
-        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties)
+        pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
+                                    no_repeat_ngram)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -459,7 +502,8 @@ class ContinuousBatcher:
                        submitted=time.monotonic(),
                        top_p=float(top_p) if top_p is not None else 1.0,
                        min_p=float(min_p) if min_p is not None else 0.0,
-                       penalties=pen)
+                       penalties=pen,
+                       ngram=int(no_repeat_ngram or 0))
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -557,7 +601,9 @@ class ContinuousBatcher:
             mask_value=self.mask_value, eos_id=self.gen.eos_id,
             pad_id=self.gen.pad_id, top_p=self.top_p,
             row_top_p=req.top_p, per_row_sampling=self.per_row_sampling,
-            row_min_p=req.min_p, row_penalties=req.penalties)
+            row_min_p=req.min_p, row_penalties=req.penalties,
+            no_repeat_ngram=self.no_repeat_ngram,
+            row_ngram_on=bool(req.ngram))
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -643,7 +689,8 @@ class ContinuousBatcher:
                 req.stream_q.put(("error", exc))
             req.event.set()
         self.state = init_state(self.gen.cfg, self.slots, self.max_len,
-                                per_row_sampling=self.per_row_sampling)
+                                per_row_sampling=self.per_row_sampling,
+                                no_repeat_ngram=self.no_repeat_ngram)
 
     def _worker(self):
         pending_fetch = None
@@ -680,7 +727,8 @@ class ContinuousBatcher:
                         greedy=self.greedy, mask_value=self.mask_value,
                         eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
                         top_p=self.top_p,
-                        per_row_sampling=self.per_row_sampling)
+                        per_row_sampling=self.per_row_sampling,
+                        no_repeat_ngram=self.no_repeat_ngram)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

@@ -104,7 +104,8 @@ class Pipeline:
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,
                             top_p: float = 1.0, min_p: float = 0.0,
-                            penalties: tuple | None = None):
+                            penalties: tuple | None = None,
+                            no_repeat_ngram: int = 0):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation."""
@@ -116,7 +117,8 @@ class Pipeline:
             ids = self.generator.generate_ids(
                 prompt_ids, temperature=temperature, top_k=top_k,
                 seed=run_seed, use_cache=self.use_cache, top_p=top_p,
-                min_p=min_p, penalties=penalties)[0]
+                min_p=min_p, penalties=penalties,
+                no_repeat_ngram=no_repeat_ngram)[0]
             tokens = self.scheme_b.vocab.decode(ids)
             song = self.scheme_b.decode_to_song(ids)
             return gen_prompt, tokens, song, dropped
@@ -132,7 +134,7 @@ class Pipeline:
         use_batcher = self.batcher is not None and getattr(
             self.batcher, "accepts", lambda **_: True)(
                 top_k=top_k, top_p=top_p, min_p=min_p,
-                penalties=penalties)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
         if use_batcher:
             # continuous engines compile top_k/greedy (and, outside
             # per-row mode, top_p/min_p) engine-wide; a mismatching
@@ -140,25 +142,27 @@ class Pipeline:
             ids = self.batcher.submit(
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed,
-                top_p=top_p, min_p=min_p, penalties=penalties)
+                top_p=top_p, min_p=min_p, penalties=penalties,
+                no_repeat_ngram=no_repeat_ngram)
             tokens = self.generator.trim_at_eos(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
         else:
             tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
         return gen_prompt, tokens, tokens_to_song(tokens), dropped
 
     def generate(self, prompt_text: str, temperature: float = 1.0,
                  top_k: int = 50, seed: int | None = None,
                  render_audio: bool | None = None,
                  top_p: float = 1.0, min_p: float = 0.0,
-                 penalties: tuple | None = None) -> GenerationResult:
+                 penalties: tuple | None = None,
+                 no_repeat_ngram: int = 0) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -175,7 +179,7 @@ class Pipeline:
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
             mapping, temperature, top_k, run_seed, top_p, min_p,
-            penalties)
+            penalties, no_repeat_ngram)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -205,7 +209,8 @@ class Pipeline:
                           gap_s: float = 0.5,
                           top_p: float = 1.0,
                           min_p: float = 0.0,
-                          penalties: tuple | None = None
+                          penalties: tuple | None = None,
+                          no_repeat_ngram: int = 0
                           ) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
@@ -222,7 +227,8 @@ class Pipeline:
             return self.generate(prompt_text, temperature=temperature,
                                  top_k=top_k, seed=seed,
                                  render_audio=render_audio, top_p=top_p,
-                                 min_p=min_p, penalties=penalties)
+                                 min_p=min_p, penalties=penalties,
+                                 no_repeat_ngram=no_repeat_ngram)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -240,7 +246,7 @@ class Pipeline:
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
                 mapping, temperature, top_k, run_seed, top_p, min_p,
-                penalties)
+                penalties, no_repeat_ngram)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)
@@ -276,7 +282,8 @@ class Pipeline:
     def _stream_deltas(self, prompt_ids: list[int], temperature: float,
                        top_k: int, run_seed: int, chunk: int = 32,
                        top_p: float = 1.0, min_p: float = 0.0,
-                       penalties: tuple | None = None):
+                       penalties: tuple | None = None,
+                       no_repeat_ngram: int = 0):
         """Yield lists of newly generated token ids: through the continuous
         engine when one is running and accepts the sampling params (the row
         joins the shared RUNNING decode), else a solo chunked stream
@@ -285,11 +292,12 @@ class Pipeline:
 
         if isinstance(self.batcher, ContinuousBatcher) \
                 and self.batcher.accepts(top_k=top_k, top_p=top_p,
-                                         min_p=min_p, penalties=penalties):
+                                         min_p=min_p, penalties=penalties,
+                                         no_repeat_ngram=no_repeat_ngram):
             yield from self.batcher.submit_stream(
                 prompt_ids, temperature=temperature, seed=run_seed,
                 top_k=top_k, top_p=top_p, min_p=min_p,
-                penalties=penalties)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
             return
         from ..decode.stream import stream_tokens
 
@@ -300,7 +308,8 @@ class Pipeline:
                                  temperature=temperature, top_k=top_k,
                                  eos_id=gen.eos_id, pad_id=gen.pad_id,
                                  seed=run_seed, top_p=top_p, min_p=min_p,
-                                 penalties=penalties):
+                                 penalties=penalties,
+                                 no_repeat_ngram=no_repeat_ngram):
             delta.append(tok)
             if len(delta) >= chunk:
                 yield delta
@@ -314,7 +323,8 @@ class Pipeline:
                         sections: bool = False, chunk: int = 32,
                         gap_s: float = 0.5, top_p: float = 1.0,
                         min_p: float = 0.0,
-                        penalties: tuple | None = None):
+                        penalties: tuple | None = None,
+                        no_repeat_ngram: int = 0):
         """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
         a Python generator of JSON-able event dicts for SSE serving.
 
@@ -377,7 +387,8 @@ class Pipeline:
             deltas = self._stream_deltas(prompt_ids, temperature, top_k,
                                          run_seed, chunk=chunk,
                                          top_p=top_p, min_p=min_p,
-                                         penalties=penalties)
+                                         penalties=penalties,
+                                         no_repeat_ngram=no_repeat_ngram)
             try:
                 for delta in deltas:
                     out = []

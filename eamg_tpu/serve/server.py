@@ -75,6 +75,18 @@ def _parse_penalties(fields):
         return None
     return (rep, freq, pres)
 
+
+def _parse_ngram(fields) -> int:
+    """no_repeat_ngram form field -> bounded int. The ban size n is
+    STATIC (it shapes the compiled comparison network), so each distinct
+    value is one compiled program — the bound keeps a hostile client from
+    forcing unbounded fresh compiles (minutes each on the remote-compile
+    helper); values above 8 ban essentially nothing anyway."""
+    n = int(fields.get("no_repeat_ngram", 0))
+    if n < 0 or n > 8:
+        raise ValueError("no_repeat_ngram must be in [0, 8]")
+    return n
+
 class _InflightCounter:
     """Count of /generate requests between accept and response-written.
     Graceful shutdown waits on this, not just the engine: after a row's
@@ -228,6 +240,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
                                                               "yes")
             stream = qs.get("stream", [fields.get("stream", "")])[0] \
                 .lower() in ("1", "true", "yes")
+            try:
+                _parse_ngram(fields)
+            except ValueError as exc:
+                self._json(422, {"error": str(exc)})
+                return
             if stream:
                 self._stream_generate(prompt, fields, fmt, sections,
                                       seed, t_start)
@@ -241,6 +258,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 top_p=float(fields.get("top_p", 1.0)),
                 min_p=float(fields.get("min_p", 0.0)),
                 penalties=_parse_penalties(fields),
+                no_repeat_ngram=_parse_ngram(fields),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
             self.stats.observe(_time.perf_counter() - t_start,
@@ -291,7 +309,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
                     top_k=int(fields.get("top_k", 50)),
                     top_p=float(fields.get("top_p", 1.0)),
                     min_p=float(fields.get("min_p", 0.0)),
-                    penalties=_parse_penalties(fields)) \
+                    penalties=_parse_penalties(fields),
+                    no_repeat_ngram=_parse_ngram(fields)) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -312,6 +331,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
             top_p=float(fields.get("top_p", 1.0)),
             min_p=float(fields.get("min_p", 0.0)),
             penalties=_parse_penalties(fields),
+            no_repeat_ngram=_parse_ngram(fields),
             seed=int(seed) if seed is not None else None,
             render_audio=fmt == "wav", sections=sections)
         try:
@@ -404,6 +424,12 @@ def main():  # pragma: no cover - CLI entry
                              "filtering so EVERY request's values ride "
                              "the engine (neutral values stay bit-exact "
                              "unfiltered)")
+    parser.add_argument("--engine-ngram", type=int, default=0,
+                        help="continuous engine: compile an n-gram ban of "
+                             "this size into the shared decode; requests "
+                             "asking no_repeat_ngram=N ride the engine "
+                             "(per-row on/off bit, plain rows stay "
+                             "bit-exact); other sizes decode solo")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -416,6 +442,8 @@ def main():  # pragma: no cover - CLI entry
             coalesce_opts["per_row_sampling"] = True
         elif args.engine_top_p is not None:
             coalesce_opts["top_p"] = float(args.engine_top_p)
+        if args.engine_ngram:
+            coalesce_opts["no_repeat_ngram"] = int(args.engine_ngram)
     elif args.coalesce and args.slots is not None:
         coalesce_opts["max_batch"] = args.slots
     if args.coalesce and args.max_queue is not None:

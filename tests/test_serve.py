@@ -376,3 +376,30 @@ def test_http_penalty_fields(server):
                           "frequency_penalty": "0",
                           "presence_penalty": "0"}).read()
     assert neutral == base
+
+
+def test_http_no_repeat_ngram_field(server):
+    """no_repeat_ngram form field: deterministic per seed, n=1 (ban every
+    seen token) differs from the unbanned stream, and out-of-range sizes
+    are rejected with 422 BEFORE compilation (each distinct n is a fresh
+    compiled program — the bound is the compile-DoS guard)."""
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "5"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "5",
+                    "no_repeat_ngram": "1"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "5",
+                    "no_repeat_ngram": "1"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b
+    assert a != base
+    zero = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "5",
+                       "no_repeat_ngram": "0"}).read()
+    assert zero == base
+    for bad in ("9", "-1"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_form(f"{server}/generate",
+                       {"prompt": "x", "no_repeat_ngram": bad})
+        assert e.value.code == 422, bad
