@@ -113,11 +113,35 @@ def cmd_generate(args):
                  args.presence_penalty)
     if penalties == (1.0, 0.0, 0.0):
         penalties = None
-    if args.draft:
-        if penalties is not None or args.no_repeat_ngram:
-            raise SystemExit("--draft does not support penalties or n-gram "
-                             "bans yet (history-dependent distributions "
-                             "break the draft/target acceptance math)")
+    gram = None
+    if args.grammar:
+        from .decode.grammar import grammar_a, grammar_for
+
+        gram = grammar_for(scheme_b) if scheme == "b3" \
+            else grammar_a(gen.vocab)
+    if args.beams and args.draft:
+        raise SystemExit("--beams and --draft are mutually exclusive")
+    if args.beams:
+        if penalties is not None or args.no_repeat_ngram or gram:
+            raise SystemExit("--beams is a deterministic argmax-tree "
+                             "search; penalties/n-gram/grammar transforms "
+                             "are sampling-path features")
+        if scheme == "b3":
+            ids = gen.generate_ids_beam(prompt_ids, max_len=args.max_len,
+                                        n_beams=args.beams,
+                                        length_penalty=args.length_penalty)
+            tokens = scheme_b.vocab.decode(ids)
+        else:
+            tokens = gen.sample_beam(prompt, max_len=args.max_len,
+                                     n_beams=args.beams,
+                                     length_penalty=args.length_penalty)
+            ids = gen.vocab.encode(tokens)
+    elif args.draft:
+        if penalties is not None or args.no_repeat_ngram or gram:
+            raise SystemExit("--draft does not support penalties, n-gram "
+                             "bans or grammar constraints yet (history-"
+                             "dependent distributions break the "
+                             "draft/target acceptance math)")
         draft, _, _ = _load_generator(args.draft)
         ids = gen.generate_ids_speculative(
             draft, prompt_ids, max_len=args.max_len,
@@ -131,7 +155,8 @@ def cmd_generate(args):
                                top_k=args.top_k, seed=args.seed,
                                top_p=args.top_p, min_p=args.min_p,
                                penalties=penalties,
-                               no_repeat_ngram=args.no_repeat_ngram)[0]
+                               no_repeat_ngram=args.no_repeat_ngram,
+                               grammar=gram)[0]
         tokens = scheme_b.vocab.decode(ids)
     else:
         tokens = gen.sample_kvcache(prompt, max_len=args.max_len,
@@ -139,7 +164,8 @@ def cmd_generate(args):
                                     top_k=args.top_k, seed=args.seed,
                                     top_p=args.top_p, min_p=args.min_p,
                                     penalties=penalties,
-                                    no_repeat_ngram=args.no_repeat_ngram)
+                                    no_repeat_ngram=args.no_repeat_ngram,
+                                    grammar=gram)
     print("Generated token snippet:", tokens[:20], "...")
     song = scheme_b.decode_to_song(ids) if scheme == "b3" \
         else tokens_to_song(tokens)
@@ -362,6 +388,17 @@ def main(argv=None):
     g.add_argument("--presence-penalty", type=float, default=0.0,
                    help="subtract this from every seen token's logit "
                         "(OpenAI semantics, 0 = off)")
+    g.add_argument("--beams", type=int, default=0,
+                   help="deterministic beam search with this many beams "
+                        "instead of sampling (decode/beam.py); 0 = off")
+    g.add_argument("--length-penalty", type=float, default=1.0,
+                   help="beam ranking: score / gen_len**alpha (GNMT); "
+                        "only with --beams")
+    g.add_argument("--grammar", action="store_true",
+                   help="FSM-constrained decoding: every sampled token "
+                        "follows the scheme's surface grammar and the "
+                        "stream closes with a complete note + END token "
+                        "(decode/grammar.py)")
     g.add_argument("--no-repeat-ngram", type=int, default=0,
                    help="HF no_repeat_ngram_size: ban tokens completing "
                         "an n-gram already generated (0 = off; static — "

@@ -61,7 +61,7 @@ class Generator:
                      mask_value: float = -1e10,
                      top_p: float = 1.0, min_p: float = 0.0,
                      penalties: tuple | None = None,
-                     no_repeat_ngram: int = 0) -> np.ndarray:
+                     no_repeat_ngram: int = 0, grammar=None) -> np.ndarray:
         """Returns [batch, n_tokens] generated id rows (prompt included).
 
         mask_value: top-k mask constant — the servers use -1e10
@@ -75,7 +75,11 @@ class Generator:
         neutral (1, 0, 0) is reference parity.
         no_repeat_ngram: HF no_repeat_ngram_size — ban tokens completing
         an n-gram already in the history (STATIC: each distinct n is one
-        compiled program; 0 = off, reference parity)."""
+        compiled program; 0 = off, reference parity).
+        grammar: optional decode.grammar.Grammar — FSM-constrained
+        decoding over the token scheme's surface grammar, with
+        budget-aware closing (decode/grammar.py); None = off, reference
+        parity."""
         max_len = max_len or self.cfg.seq_len
         max_len = min(max_len, self.max_supported_len(use_cache))
         p = len(prompt_ids)
@@ -96,14 +100,15 @@ class Generator:
                 pad_id=self.pad_id, greedy=greedy,
                 refeed_last_prompt=refeed_last_prompt,
                 mask_value=mask_value, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                grammar=grammar)
         else:
             buf, pos = generate_full(
                 self.params, jnp.asarray(prompt), p, rng, self.cfg, max_len,
                 temperature=temperature, top_k=top_k, eos_id=self.eos_id,
                 pad_id=self.pad_id, greedy=greedy, mask_value=mask_value,
                 top_p=top_p, min_p=min_p, penalties=penalties,
-                no_repeat_ngram=no_repeat_ngram)
+                no_repeat_ngram=no_repeat_ngram, grammar=grammar)
         return np.asarray(buf)[:, :int(pos)]
 
     def generate_ids_speculative(self, draft: "Generator",
@@ -138,6 +143,46 @@ class Generator:
             top_p=top_p, min_p=min_p)
         return np.asarray(buf)[:, :int(pos)]
 
+    def generate_ids_beam(self, prompt_ids: list[int],
+                          max_len: int | None = None, n_beams: int = 4,
+                          length_penalty: float = 1.0,
+                          return_all: bool = False):
+        """Deterministic beam search (decode/beam.py): returns the best
+        hypothesis row (prompt included, trimmed to its true length), or —
+        with ``return_all`` — (rows [K, ...], gen_lens, raw_scores,
+        normalized_scores) ranked best-first. Beyond-reference capability
+        (the reference only samples, api_cache.py:171-177)."""
+        from .beam import generate_beam, rank_beams
+
+        max_len = max_len or self.cfg.seq_len
+        max_len = min(max_len, self.max_supported_len())
+        p = len(prompt_ids)
+        if p >= max_len:
+            # zero generation steps (reference semantics, api_cache.py:166)
+            return np.asarray([list(prompt_ids)], np.int32) if return_all \
+                else np.asarray(prompt_ids, np.int32)
+        bucket = min(_bucket(p), max_len)
+        prompt = np.full((1, bucket), self.pad_id, np.int32)
+        prompt[0, :p] = prompt_ids
+        buf, gen_lens, scores = generate_beam(
+            self.params, jnp.asarray(prompt), p, self.cfg, max_len,
+            n_beams=n_beams, eos_id=self.eos_id, pad_id=self.pad_id)
+        buf, gen_lens, scores, norm = rank_beams(buf, gen_lens, scores,
+                                                 length_penalty)
+        if return_all:
+            return buf, gen_lens, scores, norm
+        return buf[0, :p + int(gen_lens[0])]
+
+    def sample_beam(self, prompt: list[str], max_len: int | None = None,
+                    n_beams: int = 4,
+                    length_penalty: float = 1.0) -> list[str]:
+        """Token-string twin of :meth:`generate_ids_beam` (best hypothesis,
+        trimmed at EOS)."""
+        ids = self.vocab.encode(prompt)
+        row = self.generate_ids_beam(ids, max_len=max_len, n_beams=n_beams,
+                                     length_penalty=length_penalty)
+        return self.trim_at_eos(row)
+
     # -- token-string level (Scheme A serving) -----------------------------
 
     def sample_kvcache(self, prompt: list[str], max_len: int | None = None,
@@ -145,7 +190,8 @@ class Generator:
                        seed: int = 0, greedy: bool = False,
                        top_p: float = 1.0, min_p: float = 0.0,
                        penalties: tuple | None = None,
-                       no_repeat_ngram: int = 0) -> list[str]:
+                       no_repeat_ngram: int = 0,
+                       grammar=None) -> list[str]:
         """Reference-shaped: prompt token strings -> generated token strings,
         trimmed at the first [END_SEQUENCE] (inclusive), batch 1."""
         ids = self.vocab.encode(prompt)
@@ -153,7 +199,8 @@ class Generator:
                                 temperature=temperature, top_k=top_k,
                                 seed=seed, greedy=greedy, top_p=top_p,
                                 min_p=min_p, penalties=penalties,
-                                no_repeat_ngram=no_repeat_ngram)[0]
+                                no_repeat_ngram=no_repeat_ngram,
+                                grammar=grammar)[0]
         return self.trim_at_eos(row)
 
     def sample(self, prompt: list[str], max_len: int | None = None,
@@ -161,7 +208,7 @@ class Generator:
                greedy: bool = False, top_p: float = 1.0,
                min_p: float = 0.0,
                penalties: tuple | None = None,
-               no_repeat_ngram: int = 0) -> list[str]:
+               no_repeat_ngram: int = 0, grammar=None) -> list[str]:
         """Uncached path (reference api.py sample())."""
         ids = self.vocab.encode(prompt)
         row = self.generate_ids(ids, max_len=max_len,
@@ -169,7 +216,8 @@ class Generator:
                                 seed=seed, greedy=greedy,
                                 use_cache=False, top_p=top_p,
                                 min_p=min_p, penalties=penalties,
-                                no_repeat_ngram=no_repeat_ngram)[0]
+                                no_repeat_ngram=no_repeat_ngram,
+                                grammar=grammar)[0]
         return self.trim_at_eos(row)
 
     def trim_at_eos(self, row) -> list[str]:

@@ -33,8 +33,20 @@ import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, forward_masked, prefill
 from ..models.gpt import init_kv_cache
+from .grammar import (Grammar, grammar_mask, grammar_step,
+                      scan_prompt_state)
+from .grammar import placeholder as _grammar_placeholder
 from .sampling import (_penalties_on, apply_no_repeat_ngram, sample_token,
                        token_counts)
+
+
+def _norm_grammar(grammar):
+    """Grammar | arrays-dict | None -> (device pytree, static on/off)."""
+    if grammar is None:
+        return _grammar_placeholder(), False
+    if isinstance(grammar, Grammar):
+        return grammar.arrays(), True
+    return grammar, True
 
 
 def _norm_penalties(penalties):
@@ -60,17 +72,22 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 top_k_impl: str = "bitsearch", presplit_keys: bool = False,
                 top_p: float = 1.0, min_p: float = 0.0,
                 penalties: tuple | None = None,
-                no_repeat_ngram: int = 0):
+                no_repeat_ngram: int = 0, grammar=None):
     """Thin host wrapper: top_p/min_p/penalties stay TRACED operands
     (client-supplied floats must not each trigger a fresh multi-minute
     remote compile); only the on/off bits are static.
 
     ``penalties``: optional (repetition, frequency, presence) tuple —
     see sampling.apply_penalties. None or the neutral (1, 0, 0) compiles
-    the penalty state out of the loop entirely."""
+    the penalty state out of the loop entirely.
+    ``grammar``: optional decode.grammar.Grammar (or its ``arrays()``
+    pytree) — constrains every sampled token to the scheme's FSM, with
+    budget-aware closing so streams end with a complete note + EOS. The
+    tables are traced; only the on/off bit is static."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    garr, use_gram = _norm_grammar(grammar)
     return _generate_kv(params, prompt, prompt_len, rng, cfg, max_len,
                         temperature, top_k, eos_id, pad_id, greedy,
                         refeed_last_prompt, mask_value, approx_top_k,
@@ -78,7 +95,7 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                         float(top_p) if use_top_p else 1.0, use_top_p,
                         float(min_p) if use_min_p else 0.0, use_min_p,
                         rep_p, freq_p, pres_p, use_pen,
-                        int(no_repeat_ngram or 0))
+                        int(no_repeat_ngram or 0), garr, use_gram)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
@@ -86,7 +103,7 @@ def generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                                    "approx_top_k", "top_k_impl", "eos_id",
                                    "presplit_keys", "use_top_p",
                                    "use_min_p", "use_penalties",
-                                   "no_repeat_ngram"))
+                                   "no_repeat_ngram", "use_grammar"))
 def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  cfg: GPTConfig, max_len: int, temperature: float = 1.0,
                  top_k: int = 50, eos_id: int = -1, pad_id: int = 0,
@@ -96,7 +113,8 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                  top_p=1.0, use_top_p: bool = False,
                  min_p=0.0, use_min_p: bool = False,
                  rep_p=1.0, freq_p=0.0, pres_p=0.0,
-                 use_penalties: bool = False, no_repeat_ngram: int = 0):
+                 use_penalties: bool = False, no_repeat_ngram: int = 0,
+                 grammar=None, use_grammar: bool = False):
     """KV-cache generation.
 
     prompt: [B, P] int32, padded to a static bucket P; prompt_len: scalar
@@ -133,6 +151,8 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
     counts0 = token_counts(
         prompt, jnp.arange(P)[None, :] < prompt_len,
         cfg.vocab_size) if use_penalties else None
+    gstate0 = scan_prompt_state(grammar, prompt,
+                                prompt_len) if use_grammar else None
     if refeed_last_prompt:
         # Reference mode: discard warm-up logits; first step re-feeds the
         # last prompt token.
@@ -152,6 +172,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         if no_repeat_ngram:
             last_logits = apply_no_repeat_ngram(
                 last_logits, buf, prompt_len, no_repeat_ngram, mask_value)
+        if use_grammar:
+            last_logits = grammar_mask(last_logits, gstate0, grammar,
+                                       budget_left=max_len - prompt_len)
         first = sample_token(sub, last_logits, temperature, top_k,
                              mask_value, greedy, approx_top_k, top_k_impl,
                              top_p, use_top_p, min_p, use_min_p,
@@ -167,6 +190,8 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         if use_penalties:
             counts0 = counts0 + (first[:, None] == jnp.arange(
                 cfg.vocab_size)[None, :]).astype(jnp.float32)
+        if use_grammar:
+            gstate0 = grammar_step(gstate0, first, grammar)
 
     track_eos = eos_id >= 0           # static: compiled in or out
     if presplit_keys and not greedy:
@@ -179,11 +204,11 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         return pos < max_len
 
     def body(state):
-        if use_penalties:
-            buf, pos, last, done, rng, cache, counts = state
-        else:
-            buf, pos, last, done, rng, cache = state
-            counts = None
+        buf, pos, last, done, rng, cache = state[:6]
+        idx = 6
+        counts = state[idx] if use_penalties else None
+        idx += int(use_penalties)
+        gstate = state[idx] if use_grammar else None
         active = ~done                      # rows still generating
         if greedy:
             sub = rng
@@ -195,6 +220,9 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
         if no_repeat_ngram:
             logits = apply_no_repeat_ngram(logits, buf, pos,
                                            no_repeat_ngram, mask_value)
+        if use_grammar:
+            logits = grammar_mask(logits, gstate, grammar,
+                                  budget_left=max_len - pos)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
                            use_top_p, min_p, use_min_p, counts=counts,
@@ -213,11 +241,15 @@ def _generate_kv(params: dict, prompt: jax.Array, prompt_len, rng: jax.Array,
                 cfg.vocab_size)[None, :]) & active[:, None]).astype(
                 jnp.float32)
             out = out + (counts,)
+        if use_grammar:
+            out = out + (grammar_step(gstate, nxt, grammar, active=active),)
         return out
 
     state0 = (buf, jnp.asarray(pos0, jnp.int32), last0, done0, rng0, cache)
     if use_penalties:
         state0 = state0 + (counts0,)
+    if use_grammar:
+        state0 = state0 + (gstate0,)
     res = jax.lax.while_loop(cond, body, state0)
     return res[0], res[1]
 
@@ -229,25 +261,27 @@ def generate_full(params: dict, prompt: jax.Array, prompt_len,
                   mask_value: float = -1e10, approx_top_k: bool = False,
                   top_k_impl: str = "bitsearch", top_p: float = 1.0,
                   min_p: float = 0.0, penalties: tuple | None = None,
-                  no_repeat_ngram: int = 0):
-    """Thin host wrapper — see generate_kv: traced top_p/min_p/penalties,
-    static on/off bits; static no_repeat_ngram."""
+                  no_repeat_ngram: int = 0, grammar=None):
+    """Thin host wrapper — see generate_kv: traced top_p/min_p/penalties/
+    grammar tables, static on/off bits; static no_repeat_ngram."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    garr, use_gram = _norm_grammar(grammar)
     return _generate_full(params, prompt, prompt_len, rng, cfg, max_len,
                           temperature, top_k, eos_id, pad_id, greedy,
                           mask_value, approx_top_k, top_k_impl,
                           float(top_p) if use_top_p else 1.0, use_top_p,
                           float(min_p) if use_min_p else 0.0, use_min_p,
                           rep_p, freq_p, pres_p, use_pen,
-                          int(no_repeat_ngram or 0))
+                          int(no_repeat_ngram or 0), garr, use_gram)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "approx_top_k",
                                    "top_k_impl", "use_top_p", "use_min_p",
-                                   "use_penalties", "no_repeat_ngram"))
+                                   "use_penalties", "no_repeat_ngram",
+                                   "use_grammar"))
 def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    rng: jax.Array, cfg: GPTConfig, max_len: int,
                    temperature: float = 1.0, top_k: int = 50,
@@ -257,7 +291,8 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                    use_top_p: bool = False, min_p=0.0,
                    use_min_p: bool = False, rep_p=1.0, freq_p=0.0,
                    pres_p=0.0, use_penalties: bool = False,
-                   no_repeat_ngram: int = 0):
+                   no_repeat_ngram: int = 0, grammar=None,
+                   use_grammar: bool = False):
     """Uncached generation (reference ``sample()``, api.py:77-92): each step
     re-encodes the whole prefix bidirectionally. One fixed-shape compile:
     the forward always sees [B, max_len-1] with a validity mask."""
@@ -271,17 +306,19 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
     counts0 = token_counts(
         prompt, jnp.arange(P)[None, :] < prompt_len,
         cfg.vocab_size) if use_penalties else None
+    gstate0 = scan_prompt_state(grammar, prompt,
+                                prompt_len) if use_grammar else None
 
     def cond(state):
         pos, done = state[1], state[2]
         return jnp.logical_and(pos < max_len, ~jnp.all(done))
 
     def body(state):
-        if use_penalties:
-            buf, pos, done, rng, counts = state
-        else:
-            buf, pos, done, rng = state
-            counts = None
+        buf, pos, done, rng = state[:4]
+        idx = 4
+        counts = state[idx] if use_penalties else None
+        idx += int(use_penalties)
+        gstate = state[idx] if use_grammar else None
         active = ~done
         rng, sub = jax.random.split(rng)
         logits = forward_masked(params, buf[:, :T], cfg, valid_len=pos)
@@ -290,6 +327,9 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
         if no_repeat_ngram:
             last_logits = apply_no_repeat_ngram(
                 last_logits, buf, pos, no_repeat_ngram, mask_value)
+        if use_grammar:
+            last_logits = grammar_mask(last_logits, gstate, grammar,
+                                       budget_left=max_len - pos)
         nxt = sample_token(sub, last_logits, temperature, top_k, mask_value,
                            greedy, approx_top_k, top_k_impl, top_p,
                            use_top_p, min_p, use_min_p, counts=counts,
@@ -305,11 +345,15 @@ def _generate_full(params: dict, prompt: jax.Array, prompt_len,
                 cfg.vocab_size)[None, :]) & active[:, None]).astype(
                 jnp.float32)
             out = out + (counts,)
+        if use_grammar:
+            out = out + (grammar_step(gstate, nxt, grammar, active=active),)
         return out
 
     state0 = (buf, jnp.asarray(prompt_len, jnp.int32),
               jnp.zeros((B,), bool), rng)
     if use_penalties:
         state0 = state0 + (counts0,)
+    if use_grammar:
+        state0 = state0 + (gstate0,)
     res = jax.lax.while_loop(cond, body, state0)
     return res[0], res[1]

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..models.gpt import (GPTConfig, _attn_input, _finish_block,
                           _gqa_scores, _gqa_values, _heads, _linear,
                           _split_qkv, _unheads)
-from .loop import _norm_penalties
+from .grammar import grammar_mask, grammar_step, scan_prompt_state
+from .loop import _norm_grammar, _norm_penalties
 from .sampling import (apply_no_repeat_ngram, apply_penalties,
                        sample_token, token_counts)
 
@@ -141,17 +142,19 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                        greedy: bool = False, mask_value: float = -1e10,
                        top_p: float = 1.0, min_p: float = 0.0,
                        penalties: tuple | None = None,
-                       no_repeat_ngram: int = 0):
+                       no_repeat_ngram: int = 0, grammar=None):
     """Thin host wrapper — top_p/min_p/penalties stay TRACED operands so
     every client-supplied value shares one compiled ragged program (a
     fresh ragged compile costs minutes on the axon remote helper); only
     the on/off bits are static. ``penalties`` is a batch-wide
     (repetition, frequency, presence) tuple — the window batcher groups
     requests by sampling params, so rows share the values; the counts
-    state is per row."""
+    state is per row. ``grammar``: optional decode.grammar.Grammar (or
+    its ``arrays()`` pytree), batch-wide; the FSM state is per row."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    garr, use_gram = _norm_grammar(grammar)
     return _generate_kv_ragged(params, prompt, prompt_lens, rngs, cfg,
                                max_len, temperature, top_k, eos_id, pad_id,
                                greedy, mask_value,
@@ -159,12 +162,13 @@ def generate_kv_ragged(params: dict, prompt: jax.Array,
                                use_top_p,
                                float(min_p) if use_min_p else 0.0,
                                use_min_p, rep_p, freq_p, pres_p, use_pen,
-                               int(no_repeat_ngram or 0))
+                               int(no_repeat_ngram or 0), garr, use_gram)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "top_k", "greedy",
                                    "mask_value", "use_top_p", "use_min_p",
-                                   "use_penalties", "no_repeat_ngram"))
+                                   "use_penalties", "no_repeat_ngram",
+                                   "use_grammar"))
 def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         prompt_lens: jax.Array, rngs: jax.Array,
                         cfg: GPTConfig, max_len: int,
@@ -175,7 +179,8 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
                         min_p=0.0, use_min_p: bool = False,
                         rep_p=1.0, freq_p=0.0, pres_p=0.0,
                         use_penalties: bool = False,
-                        no_repeat_ngram: int = 0):
+                        no_repeat_ngram: int = 0,
+                        grammar=None, use_grammar: bool = False):
     """Heterogeneous batch: prompt [B, P] padded, prompt_lens [B], one PRNG
     key per row (rngs [B, 2] — jax.vmap(jax.random.PRNGKey)(seeds)).
     Returns (tokens [B, max_len], lengths [B]); row b holds its prompt then
@@ -211,9 +216,14 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
     counts = token_counts(
         prompt, jnp.arange(P)[None, :] < prompt_lens[:, None],
         cfg.vocab_size) if use_penalties else None
+    gstate = scan_prompt_state(grammar, prompt,
+                               prompt_lens) if use_grammar else None
     if no_repeat_ngram:
         last_logits = apply_no_repeat_ngram(
             last_logits, buf, prompt_lens, no_repeat_ngram, mask_value)
+    if use_grammar:
+        last_logits = grammar_mask(last_logits, gstate, grammar,
+                                   budget_left=max_len - prompt_lens)
     first = _sample_per_row(subs, last_logits, temperature, top_k,
                             mask_value, greedy, top_p, use_top_p, min_p,
                             use_min_p, counts, rep_p, freq_p, pres_p,
@@ -236,23 +246,28 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
         counts = counts + ((first[:, None] == jnp.arange(
             cfg.vocab_size)[None, :]) & active0[:, None]).astype(
             jnp.float32)
+    if use_grammar:
+        gstate = grammar_step(gstate, first, grammar, active=active0)
 
     def cond(state):
         pos, done = state[1], state[3]
         return ~jnp.all(done | (pos >= max_len))
 
     def body(state):
-        if use_penalties:
-            buf, pos, last, done, rngs, cache, counts = state
-        else:
-            buf, pos, last, done, rngs, cache = state
-            counts = None
+        buf, pos, last, done, rngs, cache = state[:6]
+        idx = 6
+        counts = state[idx] if use_penalties else None
+        idx += int(use_penalties)
+        gstate = state[idx] if use_grammar else None
         keys = split(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
         if no_repeat_ngram:
             logits = apply_no_repeat_ngram(logits, buf, pos,
                                            no_repeat_ngram, mask_value)
+        if use_grammar:
+            logits = grammar_mask(logits, gstate, grammar,
+                                  budget_left=max_len - pos)
         nxt = _sample_per_row(subs, logits, temperature, top_k, mask_value,
                               greedy, top_p, use_top_p, min_p, use_min_p,
                               counts, rep_p, freq_p, pres_p, use_penalties)
@@ -273,10 +288,14 @@ def _generate_kv_ragged(params: dict, prompt: jax.Array,
                 cfg.vocab_size)[None, :]) & active[:, None]).astype(
                 jnp.float32)
             out = out + (counts,)
+        if use_grammar:
+            out = out + (grammar_step(gstate, nxt, grammar, active=active),)
         return out
 
     state0 = (buf, pos.astype(jnp.int32), first, done, rngs, cache)
     if use_penalties:
         state0 = state0 + (counts,)
+    if use_grammar:
+        state0 = state0 + (gstate,)
     res = jax.lax.while_loop(cond, body, state0)
     return res[0], jnp.minimum(res[1], max_len)

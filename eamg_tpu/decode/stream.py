@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, init_kv_cache, prefill
-from .loop import _norm_penalties
+from .grammar import grammar_mask, grammar_step, scan_prompt_state
+from .loop import _norm_grammar, _norm_penalties
 from .sampling import apply_no_repeat_ngram, sample_token, token_counts
 
 
@@ -47,17 +48,22 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                  penalties: tuple | None = None,
                  counts: jax.Array | None = None,
                  no_repeat_ngram: int = 0,
-                 ngram_state: tuple | None = None):
+                 ngram_state: tuple | None = None,
+                 grammar=None, grammar_state: tuple | None = None):
     """Thin host wrapper — traced top_p/min_p/penalties, static on/off
     bits (see loop.py). With penalties, pass the running occurrence
     ``counts`` ([B, V], carried between chunks like the cache); returns
     them updated as the sixth value (None when penalties are off). With
     ``no_repeat_ngram`` (static, 0 = off), pass ``ngram_state`` =
     (buf [B, W], pos [B]) — the token history carried between chunks —
-    returned updated as the seventh value (None when off)."""
+    returned updated as the seventh value (None when off). With
+    ``grammar`` (Grammar or arrays pytree), pass ``grammar_state`` =
+    (gstate [B], budget_left [B]) — returned updated as the eighth
+    value (None when off)."""
     use_top_p = top_p is not None and float(top_p) < 1.0
     use_min_p = min_p is not None and float(min_p) > 0.0
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    garr, use_gram = _norm_grammar(grammar)
     ngram = int(no_repeat_ngram or 0)
     if use_pen:
         assert counts is not None, "penalties need the counts state"
@@ -70,20 +76,31 @@ def decode_chunk(params: dict, last: jax.Array, done: jax.Array,
     else:
         buf = jnp.zeros((last.shape[0], 1), jnp.int32)       # placeholder
         pos = jnp.zeros((last.shape[0],), jnp.int32)
-    toks, last, done, rng, cache, counts, buf, pos = _decode_chunk(
+    if use_gram:
+        assert grammar_state is not None, \
+            "grammar needs the (gstate, budget_left) state"
+        gstate, budget = grammar_state
+    else:
+        gstate = jnp.zeros((last.shape[0],), jnp.int32)      # placeholder
+        budget = jnp.zeros((last.shape[0],), jnp.int32)
+    (toks, last, done, rng, cache, counts, buf, pos, gstate,
+     budget) = _decode_chunk(
         params, last, done, rng, cache, cfg, chunk, temperature, top_k,
         eos_id, pad_id, greedy, mask_value,
         float(top_p) if use_top_p else 1.0, use_top_p,
         float(min_p) if use_min_p else 0.0, use_min_p,
-        rep_p, freq_p, pres_p, use_pen, counts, ngram, buf, pos)
+        rep_p, freq_p, pres_p, use_pen, counts, ngram, buf, pos,
+        garr, use_gram, gstate, budget)
     return (toks, last, done, rng, cache,
             (counts if use_pen else None),
-            ((buf, pos) if ngram else None))
+            ((buf, pos) if ngram else None),
+            ((gstate, budget) if use_gram else None))
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "use_top_p", "use_min_p",
-                                   "use_penalties", "no_repeat_ngram"))
+                                   "use_penalties", "no_repeat_ngram",
+                                   "use_grammar"))
 def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   rng: jax.Array, cache: dict, cfg: GPTConfig,
                   chunk: int = 32, temperature: float = 1.0,
@@ -93,20 +110,26 @@ def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
                   min_p=0.0, use_min_p: bool = False,
                   rep_p=1.0, freq_p=0.0, pres_p=0.0,
                   use_penalties: bool = False, counts=None,
-                  no_repeat_ngram: int = 0, buf=None, pos=None):
+                  no_repeat_ngram: int = 0, buf=None, pos=None,
+                  grammar=None, use_grammar: bool = False,
+                  gstate=None, budget=None):
     """Run ``chunk`` decode steps; finished rows emit PAD. Returns
-    (tokens [B, chunk], last, done, rng, cache, counts, buf, pos)."""
+    (tokens [B, chunk], last, done, rng, cache, counts, buf, pos,
+    gstate, budget)."""
     if no_repeat_ngram:
         cols = jnp.arange(buf.shape[1])[None, :]
 
     def body(carry, _):
-        last, done, rng, cache, counts, buf, pos = carry
+        last, done, rng, cache, counts, buf, pos, gstate, budget = carry
         active = ~done
         rng, sub = jax.random.split(rng)
         logits, cache = decode_step(params, last[:, None], cache, cfg)
         if no_repeat_ngram:
             logits = apply_no_repeat_ngram(logits, buf, pos,
                                            no_repeat_ngram, mask_value)
+        if use_grammar:
+            logits = grammar_mask(logits, gstate, grammar,
+                                  budget_left=budget)
         nxt = sample_token(sub, logits, temperature, top_k, mask_value,
                            greedy, top_p=top_p, use_top_p=use_top_p,
                            min_p=min_p, use_min_p=use_min_p,
@@ -128,12 +151,18 @@ def _decode_chunk(params: dict, last: jax.Array, done: jax.Array,
             hit = (cols == pos[:, None]) & active[:, None]
             buf = jnp.where(hit, nxt[:, None].astype(jnp.int32), buf)
             pos = pos + active.astype(jnp.int32)
-        return (new_last, new_done, rng, cache, counts, buf, pos), out
+        if use_grammar:
+            gstate = grammar_step(gstate, nxt, grammar, active=active)
+            budget = budget - active.astype(jnp.int32)
+        return (new_last, new_done, rng, cache, counts, buf, pos,
+                gstate, budget), out
 
-    (last, done, rng, cache, counts, buf, pos), toks = jax.lax.scan(
-        body, (last, done, rng, cache, counts, buf, pos), None,
-        length=chunk)
-    return toks.swapaxes(0, 1), last, done, rng, cache, counts, buf, pos
+    (last, done, rng, cache, counts, buf, pos, gstate,
+     budget), toks = jax.lax.scan(
+        body, (last, done, rng, cache, counts, buf, pos, gstate, budget),
+        None, length=chunk)
+    return (toks.swapaxes(0, 1), last, done, rng, cache, counts, buf, pos,
+            gstate, budget)
 
 
 def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
@@ -142,7 +171,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                   greedy: bool = False, seed: int = 0, bucket: int = 64,
                   top_p: float = 1.0, min_p: float = 0.0,
                   penalties: tuple | None = None,
-                  no_repeat_ngram: int = 0):
+                  no_repeat_ngram: int = 0, grammar=None):
     """Python generator yielding token ids one at a time (batch 1).
 
     First sampled token comes from the prefill logits (efficient mode);
@@ -165,6 +194,7 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
                                       max_len + chunk)
 
     rep_p, freq_p, pres_p, use_pen = _norm_penalties(penalties)
+    garr, use_gram = _norm_grammar(grammar)
     ngram = int(no_repeat_ngram or 0)
     counts = token_counts(
         jnp.asarray(prompt), jnp.arange(width)[None, :] < p,
@@ -177,6 +207,12 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
         hbuf = jax.lax.dynamic_update_slice(hbuf, jnp.asarray(prompt),
                                             (0, 0))
         last_logits = apply_no_repeat_ngram(last_logits, hbuf, p, ngram)
+    grammar_state = None
+    if use_gram:
+        gstate = scan_prompt_state(garr, jnp.asarray(prompt), p)
+        gbudget = jnp.full((1,), max_len - p, jnp.int32)
+        last_logits = grammar_mask(last_logits, gstate, garr,
+                                   budget_left=gbudget)
     rng, sub = jax.random.split(rng)
     first = sample_token(sub, last_logits, temperature, top_k, -1e10,
                          greedy, top_p=top_p,
@@ -193,6 +229,8 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
         hbuf = jax.lax.dynamic_update_slice(
             hbuf, first[:, None].astype(jnp.int32), (0, p))
         ngram_state = (hbuf, jnp.full((1,), p + 1, jnp.int32))
+    if use_gram:
+        grammar_state = (grammar_step(gstate, first, garr), gbudget - 1)
     tok = int(first[0])
     yield tok
     if tok == eos_id:
@@ -201,12 +239,14 @@ def stream_tokens(params: dict, cfg: GPTConfig, prompt_ids: list[int],
     last = first
     done = first == eos_id
     while produced < max_len:
-        toks, last, done, rng, cache, counts, ngram_state = decode_chunk(
+        (toks, last, done, rng, cache, counts, ngram_state,
+         grammar_state) = decode_chunk(
             params, last, done, rng, cache, cfg, chunk=chunk,
             temperature=temperature, top_k=top_k, eos_id=eos_id,
             pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p,
             penalties=penalties, counts=counts,
-            no_repeat_ngram=ngram, ngram_state=ngram_state)
+            no_repeat_ngram=ngram, ngram_state=ngram_state,
+            grammar=grammar, grammar_state=grammar_state)
         for t in np.asarray(toks)[0]:
             t = int(t)
             if produced >= max_len:

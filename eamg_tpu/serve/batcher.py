@@ -40,6 +40,7 @@ class _Pending:
     max_len: int
     penalties: tuple = (1.0, 0.0, 0.0)   # (repetition, frequency, presence)
     ngram: int = 0                       # no_repeat_ngram_size (0 = off)
+    grammar: bool = False                # FSM-constrained decoding
     event: threading.Event = field(default_factory=threading.Event)
     result: list | None = None
     error: Exception | None = None
@@ -48,8 +49,12 @@ class _Pending:
 class RequestBatcher:
     def __init__(self, generator: Generator, max_batch: int = 8,
                  window_ms: float = 10.0, max_len: int | None = None,
-                 max_queue: int = 256):
+                 max_queue: int = 256, grammar=None):
         self.gen = generator
+        # optional decode.grammar.Grammar: requests asking grammar=True
+        # decode FSM-constrained; groups split on the flag so plain rows
+        # share their usual program
+        self.grammar = grammar
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
         self.max_len = min(max_len or generator.cfg.seq_len,
@@ -68,13 +73,20 @@ class RequestBatcher:
     def overloaded(self) -> bool:
         return bool(self.max_queue) and self._q.qsize() >= self.max_queue
 
+    def accepts(self, grammar: bool = False, **_) -> bool:
+        """The window batcher compiles per param-combo, so it takes any
+        sampling params — only a grammar request needs the table to have
+        been provided at construction (callers fall back to a solo
+        decode otherwise)."""
+        return not grammar or self.grammar is not None
+
     def submit(self, prompt_ids: list[int], temperature: float = 1.0,
                top_k: int = 50, greedy: bool = False,
                seed: int | None = None, timeout: float = 600.0,
                max_len: int | None = None, top_p: float = 1.0,
                min_p: float = 0.0,
                penalties: tuple | None = None,
-               no_repeat_ngram: int = 0) -> list:
+               no_repeat_ngram: int = 0, grammar: bool = False) -> list:
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             # zero generation steps: prompt returned unchanged (reference
@@ -83,11 +95,15 @@ class RequestBatcher:
             return list(prompt_ids)
         pen = (tuple(float(v) for v in penalties) if penalties is not None
                else (1.0, 0.0, 0.0))
+        if grammar and self.grammar is None:
+            raise ValueError(
+                "batcher was built without a grammar table; construct "
+                "RequestBatcher(grammar=...) for constrained requests")
         req = _Pending(prompt_ids, float(temperature), int(top_k),
                        float(top_p), float(min_p), bool(greedy),
                        int(seed) if seed is not None
                        else int(time.time_ns() % 2**31), ml, pen,
-                       int(no_repeat_ngram or 0))
+                       int(no_repeat_ngram or 0), bool(grammar))
         if self.overloaded():
             from .continuous import EngineOverloaded
 
@@ -155,12 +171,12 @@ class RequestBatcher:
                 ml = min(ml, self.max_len)
                 by_params.setdefault(
                     (r.temperature, r.top_k, r.top_p, r.min_p, r.greedy,
-                     ml, r.penalties, r.ngram), []).append(r)
-            for (temp, top_k, top_p, min_p, greedy, ml, pen, ngram), reqs \
-                    in by_params.items():
+                     ml, r.penalties, r.ngram, r.grammar), []).append(r)
+            for (temp, top_k, top_p, min_p, greedy, ml, pen, ngram,
+                 gram), reqs in by_params.items():
                 try:
                     self._run(reqs, temp, top_k, greedy, ml, top_p, min_p,
-                              pen, ngram)
+                              pen, ngram, gram)
                 except Exception as exc:  # pragma: no cover - defensive
                     for r in reqs:
                         r.error = exc
@@ -169,7 +185,7 @@ class RequestBatcher:
 
     def _run(self, reqs, temperature, top_k, greedy, max_len=None,
              top_p=1.0, min_p=0.0, penalties=(1.0, 0.0, 0.0),
-             no_repeat_ngram=0):
+             no_repeat_ngram=0, grammar=False):
         max_len = max_len or self.max_len
         n = len(reqs)
         bs = 1
@@ -193,7 +209,8 @@ class RequestBatcher:
             self.gen.cfg, max_len, temperature=temperature,
             top_k=top_k, eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
             greedy=greedy, top_p=top_p, min_p=min_p,
-            penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+            penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+            grammar=self.grammar if grammar else None)
         buf = np.asarray(buf)
         pos = np.asarray(pos)
         self.stats["calls"] += 1

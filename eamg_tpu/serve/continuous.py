@@ -38,6 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from ..decode.api import Generator, _bucket
+from ..decode.grammar import (Grammar, grammar_mask, grammar_step,
+                              scan_prompt_state)
+from ..decode.grammar import placeholder as _grammar_placeholder
 from ..decode.ragged import (decode_step_ragged, init_ragged_cache,
                              prefill_ragged)
 from ..decode.sampling import (apply_no_repeat_ngram, apply_penalties,
@@ -90,13 +93,14 @@ def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
 
 def init_state(cfg, slots: int, max_len: int,
                per_row_sampling: bool = False,
-               no_repeat_ngram: int = 0):
+               no_repeat_ngram: int = 0, grammar: bool = False):
     """Device-resident engine state; free slots start done with no budget.
     Per-row-sampling mode additionally carries the anti-repetition state:
     occurrence counts ([slots, V]) and per-row penalty values — gated on
     the mode so the default engine program is unchanged. An engine with
     ``no_repeat_ngram`` != 0 carries a per-row on/off bit (the ban size n
-    itself is compiled into the chunk program)."""
+    itself is compiled into the chunk program); a grammar-enabled engine
+    likewise carries per-row FSM states + an on/off bit."""
     state = {
         "cache": init_ragged_cache(cfg, slots, max_len),
         "buf": jnp.zeros((slots, max_len), jnp.int32),
@@ -116,18 +120,23 @@ def init_state(cfg, slots: int, max_len: int,
         state["pres_ps"] = jnp.zeros((slots,), jnp.float32)
     if no_repeat_ngram:
         state["ngram_on"] = jnp.zeros((slots,), bool)
+    if grammar:
+        state["gstate"] = jnp.zeros((slots,), jnp.int32)
+        state["gram_on"] = jnp.zeros((slots,), bool)
     return state
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
                                    "eos_id", "pad_id", "top_p",
-                                   "per_row_sampling", "no_repeat_ngram"))
+                                   "per_row_sampling", "no_repeat_ngram",
+                                   "use_grammar"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
               eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
               per_row_sampling=False, row_min_p=0.0,
               row_penalties=_NEUTRAL_PEN, no_repeat_ngram=0,
-              row_ngram_on=False):
+              row_ngram_on=False, grammar=None, use_grammar=False,
+              row_gram_on=False):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
@@ -161,6 +170,12 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         last_logits = apply_no_repeat_ngram(
             last_logits, prompt.astype(jnp.int32), plen, no_repeat_ngram,
             mask_value, row_on=jnp.asarray(row_ngram_on, bool)[None])
+    if use_grammar:
+        gs_row = scan_prompt_state(grammar, prompt, plen)        # [1]
+        gram_on = jnp.asarray(row_gram_on, bool)[None]
+        last_logits = grammar_mask(last_logits, gs_row, grammar,
+                                   budget_left=(rmax - plen)[None],
+                                   row_on=gram_on)
     rep_p, freq_p, pres_p = (jnp.asarray(v, jnp.float32)
                              for v in row_penalties)
     row_counts = token_counts(
@@ -216,16 +231,23 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     if no_repeat_ngram:
         new["ngram_on"] = state["ngram_on"].at[slot].set(
             jnp.asarray(row_ngram_on, bool))
+    if use_grammar:
+        gs_next = grammar_step(gs_row, first[None], grammar,
+                               active=active0[None])[0]
+        new["gstate"] = state["gstate"].at[slot].set(gs_next)
+        new["gram_on"] = state["gram_on"].at[slot].set(
+            jnp.asarray(row_gram_on, bool))
     return new
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "top_k", "greedy",
                                    "mask_value", "eos_id", "pad_id",
                                    "top_p", "per_row_sampling",
-                                   "no_repeat_ngram"))
+                                   "no_repeat_ngram", "use_grammar"))
 def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                  mask_value=-1e10, eos_id=-1, pad_id=0, top_p=1.0,
-                 per_row_sampling=False, no_repeat_ngram=0):
+                 per_row_sampling=False, no_repeat_ngram=0,
+                 grammar=None, use_grammar=False):
     """Advance every live row ``chunk`` steps (done/free rows are inert).
     Same per-step math as generate_kv_ragged's while_loop body."""
     max_len = state["buf"].shape[1]
@@ -234,11 +256,12 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
 
     def body(carry, _):
         if per_row_sampling:
-            buf, pos, last, done, rngs, cache, row_max, temps, counts = \
-                carry
+            (buf, pos, last, done, rngs, cache, row_max, temps,
+             counts) = carry[:9]
         else:
-            buf, pos, last, done, rngs, cache, row_max, temps = carry
+            buf, pos, last, done, rngs, cache, row_max, temps = carry[:8]
             counts = None
+        gstate = carry[-1] if use_grammar else None
         keys = _split_rows(rngs)
         rngs, subs = keys[:, 0], keys[:, 1]
         logits, new_cache = decode_step_ragged(params, last, cache, cfg)
@@ -246,6 +269,10 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
             logits = apply_no_repeat_ngram(logits, buf, pos,
                                            no_repeat_ngram, mask_value,
                                            row_on=state["ngram_on"])
+        if use_grammar:
+            logits = grammar_mask(logits, gstate, grammar,
+                                  budget_left=row_max - pos,
+                                  row_on=state["gram_on"])
         nxt = _sample_rows(subs, logits, temps, top_k, mask_value, greedy,
                            top_p,
                            state["top_ps"] if per_row_sampling else None,
@@ -274,6 +301,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
                 cfg.vocab_size)[None, :]) & active[:, None]).astype(
                 jnp.float32)
             out = out + (counts,)
+        if use_grammar:
+            out = out + (grammar_step(gstate, nxt, grammar, active=active),)
         return out, None
 
     carry0 = (state["buf"], state["pos"], state["last"], state["done"],
@@ -281,6 +310,8 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
               state["temps"])
     if per_row_sampling:
         carry0 = carry0 + (state["counts"],)
+    if use_grammar:
+        carry0 = carry0 + (state["gstate"],)
     carry, _ = jax.lax.scan(body, carry0, None, length=chunk)
     buf, pos, last, done, rngs, cache, row_max, temps = carry[:8]
     new_state = {"cache": cache, "buf": buf, "pos": pos, "last": last,
@@ -294,6 +325,9 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
         new_state["pres_ps"] = state["pres_ps"]
     if no_repeat_ngram:
         new_state["ngram_on"] = state["ngram_on"]
+    if use_grammar:
+        new_state["gstate"] = carry[-1]
+        new_state["gram_on"] = state["gram_on"]
     return new_state
 
 
@@ -321,6 +355,7 @@ class _Pending:
     min_p: float = 0.0
     penalties: tuple = _NEUTRAL_PEN   # (repetition, frequency, presence)
     ngram: int = 0               # no_repeat_ngram_size (0 = off)
+    grammar: bool = False        # FSM-constrained decoding for this row
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -349,7 +384,7 @@ class ContinuousBatcher:
                  top_k: int = 50, greedy: bool = False,
                  mask_value: float = -1e10, max_queue: int = 256,
                  top_p: float = 1.0, per_row_sampling: bool = False,
-                 no_repeat_ngram: int = 0):
+                 no_repeat_ngram: int = 0, grammar=None):
         # per_row_sampling compiles per-row top-p AND min-p filtering into
         # the chunk program; rows at the neutral values (1.0 / 0.0) are
         # exact no-ops, so unfiltered requests still bit-match solo runs
@@ -365,6 +400,14 @@ class ContinuousBatcher:
         # carry a traced on/off bit, so ngram and plain requests share
         # the decode (plain rows stay bit-exact)
         self.no_repeat_ngram = int(no_repeat_ngram or 0)
+        # FSM grammar (decode/grammar.py): the TABLE is engine-wide (one
+        # scheme per served model); each row carries a traced on/off bit,
+        # so constrained and plain requests share the chunk program and
+        # plain rows stay bit-exact
+        self.use_grammar = grammar is not None
+        self._garr = (grammar.arrays() if isinstance(grammar, Grammar)
+                      else grammar) if self.use_grammar \
+            else _grammar_placeholder()
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
         # admission control: requests queued beyond the live slots; 0 =
@@ -372,7 +415,8 @@ class ContinuousBatcher:
         self.max_queue = max_queue
         self.state = init_state(generator.cfg, slots, self.max_len,
                                 per_row_sampling=self.per_row_sampling,
-                                no_repeat_ngram=self.no_repeat_ngram)
+                                no_repeat_ngram=self.no_repeat_ngram,
+                                grammar=self.use_grammar)
         self._q: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
@@ -395,13 +439,14 @@ class ContinuousBatcher:
                 top_p: float | None = None,
                 min_p: float | None = None,
                 penalties: tuple | None = None,
-                no_repeat_ngram: int | None = None) -> bool:
+                no_repeat_ngram: int | None = None,
+                grammar: bool = False) -> bool:
         """Whether a request's sampling params match the compiled engine
         (top_k/greedy are engine-wide; top_p/min_p/penalties are
         engine-wide unless the engine runs per-row sampling mode; a
         nonzero no_repeat_ngram must equal the engine's compiled ban
-        size; callers fall back to a solo decode on mismatch instead of
-        erroring)."""
+        size; a grammar request needs a grammar-enabled engine; callers
+        fall back to a solo decode on mismatch instead of erroring)."""
         return ((top_k is None or top_k == self.top_k)
                 and (greedy is None or greedy == self.greedy)
                 and (self.per_row_sampling or top_p is None
@@ -411,10 +456,15 @@ class ContinuousBatcher:
                 and (self.per_row_sampling or penalties is None
                      or tuple(float(v) for v in penalties) == _NEUTRAL_PEN)
                 and (not no_repeat_ngram
-                     or int(no_repeat_ngram) == self.no_repeat_ngram))
+                     or int(no_repeat_ngram) == self.no_repeat_ngram)
+                and (not grammar or self.use_grammar))
 
     def _validate_params(self, top_k, greedy, top_p, min_p, penalties,
-                         no_repeat_ngram=0):
+                         no_repeat_ngram=0, grammar=False):
+        if grammar and not self.use_grammar:
+            raise ValueError(
+                "engine was built without a grammar table; construct "
+                "ContinuousBatcher(grammar=...) for constrained requests")
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
@@ -446,9 +496,9 @@ class ContinuousBatcher:
                top_p: float | None = None,
                min_p: float | None = None,
                penalties: tuple | None = None,
-               no_repeat_ngram: int = 0) -> list:
+               no_repeat_ngram: int = 0, grammar: bool = False) -> list:
         pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
-                                    no_repeat_ngram)
+                                    no_repeat_ngram, grammar)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -459,7 +509,8 @@ class ContinuousBatcher:
                        top_p=float(top_p) if top_p is not None else 1.0,
                        min_p=float(min_p) if min_p is not None else 0.0,
                        penalties=pen,
-                       ngram=int(no_repeat_ngram or 0))
+                       ngram=int(no_repeat_ngram or 0),
+                       grammar=bool(grammar))
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -475,7 +526,7 @@ class ContinuousBatcher:
                       top_p: float | None = None,
                       min_p: float | None = None,
                       penalties: tuple | None = None,
-                      no_repeat_ngram: int = 0):
+                      no_repeat_ngram: int = 0, grammar: bool = False):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -492,7 +543,7 @@ class ContinuousBatcher:
         is ever pulled; this function just builds the request and
         returns the consuming generator."""
         pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
-                                    no_repeat_ngram)
+                                    no_repeat_ngram, grammar)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -503,7 +554,8 @@ class ContinuousBatcher:
                        top_p=float(top_p) if top_p is not None else 1.0,
                        min_p=float(min_p) if min_p is not None else 0.0,
                        penalties=pen,
-                       ngram=int(no_repeat_ngram or 0))
+                       ngram=int(no_repeat_ngram or 0),
+                       grammar=bool(grammar))
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -603,7 +655,8 @@ class ContinuousBatcher:
             row_top_p=req.top_p, per_row_sampling=self.per_row_sampling,
             row_min_p=req.min_p, row_penalties=req.penalties,
             no_repeat_ngram=self.no_repeat_ngram,
-            row_ngram_on=bool(req.ngram))
+            row_ngram_on=bool(req.ngram), grammar=self._garr,
+            use_grammar=self.use_grammar, row_gram_on=bool(req.grammar))
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -690,7 +743,8 @@ class ContinuousBatcher:
             req.event.set()
         self.state = init_state(self.gen.cfg, self.slots, self.max_len,
                                 per_row_sampling=self.per_row_sampling,
-                                no_repeat_ngram=self.no_repeat_ngram)
+                                no_repeat_ngram=self.no_repeat_ngram,
+                                grammar=self.use_grammar)
 
     def _worker(self):
         pending_fetch = None
@@ -728,7 +782,8 @@ class ContinuousBatcher:
                         eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
                         top_p=self.top_p,
                         per_row_sampling=self.per_row_sampling,
-                        no_repeat_ngram=self.no_repeat_ngram)
+                        no_repeat_ngram=self.no_repeat_ngram,
+                        grammar=self._garr, use_grammar=self.use_grammar)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

@@ -73,43 +73,63 @@ class Pipeline:
         # persistent engine where requests join/leave a RUNNING decode
         # (serve/continuous.py). Both require the corrected causal config.
         self.batcher = None
-        if coalesce and scheme != "a":
-            # coalescing paths are wired for the Scheme-A product flow;
-            # B3 serves through the single-request compiled decode
-            coalesce = False
-        if coalesce == "continuous":
-            from .continuous import ContinuousBatcher
-
-            # coalesce_opts: engine tuning (slots/chunk/max_len) exposed
-            # as serve CLI --slots/--chunk for operators
-            self.batcher = ContinuousBatcher(generator,
-                                             **(coalesce_opts or {}))
-        elif coalesce:
-            from .batcher import RequestBatcher
-
-            self.batcher = RequestBatcher(generator,
-                                          **(coalesce_opts or {}))
         self.scheme = scheme
         if scheme == "b3" and scheme_b is None:
             from ..tokenizer import SchemeB3
 
             scheme_b = SchemeB3(seq_len=generator.cfg.seq_len)
         self.scheme_b = scheme_b
+        self._grammar_obj = None   # built lazily on first grammar request
+        if coalesce and scheme != "a":
+            # coalescing paths are wired for the Scheme-A product flow;
+            # B3 serves through the single-request compiled decode
+            coalesce = False
+        opts = dict(coalesce_opts or {})
+        # engine-level grammar opt-in: opts {"grammar": True} compiles the
+        # FSM tables into the batcher so requests asking grammar=true ride
+        # the shared decode (rows carry a traced on/off bit)
+        if opts.pop("grammar", False) and coalesce:
+            opts["grammar"] = self.grammar()
+        if coalesce == "continuous":
+            from .continuous import ContinuousBatcher
+
+            # coalesce_opts: engine tuning (slots/chunk/max_len) exposed
+            # as serve CLI --slots/--chunk for operators
+            self.batcher = ContinuousBatcher(generator, **opts)
+        elif coalesce:
+            from .batcher import RequestBatcher
+
+            self.batcher = RequestBatcher(generator, **opts)
 
     def warmup(self) -> None:
         """Compile the decode AND synth programs before the first request."""
         self.generate("warm up the compiler", seed=0,
                       render_audio=self.render_audio)
 
+    def grammar(self):
+        """The served scheme's decoding FSM (decode/grammar.py), built once
+        on demand: Scheme-A vocabularies get the instrument-section
+        grammar, B3 the control-token grammar."""
+        if self._grammar_obj is None:
+            from ..decode.grammar import grammar_a, grammar_b3
+
+            if self.scheme == "b3":
+                self._grammar_obj = grammar_b3(self.scheme_b)
+            else:
+                self._grammar_obj = grammar_a(self.generator.vocab)
+        return self._grammar_obj
+
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,
                             top_p: float = 1.0, min_p: float = 0.0,
                             penalties: tuple | None = None,
-                            no_repeat_ngram: int = 0):
+                            no_repeat_ngram: int = 0,
+                            grammar: bool = False):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation."""
         dropped = []
+        gram = self.grammar() if grammar else None
         if self.scheme == "b3":
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
@@ -118,7 +138,7 @@ class Pipeline:
                 prompt_ids, temperature=temperature, top_k=top_k,
                 seed=run_seed, use_cache=self.use_cache, top_p=top_p,
                 min_p=min_p, penalties=penalties,
-                no_repeat_ngram=no_repeat_ngram)[0]
+                no_repeat_ngram=no_repeat_ngram, grammar=gram)[0]
             tokens = self.scheme_b.vocab.decode(ids)
             song = self.scheme_b.decode_to_song(ids)
             return gen_prompt, tokens, song, dropped
@@ -134,7 +154,8 @@ class Pipeline:
         use_batcher = self.batcher is not None and getattr(
             self.batcher, "accepts", lambda **_: True)(
                 top_k=top_k, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                grammar=grammar)
         if use_batcher:
             # continuous engines compile top_k/greedy (and, outside
             # per-row mode, top_p/min_p) engine-wide; a mismatching
@@ -143,18 +164,20 @@ class Pipeline:
                 self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed,
                 top_p=top_p, min_p=min_p, penalties=penalties,
-                no_repeat_ngram=no_repeat_ngram)
+                no_repeat_ngram=no_repeat_ngram, grammar=grammar)
             tokens = self.generator.trim_at_eos(ids)
         elif self.use_cache:
             tokens = self.generator.sample_kvcache(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                grammar=gram)
         else:
             tokens = self.generator.sample(
                 gen_prompt, temperature=temperature, top_k=top_k,
                 seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                grammar=gram)
         return gen_prompt, tokens, tokens_to_song(tokens), dropped
 
     def generate(self, prompt_text: str, temperature: float = 1.0,
@@ -162,7 +185,8 @@ class Pipeline:
                  render_audio: bool | None = None,
                  top_p: float = 1.0, min_p: float = 0.0,
                  penalties: tuple | None = None,
-                 no_repeat_ngram: int = 0) -> GenerationResult:
+                 no_repeat_ngram: int = 0,
+                 grammar: bool = False) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -179,7 +203,7 @@ class Pipeline:
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
             mapping, temperature, top_k, run_seed, top_p, min_p,
-            penalties, no_repeat_ngram)
+            penalties, no_repeat_ngram, grammar)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -210,8 +234,8 @@ class Pipeline:
                           top_p: float = 1.0,
                           min_p: float = 0.0,
                           penalties: tuple | None = None,
-                          no_repeat_ngram: int = 0
-                          ) -> GenerationResult:
+                          no_repeat_ngram: int = 0,
+                          grammar: bool = False) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -228,7 +252,8 @@ class Pipeline:
                                  top_k=top_k, seed=seed,
                                  render_audio=render_audio, top_p=top_p,
                                  min_p=min_p, penalties=penalties,
-                                 no_repeat_ngram=no_repeat_ngram)
+                                 no_repeat_ngram=no_repeat_ngram,
+                                 grammar=grammar)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -246,7 +271,7 @@ class Pipeline:
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
                 mapping, temperature, top_k, run_seed, top_p, min_p,
-                penalties, no_repeat_ngram)
+                penalties, no_repeat_ngram, grammar)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)
@@ -283,7 +308,7 @@ class Pipeline:
                        top_k: int, run_seed: int, chunk: int = 32,
                        top_p: float = 1.0, min_p: float = 0.0,
                        penalties: tuple | None = None,
-                       no_repeat_ngram: int = 0):
+                       no_repeat_ngram: int = 0, grammar: bool = False):
         """Yield lists of newly generated token ids: through the continuous
         engine when one is running and accepts the sampling params (the row
         joins the shared RUNNING decode), else a solo chunked stream
@@ -293,11 +318,13 @@ class Pipeline:
         if isinstance(self.batcher, ContinuousBatcher) \
                 and self.batcher.accepts(top_k=top_k, top_p=top_p,
                                          min_p=min_p, penalties=penalties,
-                                         no_repeat_ngram=no_repeat_ngram):
+                                         no_repeat_ngram=no_repeat_ngram,
+                                         grammar=grammar):
             yield from self.batcher.submit_stream(
                 prompt_ids, temperature=temperature, seed=run_seed,
                 top_k=top_k, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram)
+                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                grammar=grammar)
             return
         from ..decode.stream import stream_tokens
 
@@ -309,7 +336,9 @@ class Pipeline:
                                  eos_id=gen.eos_id, pad_id=gen.pad_id,
                                  seed=run_seed, top_p=top_p, min_p=min_p,
                                  penalties=penalties,
-                                 no_repeat_ngram=no_repeat_ngram):
+                                 no_repeat_ngram=no_repeat_ngram,
+                                 grammar=self.grammar() if grammar
+                                 else None):
             delta.append(tok)
             if len(delta) >= chunk:
                 yield delta
@@ -324,7 +353,7 @@ class Pipeline:
                         gap_s: float = 0.5, top_p: float = 1.0,
                         min_p: float = 0.0,
                         penalties: tuple | None = None,
-                        no_repeat_ngram: int = 0):
+                        no_repeat_ngram: int = 0, grammar: bool = False):
         """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
         a Python generator of JSON-able event dicts for SSE serving.
 
@@ -388,7 +417,8 @@ class Pipeline:
                                          run_seed, chunk=chunk,
                                          top_p=top_p, min_p=min_p,
                                          penalties=penalties,
-                                         no_repeat_ngram=no_repeat_ngram)
+                                         no_repeat_ngram=no_repeat_ngram,
+                                         grammar=grammar)
             try:
                 for delta in deltas:
                     out = []

@@ -76,6 +76,13 @@ def _parse_penalties(fields):
     return (rep, freq, pres)
 
 
+def _parse_grammar(fields) -> bool:
+    """grammar form field -> bool: FSM-constrained decoding over the
+    served scheme's token grammar (decode/grammar.py). Off by default
+    (reference parity)."""
+    return fields.get("grammar", "").lower() in ("1", "true", "yes")
+
+
 def _parse_ngram(fields) -> int:
     """no_repeat_ngram form field -> bounded int. The ban size n is
     STATIC (it shapes the compiled comparison network), so each distinct
@@ -259,6 +266,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 min_p=float(fields.get("min_p", 0.0)),
                 penalties=_parse_penalties(fields),
                 no_repeat_ngram=_parse_ngram(fields),
+                grammar=_parse_grammar(fields),
                 seed=int(seed) if seed is not None else None,
                 render_audio=fmt == "wav")
             self.stats.observe(_time.perf_counter() - t_start,
@@ -310,7 +318,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
                     top_p=float(fields.get("top_p", 1.0)),
                     min_p=float(fields.get("min_p", 0.0)),
                     penalties=_parse_penalties(fields),
-                    no_repeat_ngram=_parse_ngram(fields)) \
+                    no_repeat_ngram=_parse_ngram(fields),
+                    grammar=_parse_grammar(fields)) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -332,6 +341,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
             min_p=float(fields.get("min_p", 0.0)),
             penalties=_parse_penalties(fields),
             no_repeat_ngram=_parse_ngram(fields),
+            grammar=_parse_grammar(fields),
             seed=int(seed) if seed is not None else None,
             render_audio=fmt == "wav", sections=sections)
         try:
@@ -430,6 +440,13 @@ def main():  # pragma: no cover - CLI entry
                              "asking no_repeat_ngram=N ride the engine "
                              "(per-row on/off bit, plain rows stay "
                              "bit-exact); other sizes decode solo")
+    parser.add_argument("--engine-grammar", action="store_true",
+                        help="compile the served scheme's decoding FSM "
+                             "(decode/grammar.py) into the batcher so "
+                             "requests asking grammar=true ride the shared "
+                             "decode (per-row on/off bit, plain rows stay "
+                             "bit-exact); without it grammar requests "
+                             "decode solo")
     args = parser.parse_args()
 
     coalesce_opts = {}
@@ -446,6 +463,8 @@ def main():  # pragma: no cover - CLI entry
             coalesce_opts["no_repeat_ngram"] = int(args.engine_ngram)
     elif args.coalesce and args.slots is not None:
         coalesce_opts["max_batch"] = args.slots
+    if args.coalesce and args.engine_grammar:
+        coalesce_opts["grammar"] = True
     if args.coalesce and args.max_queue is not None:
         coalesce_opts["max_queue"] = args.max_queue
 

@@ -403,3 +403,24 @@ def test_http_no_repeat_ngram_field(server):
             _post_form(f"{server}/generate",
                        {"prompt": "x", "no_repeat_ngram": bad})
         assert e.value.code == 422, bad
+
+
+def test_http_grammar_field(server):
+    """grammar form field: deterministic per seed, changes the stream on
+    the random demo model (which violates the grammar freely), and
+    grammar=false is byte-identical to the default (reference parity)."""
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so happy today", "seed": "6"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so happy today", "seed": "6",
+                    "grammar": "true"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so happy today", "seed": "6",
+                    "grammar": "true"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b
+    assert a != base
+    off = _post_form(f"{server}/generate?format=midi",
+                     {"prompt": "so happy today", "seed": "6",
+                      "grammar": "false"}).read()
+    assert off == base
