@@ -108,6 +108,14 @@ def cmd_generate(args):
                   "instrument tokens)")
         prompt_ids = scheme_b.control_prefix(bpm, key)
     else:
+        # data-dependent Scheme-A vocabularies may lack a control token
+        # (e.g. --key C when the corpus only saw "C major"); drop and
+        # report instead of crashing, matching the serve pipeline.
+        dropped = [t for t in prompt if t not in gen.vocab]
+        if dropped:
+            print(f"note: dropped prompt tokens not in this checkpoint's "
+                  f"vocabulary: {dropped}")
+            prompt = [t for t in prompt if t in gen.vocab]
         prompt_ids = gen.vocab.encode(prompt)
     penalties = (args.repetition_penalty, args.frequency_penalty,
                  args.presence_penalty)
