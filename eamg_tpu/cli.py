@@ -130,19 +130,21 @@ def cmd_generate(args):
     if args.beams and args.draft:
         raise SystemExit("--beams and --draft are mutually exclusive")
     if args.beams:
-        if penalties is not None or args.no_repeat_ngram or gram:
+        if penalties is not None or args.no_repeat_ngram:
             raise SystemExit("--beams is a deterministic argmax-tree "
-                             "search; penalties/n-gram/grammar transforms "
-                             "are sampling-path features")
+                             "search; penalties/n-gram transforms are "
+                             "sampling-path features (--grammar composes)")
         if scheme == "b3":
             ids = gen.generate_ids_beam(prompt_ids, max_len=args.max_len,
                                         n_beams=args.beams,
-                                        length_penalty=args.length_penalty)
+                                        length_penalty=args.length_penalty,
+                                        grammar=gram)
             tokens = scheme_b.vocab.decode(ids)
         else:
             tokens = gen.sample_beam(prompt, max_len=args.max_len,
                                      n_beams=args.beams,
-                                     length_penalty=args.length_penalty)
+                                     length_penalty=args.length_penalty,
+                                     grammar=gram)
             ids = gen.vocab.encode(tokens)
     elif args.draft:
         if penalties is not None or args.no_repeat_ngram or gram:

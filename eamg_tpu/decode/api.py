@@ -146,12 +146,14 @@ class Generator:
     def generate_ids_beam(self, prompt_ids: list[int],
                           max_len: int | None = None, n_beams: int = 4,
                           length_penalty: float = 1.0,
-                          return_all: bool = False):
+                          return_all: bool = False, grammar=None):
         """Deterministic beam search (decode/beam.py): returns the best
         hypothesis row (prompt included, trimmed to its true length), or —
         with ``return_all`` — (rows [K, ...], gen_lens, raw_scores,
         normalized_scores) ranked best-first. Beyond-reference capability
-        (the reference only samples, api_cache.py:171-177)."""
+        (the reference only samples, api_cache.py:171-177). ``grammar``:
+        optional decode.grammar.Grammar — constrained beam search with
+        scores renormalized over the valid continuations."""
         from .beam import generate_beam, rank_beams
 
         max_len = max_len or self.cfg.seq_len
@@ -166,7 +168,8 @@ class Generator:
         prompt[0, :p] = prompt_ids
         buf, gen_lens, scores = generate_beam(
             self.params, jnp.asarray(prompt), p, self.cfg, max_len,
-            n_beams=n_beams, eos_id=self.eos_id, pad_id=self.pad_id)
+            n_beams=n_beams, eos_id=self.eos_id, pad_id=self.pad_id,
+            grammar=grammar)
         buf, gen_lens, scores, norm = rank_beams(buf, gen_lens, scores,
                                                  length_penalty)
         if return_all:
@@ -174,13 +177,14 @@ class Generator:
         return buf[0, :p + int(gen_lens[0])]
 
     def sample_beam(self, prompt: list[str], max_len: int | None = None,
-                    n_beams: int = 4,
-                    length_penalty: float = 1.0) -> list[str]:
+                    n_beams: int = 4, length_penalty: float = 1.0,
+                    grammar=None) -> list[str]:
         """Token-string twin of :meth:`generate_ids_beam` (best hypothesis,
         trimmed at EOS)."""
         ids = self.vocab.encode(prompt)
         row = self.generate_ids_beam(ids, max_len=max_len, n_beams=n_beams,
-                                     length_penalty=length_penalty)
+                                     length_penalty=length_penalty,
+                                     grammar=grammar)
         return self.trim_at_eos(row)
 
     # -- token-string level (Scheme A serving) -----------------------------

@@ -23,6 +23,14 @@ TPU shape of the classic algorithm:
   final ranking applies a GNMT-style length penalty
   ``score / gen_len**length_penalty`` on the host side of the program.
 
+Composes with FSM grammar constraints (decode/grammar.py): with a
+``grammar``, each beam carries its own FSM state (gathered by parent on
+reorder) and the per-step logits are masked BEFORE the log-softmax, so
+scores are renormalized over the grammatically-valid continuations —
+the standard constrained-beam-search semantics. Budget-aware closing
+guarantees every hypothesis that runs out of budget ends with a
+complete note + END token.
+
 Deterministic by construction (no RNG anywhere). K and max_len are
 static; each (K, bucket) pair is one compiled program.
 """
@@ -35,16 +43,16 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gpt import GPTConfig, decode_step, init_kv_cache, prefill
+from .grammar import grammar_mask, grammar_step, scan_prompt_state
+from .loop import _norm_grammar
 
 _NEG = -1e30     # candidate mask: must dominate any real log-prob sum
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "n_beams", "eos_id",
-                                   "pad_id"))
 def generate_beam(params: dict, prompt: jax.Array, prompt_len,
                   cfg: GPTConfig, max_len: int, n_beams: int = 4,
                   eos_id: int = -1, pad_id: int = 0,
-                  length_penalty: float = 1.0):
+                  length_penalty: float = 1.0, grammar=None):
     """prompt [1, P] -> (buf [K, max_len], gen_lens [K], scores [K]).
 
     ``buf`` rows hold prompt + hypothesis (PAD-padded), UNSORTED;
@@ -53,7 +61,20 @@ def generate_beam(params: dict, prompt: jax.Array, prompt_len,
     :func:`rank_beams` (the length penalty is a cheap host-side
     normalization — keeping it out of the program lets one compile serve
     every penalty value). ``eos_id < 0`` disables EOS tracking: all beams
-    run to ``max_len``."""
+    run to ``max_len``. ``grammar``: optional decode.grammar.Grammar (or
+    its ``arrays()`` pytree) — per-beam FSM constraint with renormalized
+    scores; the tables are traced, only the on/off bit is static."""
+    garr, use_gram = _norm_grammar(grammar)
+    return _generate_beam(params, prompt, prompt_len, cfg, max_len,
+                          n_beams, eos_id, pad_id, garr, use_gram)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "n_beams", "eos_id",
+                                   "pad_id", "use_grammar"))
+def _generate_beam(params: dict, prompt: jax.Array, prompt_len,
+                   cfg: GPTConfig, max_len: int, n_beams: int = 4,
+                   eos_id: int = -1, pad_id: int = 0,
+                   grammar=None, use_grammar: bool = False):
     K = n_beams
     B, P = prompt.shape
     assert B == 1, "beam search expands ONE prompt into K hypotheses"
@@ -71,9 +92,19 @@ def generate_beam(params: dict, prompt: jax.Array, prompt_len,
 
     last_logits = jax.lax.dynamic_slice_in_dim(
         logits0, prompt_len - 1, 1, axis=1)[0, 0]            # [V]
+    gstate = None
+    if use_grammar:
+        gstate1 = scan_prompt_state(grammar, prompt, prompt_len)   # [1]
+        last_logits = grammar_mask(
+            last_logits[None], gstate1, grammar,
+            budget_left=jnp.asarray(max_len - prompt_len,
+                                    jnp.int32)[None])[0]
     logp0 = jax.nn.log_softmax(last_logits)
     scores, first = jax.lax.top_k(logp0, K)                  # [K], [K]
     first = first.astype(jnp.int32)
+    if use_grammar:
+        gstate = grammar_step(jnp.broadcast_to(gstate1, (K,)), first,
+                              grammar)
 
     buf = jnp.full((K, max_len), pad_id, jnp.int32)
     buf = jax.lax.dynamic_update_slice(
@@ -93,8 +124,13 @@ def generate_beam(params: dict, prompt: jax.Array, prompt_len,
         return jnp.logical_and(pos < max_len, ~jnp.all(done))
 
     def body(state):
-        buf, pos, last, done, scores, gen_len, cache = state
+        (buf, pos, last, done, scores, gen_len, cache, gstate) = state
         logits, cache = decode_step(params, last[:, None], cache, cfg)
+        if use_grammar:
+            # mask BEFORE the softmax: scores renormalize over the valid
+            # continuations (constrained-beam-search semantics)
+            logits = grammar_mask(logits, gstate, grammar,
+                                  budget_left=max_len - pos)
         logp = jax.nn.log_softmax(logits, axis=-1)           # [K, V]
         # finished beams: exactly one candidate (PAD, logp 0) keeps the
         # hypothesis alive in the top-k pool at its frozen score
@@ -123,11 +159,17 @@ def generate_beam(params: dict, prompt: jax.Array, prompt_len,
             done = pdone
         gen_len = pgen + (~pdone).astype(jnp.int32)
         last = jnp.where(pdone, plast, tok)
-        return (buf, pos + 1, last, done, new_scores, gen_len, cache)
+        if use_grammar:
+            gstate = grammar_step(jnp.take(gstate, parent), tok, grammar,
+                                  active=~pdone)
+        return (buf, pos + 1, last, done, new_scores, gen_len, cache,
+                gstate)
 
+    if gstate is None:
+        gstate = jnp.zeros((K,), jnp.int32)    # inert placeholder
     state0 = (buf, jnp.asarray(prompt_len + 1, jnp.int32), first, done,
-              scores, jnp.ones((K,), jnp.int32), cache)
-    buf, pos, _, done, scores, gen_len, _ = jax.lax.while_loop(
+              scores, jnp.ones((K,), jnp.int32), cache, gstate)
+    buf, pos, _, done, scores, gen_len, _, _ = jax.lax.while_loop(
         cond, body, state0)
     return buf, gen_len, scores
 

@@ -16,10 +16,11 @@ loops, as a deterministic finite automaton:
 - ``tclass``   [V]    — token id -> grammar class (PITCH, TIME, NOTE, ...)
 - ``allowed``  [S, C] — which classes each state admits
 - ``next``     [S, C] — state transition on emitting a class
-- ``closing``  [S, C] / ``steps`` [S] — the *budget-aware closing* tables:
-  when the remaining token budget equals the minimal number of tokens
-  needed to finish the current note and emit ``[END_SEQ]``, the allowed set
-  narrows to exactly that shortest path — streams never end mid-note.
+- ``need_next`` [S, C] / ``steps`` [S] / ``closing`` [S, C] — the
+  *budget-aware closing* tables: a class is admitted only while the
+  shortest completion after emitting it (``1 + need_next``) still fits
+  the remaining token budget, so streams never enter a note they cannot
+  finish and always close with ``[END_SEQ]`` in-budget.
 
 Per decode step the mask is one tiny [B,C]x[C,V] matmul (MXU-friendly; a
 ``take``-style vocab-broadcast gather hits this backend's scalar core for
@@ -74,11 +75,18 @@ class Grammar:
         every grammar with the same (V, C, S) shape)."""
         C = self.n_classes
         onehot = (self.tclass[None, :] == np.arange(C)[:, None])
+        # need_next[s, c] = tokens required to reach DONE *after* emitting
+        # class c from state s — the budget check is lookahead-exact:
+        # admit c iff 1 + need_next fits the remaining budget (checking
+        # only the CURRENT state's distance would let a row step into a
+        # note it can no longer finish).
+        need_next = self.steps_to_close[self.next_state]
         return {
             "tclass": jnp.asarray(self.tclass, jnp.int32),
             "onehot": jnp.asarray(onehot, jnp.float32),       # [C, V]
             "allowed": jnp.asarray(self.allowed, jnp.float32),
             "closing": jnp.asarray(self.closing, jnp.float32),
+            "need_next": jnp.asarray(need_next, jnp.int32),   # [S, C]
             "steps": jnp.asarray(self.steps_to_close, jnp.int32),
             "next": jnp.asarray(self.next_state, jnp.int32),
             "init": jnp.asarray(self.init_state, jnp.int32),
@@ -91,8 +99,8 @@ class Grammar:
         z = jnp.zeros((1,), jnp.float32)
         zi = jnp.zeros((1,), jnp.int32)
         return {"tclass": zi, "onehot": z[None], "allowed": z[None],
-                "closing": z[None], "steps": zi, "next": zi[None],
-                "init": jnp.asarray(0, jnp.int32)}
+                "closing": z[None], "need_next": zi[None], "steps": zi,
+                "next": zi[None], "init": jnp.asarray(0, jnp.int32)}
 
     # -- host-side validation (tests / metrics) ---------------------------
 
@@ -274,16 +282,28 @@ def grammar_mask(logits: jax.Array, gstate: jax.Array, g: dict,
                  ) -> jax.Array:
     """[B, V] logits + [B] states -> grammar-masked logits (replacement
     semantics at GRAMMAR_MASK, so the mask dominates additive transforms
-    like the n-gram ban). ``budget_left`` ([B] or scalar) switches a row to
-    its closing table once only the shortest END-ing path still fits.
-    ``row_on`` ([B] bool) gates per row; off rows are bit-exact no-ops."""
+    like the n-gram ban). ``budget_left`` ([B] or scalar) applies the
+    lookahead-exact budget rule (see inline comment) so a row never
+    enters a note it cannot finish within budget. ``row_on`` ([B] bool)
+    gates per row; off rows are bit-exact no-ops."""
     allowed = jnp.take(g["allowed"], gstate, axis=0)        # [B, C]
     if budget_left is not None:
-        closing = jnp.take(g["closing"], gstate, axis=0)
-        need = jnp.take(g["steps"], gstate)                 # [B]
+        # Lookahead-exact budget rule: class c stays admitted iff the
+        # shortest completion AFTER emitting it (1 + need_next[s, c])
+        # still fits — checking only the CURRENT state's distance would
+        # let a row step into a note it can no longer finish. Exact-fit
+        # closings are forced automatically (the min-need edge always
+        # fits while budget >= steps[s]). Rows whose budget is already
+        # unreachable (a long prompt left need > budget) fall back to
+        # the shortest closing path, best effort.
+        need_next = jnp.take(g["need_next"], gstate, axis=0)  # [B, C]
         budget = jnp.broadcast_to(jnp.asarray(budget_left, jnp.int32),
                                   gstate.shape)
-        allowed = jnp.where((budget <= need)[:, None], closing, allowed)
+        fits = (need_next + 1) <= budget[:, None]
+        fitted = jnp.where(fits, allowed, 0.0)
+        closing = jnp.take(g["closing"], gstate, axis=0)
+        any_fit = fitted.sum(axis=-1, keepdims=True) > 0.5
+        allowed = jnp.where(any_fit, fitted, closing)
     ok = (allowed @ g["onehot"]) > 0.5                      # [B, V] matmul
     if row_on is not None:
         ok = ok | ~row_on[:, None]

@@ -121,6 +121,56 @@ def test_eos_freezes_and_pads():
         assert EOS not in row[:-1]     # EOS only terminal
 
 
+def test_beam_grammar_zero_violations_and_closes():
+    """Constrained beam search (grammar composed into the score
+    renormalization): every returned hypothesis follows the Scheme-B2
+    FSM and ends with a complete note + [END_SEQ] within budget."""
+    from eamg_tpu.decode.grammar import grammar_for
+    from eamg_tpu.tokenizer.scheme_b import SchemeB2
+
+    b2 = SchemeB2(max_tick=31)
+    cfg = GPTConfig(vocab_size=len(b2.vocab), d_model=32, n_head=2,
+                    n_layer=2, d_ff=64, seq_len=32, causal=True,
+                    ln_placement="pre", activation="gelu")
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    g = grammar_for(b2)
+    eos = b2.vocab.tok2id["[END_SEQ]"]
+    pad = b2.vocab.tok2id["[PAD]"]
+    start = b2.vocab.tok2id["[START_SEQ]"]
+    pr = np.full((1, 4), pad, np.int32)
+    pr[0, 0] = start
+    max_len = 12
+    buf, gen_lens, scores = generate_beam(
+        params, jnp.asarray(pr), 1, cfg, max_len, n_beams=4, eos_id=eos,
+        pad_id=pad, grammar=g)
+    buf, gen_lens = np.asarray(buf), np.asarray(gen_lens)
+    for b in range(4):
+        row = [int(t) for t in buf[b, :1 + gen_lens[b]]]
+        assert g.violations(row + [pad]) == 0, b2.vocab.decode(row)
+        assert row[-1] == eos, b2.vocab.decode(row)   # closed within budget
+
+
+def test_beam_k1_grammar_equals_constrained_greedy():
+    """K=1 constrained beam == grammar-masked greedy decode (argmax is
+    invariant under the renormalization)."""
+    from eamg_tpu.decode.grammar import grammar_for
+    from eamg_tpu.tokenizer.scheme_b import SchemeB2
+
+    b2 = SchemeB2(max_tick=31)
+    cfg = GPTConfig(vocab_size=len(b2.vocab), d_model=32, n_head=2,
+                    n_layer=2, d_ff=64, seq_len=32, causal=True,
+                    ln_placement="pre", activation="gelu")
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    g = grammar_for(b2)
+    gen = Generator(params, cfg, b2.vocab, eos_token="[END_SEQ]",
+                    pad_token="[PAD]")
+    prompt = [b2.vocab.tok2id["[START_SEQ]"]]
+    greedy = gen.generate_ids(prompt, max_len=16, greedy=True,
+                              refeed_last_prompt=False, grammar=g)[0]
+    beam = gen.generate_ids_beam(prompt, max_len=16, n_beams=1, grammar=g)
+    assert list(beam) == list(greedy)
+
+
 def test_rank_beams_orders_by_normalized_score():
     buf = np.zeros((3, 4), np.int32)
     gen_lens = np.asarray([4, 2, 1])

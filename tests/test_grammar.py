@@ -148,6 +148,34 @@ def test_mask_and_step_agree_with_tables():
     assert int(held[0]) == int(st[0])
 
 
+def test_budget_lookahead_blocks_unfinishable_note():
+    """The budget rule must be lookahead-exact: at EVENT with budget 2,
+    admitting [NOTE] would strand the stream mid-note (P needs 4 more
+    tokens to close) — only [END_SEQ] may remain admitted. A rule that
+    checks just the CURRENT state's distance (need(EVENT)=1 < 2) gets
+    this wrong; caught live by beam search running rows to max_len."""
+    g = grammar_for(B2)
+    ga = g.arrays()
+    t = B2.vocab.tok2id
+    event = jnp.asarray([g.states.index("EVENT")], jnp.int32)
+    logits = jnp.zeros((1, len(B2.vocab)))
+    for budget, want in [(2, {"[END_SEQ]"}), (1, {"[END_SEQ]"}),
+                         (5, {"[NOTE]", "[END_SEQ]"}),
+                         (6, {"[NOTE]", "[END_SEQ]"})]:
+        m = np.asarray(grammar_mask(logits, event, ga, budget_left=budget))
+        ok = {B2.vocab.id2tok[int(i)] for i in np.flatnonzero(m[0] == 0)}
+        assert ok == want, (budget, ok)
+    # unreachable budget (0 at EVENT): best-effort shortest closing path
+    m = np.asarray(grammar_mask(logits, event, ga, budget_left=0))
+    ok = {B2.vocab.id2tok[int(i)] for i in np.flatnonzero(m[0] == 0)}
+    assert ok == {"[END_SEQ]"}
+    # mid-note states close along the shortest path at exact fit
+    st_p = jnp.asarray([g.states.index("P")], jnp.int32)
+    m = np.asarray(grammar_mask(logits, st_p, ga, budget_left=4))
+    ok = {B2.vocab.id2tok[int(i)][:2] for i in np.flatnonzero(m[0] == 0)}
+    assert ok == {"P_"}
+
+
 def test_row_gating_is_bit_exact_noop():
     g = grammar_for(B2).arrays()
     logits = jnp.asarray(np.random.default_rng(0).normal(
@@ -271,7 +299,7 @@ def test_greedy_grammar_moves_argmax():
     assert B2.vocab.id2tok[int(cons[2])].startswith("P_")
     # random init's unconstrained argmax lands elsewhere for this seed
     assert g.violations(cons) == 0
-    assert (free != cons).any() or g.violations(free) == 0
+    assert list(free) != list(cons) or g.violations(free) == 0
 
 
 def test_continuous_engine_mixed_grammar_traffic():
