@@ -65,7 +65,7 @@ def cmd_train(args):
         save_hours=args.save_hours, mesh=mesh, seed=args.seed,
         log_every=args.log_every, resume_from=args.resume,
         corrected=args.corrected,
-        tp=args.mesh_model > 1, fsdp=args.fsdp,
+        tp=args.mesh_model > 1, fsdp=args.fsdp, pack=args.pack,
         geometry={"d_model": args.d_model, "n_head": args.n_head,
                   "n_layer": args.n_layer, "seq_len": args.seq_len,
                   "n_experts": args.experts,
@@ -351,6 +351,11 @@ def main(argv=None):
     t.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP: shard params + optimizer state over "
                         "the data axis (needs --mesh-data > 1)")
+    t.add_argument("--pack", action="store_true",
+                   help="sequence packing: several whole songs per row "
+                        "with block-diagonal attention + per-segment "
+                        "positions (implies --corrected; short songs stop "
+                        "wasting the row as PAD)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--resume", default=None,

@@ -265,13 +265,16 @@ def _unheads(x):
 
 
 def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
-              causal: bool = False, valid_len=None):
+              causal: bool = False, valid_len=None, seg=None):
     """torch nn.MultiheadAttention semantics with fused in_proj.
 
     causal=False, valid_len=None is the reference default — fully
     bidirectional, no masks ever passed (api.py:49-50). With
     cfg.kernels == "pallas" the softmax runs as the flash kernel
     (ops/attention.py); the XLA path is the numerics oracle.
+    ``seg`` ([B, T] int32 segment ids, 0 = pad) adds block-diagonal
+    isolation for packed training rows: position i attends to j only when
+    seg[i] == seg[j] (XLA path only).
     """
     (wq, bq), (wk, bk), (wv, bv) = _split_qkv(p_attn)
     q = _heads(_linear(q_in, wq, bq), cfg.n_head)
@@ -280,6 +283,8 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
     if cfg.kernels == "pallas":
         from ..ops.attention import flash_attention
 
+        assert seg is None, \
+            "packed segment masking needs the XLA path (kernels='xla')"
         if cfg.kv_heads != cfg.n_head:  # kernel is MHA; expand groups
             g = cfg.n_head // cfg.kv_heads
             k = jnp.repeat(k, g, axis=1)
@@ -289,7 +294,7 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
         return _linear(out, p_attn["out_w"], p_attn["out_b"])
     scores = _gqa_scores(q, k, 1.0 / math.sqrt(cfg.head_dim))
     T_q, T_k = scores.shape[-2], scores.shape[-1]
-    if causal or valid_len is not None:
+    if causal or valid_len is not None or seg is not None:
         neg = jnp.finfo(scores.dtype).min
         mask = jnp.ones((T_q, T_k), bool)
         if valid_len is not None:
@@ -297,7 +302,10 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
         if causal:
             mask = mask & (jnp.arange(T_k)[None, :]
                            <= jnp.arange(T_q)[:, None])
-        scores = jnp.where(mask[None, None], scores, neg)
+        mask = mask[None, None]
+        if seg is not None:
+            mask = mask & (seg[:, None, :, None] == seg[:, None, None, :])
+        scores = jnp.where(mask, scores, neg)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = probs.astype(v.dtype)
     out = _unheads(_gqa_values(probs, v))
@@ -372,36 +380,64 @@ def _finish_block(p: dict, x, attn_out, cfg: GPTConfig, sink=None):
 
 
 def block(p: dict, x, cfg: GPTConfig, causal: bool = False, valid_len=None,
-          sink=None):
+          sink=None, seg=None):
     """One transformer block; post-LN (torch TransformerEncoderLayer,
     norm_first=False) or pre-LN (api_cache GPTBlock)."""
     xn = _attn_input(p, x, cfg)
-    attn_out = attention(p["attn"], xn, xn, xn, cfg, causal, valid_len)
+    attn_out = attention(p["attn"], xn, xn, xn, cfg, causal, valid_len,
+                         seg=seg)
     return _finish_block(p, x, attn_out, cfg, sink)
 
 
+def _pos_from_seg(seg: jax.Array) -> jax.Array:
+    """[B, T] segment ids -> [B, T] per-segment position indices (each
+    segment restarts at 0, so a packed song sees the SAME learned position
+    rows it would unpacked). Log-depth: running max over boundary-stamped
+    indices gives each position its segment's start."""
+    B, T = seg.shape
+    ar = jnp.arange(T, dtype=jnp.int32)[None, :]
+    boundary = jnp.concatenate(
+        [jnp.ones((B, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1)
+    starts = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, ar, 0), axis=1)
+    return ar - starts
+
+
 def _forward_hidden_impl(params: dict, ids: jax.Array, cfg: GPTConfig,
-                         sink=None):
+                         sink=None, seg=None):
     B, T = ids.shape
     dt = cfg.jnp_dtype
-    x = (params["tok_emb"][ids] + params["pos"][:T]).astype(dt)
+    if seg is None:
+        pos = params["pos"][:T]
+    else:
+        # packed rows: positions restart at each segment boundary, and
+        # attention isolates segments — requires the corrected causal
+        # config (packing is meaningless bidirectionally / with the
+        # batch_first quirk)
+        assert cfg.causal and not cfg.batch_first_bug, \
+            "packed training requires causal=True without batch_first_bug"
+        pos = params["pos"][_pos_from_seg(seg)]
+    x = (params["tok_emb"][ids] + pos).astype(dt)
     if cfg.batch_first_bug:
         # train_mini.py:58 — the encoder consumed [B, T, C] as [T, B, C]:
         # attention runs across the batch at every time position.
         x = x.swapaxes(0, 1)
     for p in params["layers"]:
-        x = block(p, x, cfg, causal=cfg.causal, sink=sink)
+        x = block(p, x, cfg, causal=cfg.causal, sink=sink, seg=seg)
     if cfg.batch_first_bug:
         x = x.swapaxes(0, 1)
     return x
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig):
+def forward_hidden(params: dict, ids: jax.Array, cfg: GPTConfig,
+                   seg=None):
     """Transformer stack WITHOUT the head: [B, T] ids -> [B, T, D] states.
     The training stack's chunked cross-entropy applies the head per
-    time-chunk so the [B, T, V] logits tensor never materializes."""
-    return _forward_hidden_impl(params, ids, cfg)
+    time-chunk so the [B, T, V] logits tensor never materializes.
+    ``seg`` ([B, T] ids, 0 = pad) runs the packed-row mode: per-segment
+    positions + block-diagonal attention (see train/data.py pack_rows)."""
+    return _forward_hidden_impl(params, ids, cfg, seg=seg)
 
 
 def forward_hidden_with_aux(params: dict, ids: jax.Array, cfg: GPTConfig):

@@ -78,6 +78,85 @@ def batches(encoded: Iterable[list[int]], seq_len: int, pad_id: int,
                np.stack(ys).reshape(accum_steps, micro_batch, -1))
 
 
+def pack_rows(encoded: Iterable[list[int]], seq_len: int, pad_id: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy in-order packing of whole token streams into fixed rows.
+
+    Beyond-reference training efficiency (the reference pads every song to
+    SEQ_LEN, train_mini.py:44-50 — short songs waste most of the row as
+    PAD): concatenate consecutive songs into [N, seq_len] rows, tracking
+    1-based segment ids per position (0 = trailing pad). Songs longer than
+    seq_len are truncated (the reference's policy); a song that doesn't
+    fit the current row starts the next one — rows never split a song.
+    Returns (rows [N, seq_len] int32, segs [N, seq_len] int32).
+    """
+    rows, segs = [], []
+    cur: list[int] = []
+    cseg: list[int] = []
+    k = 0
+
+    def flush():
+        pad = seq_len - len(cur)
+        rows.append(cur + [pad_id] * pad)
+        segs.append(cseg + [0] * pad)
+
+    for ids in encoded:
+        ids = list(ids[:seq_len])
+        if not ids:
+            continue
+        if len(cur) + len(ids) > seq_len:
+            flush()
+            cur, cseg, k = [], [], 0
+        k += 1
+        cur.extend(ids)
+        cseg.extend([k] * len(ids))
+    if cur:
+        flush()
+    return (np.asarray(rows, np.int32), np.asarray(segs, np.int32))
+
+
+def packed_batches(encoded: Iterable[list[int]], seq_len: int, pad_id: int,
+                   micro_batch: int, accum_steps: int = 1,
+                   drop_last: bool = True,
+                   shuffle_seed: int | None = None
+                   ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Packed twin of :func:`batches`: yields (x, y, seg), each
+    [accum_steps, micro_batch, seq_len-1].
+
+    The shift crosses segment boundaries, so targets whose source and
+    destination belong to different segments (the last token of each song
+    predicting the first of the next, and pad tails) are pre-masked to
+    ``pad_id`` — the PAD-masked CE then never trains across songs. The
+    attention-side isolation (block-diagonal mask + per-segment positions)
+    happens on device from ``seg`` (models/gpt.py forward_hidden seg=...).
+    ``shuffle_seed`` shuffles SONGS before packing (row contents change
+    with the seed, like the reference's epoch shuffle).
+    """
+    rows_in = list(encoded)
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(rows_in)
+    rows, segs = pack_rows(rows_in, seq_len, pad_id)
+    x_all, y_all = rows[:, :-1], rows[:, 1:].copy()
+    seg_all = segs[:, :-1]
+    y_all[segs[:, 1:] != seg_all] = pad_id          # boundary + pad targets
+    per_step = micro_batch * accum_steps
+    T = seq_len - 1
+    for i in range(0, len(rows), per_step):
+        xs, ys, ss = (a[i:i + per_step] for a in (x_all, y_all, seg_all))
+        if len(xs) < per_step:
+            if drop_last:
+                return
+            fill = per_step - len(xs)
+            xs = np.concatenate(
+                [xs, np.full((fill, T), pad_id, np.int32)])
+            ys = np.concatenate(
+                [ys, np.full((fill, T), pad_id, np.int32)])
+            ss = np.concatenate([ss, np.zeros((fill, T), np.int32)])
+        yield (xs.reshape(accum_steps, micro_batch, T),
+               ys.reshape(accum_steps, micro_batch, T),
+               ss.reshape(accum_steps, micro_batch, T))
+
+
 # ------------------------------------------------------- synthetic corpus
 
 _PITCHES = ["C3", "D3", "E3", "F3", "G3", "A3", "B3", "C4", "D4", "E4",

@@ -23,7 +23,7 @@ import jax
 from ..models import init_params, preset as model_preset
 from ..tokenizer import SchemeB1, SchemeB2, SchemeB3, Vocab
 from ..utils.checkpoint import CheckpointCadence, save_checkpoint
-from .data import batches, iter_csv_tokens, synthetic_corpus
+from .data import batches, iter_csv_tokens, packed_batches, synthetic_corpus
 from .trainer import TrainConfig, Trainer, reference_preset
 
 PRESET_SCHEME = {"mini": "a", "large": "b1", "large2": "b2",
@@ -106,10 +106,14 @@ def run_training(preset: str, csv_path: str | None = None,
                  resume_from: str | None = None,
                  corrected: bool = False,
                  geometry: dict | None = None,
-                 tp: bool = False, fsdp: bool = False) -> dict:
+                 tp: bool = False, fsdp: bool = False,
+                 pack: bool = False) -> dict:
     """``geometry``: optional overrides for the preset's model shape —
     any of d_model / n_head / n_layer / seq_len (e.g. to train a compact
-    shippable demo model on a large-preset recipe)."""
+    shippable demo model on a large-preset recipe).
+    ``pack``: sequence packing (data.pack_rows) — several whole songs per
+    row with block-diagonal attention + per-segment positions; implies
+    the corrected causal architecture."""
     import dataclasses as _dc
 
     scheme = scheme or PRESET_SCHEME[preset]
@@ -137,15 +141,16 @@ def run_training(preset: str, csv_path: str | None = None,
             # pos_rows=None keeps tracking seq_len-1 automatically
             geometry["pos_rows"] = geometry["seq_len"]
         cfg = _dc.replace(cfg, **geometry)
-    if corrected:
+    if corrected or pack:
         # corrected architecture: causal attention, no reference quirks —
-        # required for speculative decoding and request coalescing
+        # required for speculative decoding, request coalescing, and
+        # packed rows (segment isolation is causal by construction)
         import dataclasses
 
         cfg = dataclasses.replace(cfg, causal=True, batch_first_bug=False,
                                   pos_broadcast_bug=False)
     tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id,
-                          "tp": tp, "fsdp": fsdp})
+                          "tp": tp, "fsdp": fsdp, "pack": pack})
 
     if resume_from:
         # crash-resume with optimizer state and step count intact — the
@@ -185,16 +190,25 @@ def run_training(preset: str, csv_path: str | None = None,
 
     last_m = None
     for epoch in range(tcfg.epochs):
-        for x, y in PrefetchIterator(
-                batches(encoded, cfg.seq_len, vocab.pad_id,
-                        tcfg.micro_batch, tcfg.accum_steps,
-                        drop_last=False,  # small corpora must still train
-                        shuffle_seed=seed + epoch), depth=2,
-                device_put=staging):
+        if pack:
+            epoch_batches = (
+                b for b in packed_batches(
+                    encoded, cfg.seq_len, vocab.pad_id, tcfg.micro_batch,
+                    tcfg.accum_steps, drop_last=False,
+                    shuffle_seed=seed + epoch))
+        else:
+            epoch_batches = (
+                (x, y, None) for x, y in batches(
+                    encoded, cfg.seq_len, vocab.pad_id, tcfg.micro_batch,
+                    tcfg.accum_steps,
+                    drop_last=False,  # small corpora must still train
+                    shuffle_seed=seed + epoch))
+        for x, y, seg in PrefetchIterator(epoch_batches, depth=2,
+                                          device_put=staging):
             # async metrics: blocking on loss every step costs a ~25 ms
             # tunnel RPC and serializes the dispatch stream — fetch only
             # where a number is actually printed/saved
-            last_m = trainer.train_step(x, y, sync=False)
+            last_m = trainer.train_step(x, y, seg=seg, sync=False)
             if log_every and trainer.step % log_every == 0:
                 log_fn(f"[{preset}] epoch {epoch + 1}/{tcfg.epochs} "
                        f"step {trainer.step}: "

@@ -55,6 +55,13 @@ class TrainConfig:
     # Weight on the Switch-style MoE load-balance auxiliary loss; only
     # active for MoE configs (GPTConfig.n_experts). 0 disables.
     moe_aux_weight: float = 0.01
+    # Sequence packing (beyond-reference): train on rows built by
+    # data.pack_rows — several whole songs per row with block-diagonal
+    # attention and per-segment positions, so short songs stop wasting
+    # the row as PAD. Batches must come from data.packed_batches and
+    # carry the [.., T] segment ids. Requires the corrected causal
+    # config; incompatible with the MoE aux path for now.
+    pack: bool = False
 
 
 def reference_preset(name: str) -> TrainConfig:
@@ -124,13 +131,26 @@ def loss_fn_moe(params: dict, x: jax.Array, y: jax.Array, cfg: GPTConfig,
     return total / count + aux_weight * aux, count
 
 
+def loss_fn_packed(params: dict, x: jax.Array, y: jax.Array,
+                   seg: jax.Array, cfg: GPTConfig, pad_id: int):
+    """CE over packed rows (data.packed_batches): block-diagonal
+    attention + per-segment positions via the seg ids; boundary-crossing
+    targets arrive pre-masked to PAD, so the same masked CE applies."""
+    h = forward_hidden(params, x, cfg, seg=seg)
+    total, count = masked_ce_sums(_head(params, h), y, pad_id)
+    count = jnp.maximum(count, 1)
+    return total / count, count
+
+
 def loss_fn_chunked(params: dict, x: jax.Array, y: jax.Array,
-                    cfg: GPTConfig, pad_id: int, chunk: int):
+                    cfg: GPTConfig, pad_id: int, chunk: int, seg=None):
     """Same CE, but the head + log-softmax run per time-chunk inside a
     rematerialized scan: peak logits memory is [B, chunk, V] instead of
     [B, T, V], and the backward pass recomputes each chunk's logits
-    (one extra head matmul, ~8% of model FLOPs) instead of storing them."""
-    h = forward_hidden(params, x, cfg)                  # [B, T, D]
+    (one extra head matmul, ~8% of model FLOPs) instead of storing them.
+    ``seg`` composes packing with the chunked head (the chunking is a
+    pure head-side transform; attention isolation happened upstream)."""
+    h = forward_hidden(params, x, cfg, seg=seg)         # [B, T, D]
     B, T, D = h.shape
     pad = (-T) % chunk
     if pad:
@@ -180,35 +200,42 @@ def make_train_step(cfg: GPTConfig, tcfg: TrainConfig, optimizer=None,
     assert not (moe and tcfg.loss_chunk), (
         "loss_chunk with the MoE aux loss is unsupported — set "
         "moe_aux_weight=0 or chunk off")
+    assert not (moe and tcfg.pack), (
+        "packed rows with the MoE aux loss are unsupported yet")
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(params, opt_state, x, y):
+    def step(params, opt_state, x, y, seg=None):
         if tcfg.loss_chunk:
-            def lfn(p, xi, yi):
+            def lfn(p, xi, yi, si):
                 return loss_fn_chunked(p, xi, yi, cfg, tcfg.pad_id,
-                                       tcfg.loss_chunk)
+                                       tcfg.loss_chunk, seg=si)
         elif moe:
-            def lfn(p, xi, yi):
+            def lfn(p, xi, yi, si):
                 return loss_fn_moe(p, xi, yi, cfg, tcfg.pad_id,
                                    tcfg.moe_aux_weight)
+        elif tcfg.pack:
+            def lfn(p, xi, yi, si):
+                return loss_fn_packed(p, xi, yi, si, cfg, tcfg.pad_id)
         else:
-            def lfn(p, xi, yi):
+            def lfn(p, xi, yi, si):
                 return loss_fn(p, xi, yi, cfg, tcfg.pad_id)
 
         def micro(carry, xy):
             grad_acc, loss_acc, count_acc = carry
-            xi, yi = xy
+            xi, yi = xy[0], xy[1]
+            si = xy[2] if len(xy) == 3 else None
             (loss, count), grads = jax.value_and_grad(
-                lfn, has_aux=True)(params, xi, yi)
+                lfn, has_aux=True)(params, xi, yi, si)
             grad_acc = jax.tree.map(
                 lambda a, g: a + g * count, grad_acc, grads)
             return (grad_acc, loss_acc + loss * count,
                     count_acc + count), None
 
         zeros = jax.tree.map(jnp.zeros_like, params)
+        carry_in = (x, y) if seg is None else (x, y, seg)
         (grads, loss_sum, count), _ = jax.lax.scan(
             micro, (zeros, jnp.zeros(()), jnp.zeros((), jnp.int32)),
-            (x, y))
+            carry_in)
         grads = jax.tree.map(lambda g: g / count, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -242,21 +269,29 @@ class Trainer:
                                        donate=True)
         self.step = 0
 
-    def train_step(self, x, y, sync: bool = True):
-        """x, y: [accum, micro, T] int arrays (host or device).
+    def train_step(self, x, y, seg=None, sync: bool = True):
+        """x, y (and seg with TrainConfig.pack): [accum, micro, T] int
+        arrays (host or device).
 
         ``sync=False`` returns the metrics as device arrays without
         blocking — on the axon tunnel every ``float()`` is a ~25 ms
         host RPC that serializes the step stream, so throughput loops
         (train/run.py) fetch metrics only at log points."""
+        assert (seg is not None) == bool(self.tcfg.pack), (
+            "TrainConfig.pack and the seg operand must agree "
+            "(use data.packed_batches for packed training)")
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(None, "data", None))
             x = jax.device_put(jnp.asarray(x), sh)
             y = jax.device_put(jnp.asarray(y), sh)
+            if seg is not None:
+                seg = jax.device_put(jnp.asarray(seg), sh)
         else:
             x, y = jnp.asarray(x), jnp.asarray(y)
+            if seg is not None:
+                seg = jnp.asarray(seg)
         self.params, self.opt_state, metrics = self.step_fn(
-            self.params, self.opt_state, x, y)
+            self.params, self.opt_state, x, y, seg)
         self.step += 1
         if sync:
             return {k: float(v) for k, v in metrics.items()}
