@@ -143,6 +143,36 @@ class Generator:
             top_p=top_p, min_p=min_p)
         return np.asarray(buf)[:, :int(pos)]
 
+    def generate_ids_lookup(self, prompt_ids: list[int],
+                            max_len: int | None = None, gamma: int = 8,
+                            ngram: int = 3, temperature: float = 1.0,
+                            top_k: int = 50, seed: int = 0,
+                            greedy: bool = False, top_p: float = 1.0,
+                            min_p: float = 0.0) -> np.ndarray:
+        """Draft-free speculative decode: proposals copied from the
+        sequence's own history (prompt-lookup n-gram speculation,
+        decode/speculative.py::generate_prompt_lookup). Output distribution
+        identical to target-only decoding; greedy output bit-identical.
+        Batch 1, corrected causal configs only."""
+        from .speculative import generate_prompt_lookup
+
+        max_len = max_len or self.cfg.seq_len
+        max_len = min(max_len, self.cfg.n_pos - gamma)
+        p = len(prompt_ids)
+        if p >= max_len:
+            # zero generation steps: prompt returned unchanged (reference
+            # semantics, api_cache.py:166 — same guard as generate_ids)
+            return np.asarray([list(prompt_ids)], np.int32)
+        bucket = min(_bucket(p), max_len)
+        prompt = np.full((1, bucket), self.pad_id, np.int32)
+        prompt[0, :p] = prompt_ids
+        buf, pos, _ = generate_prompt_lookup(
+            self.params, jnp.asarray(prompt), p, jax.random.PRNGKey(seed),
+            self.cfg, max_len, gamma=gamma, ngram=ngram,
+            temperature=temperature, top_k=top_k, eos_id=self.eos_id,
+            pad_id=self.pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
+        return np.asarray(buf)[:, :int(pos)]
+
     def generate_ids_beam(self, prompt_ids: list[int],
                           max_len: int | None = None, n_beams: int = 4,
                           length_penalty: float = 1.0,
