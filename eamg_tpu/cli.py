@@ -127,8 +127,9 @@ def cmd_generate(args):
 
         gram = grammar_for(scheme_b) if scheme == "b3" \
             else grammar_a(gen.vocab)
-    if args.beams and args.draft:
-        raise SystemExit("--beams and --draft are mutually exclusive")
+    if sum(map(bool, (args.beams, args.draft, args.lookup))) > 1:
+        raise SystemExit("--beams, --draft and --lookup are mutually "
+                         "exclusive")
     if args.beams:
         if penalties is not None or args.no_repeat_ngram:
             raise SystemExit("--beams is a deterministic argmax-tree "
@@ -146,19 +147,28 @@ def cmd_generate(args):
                                      length_penalty=args.length_penalty,
                                      grammar=gram)
             ids = gen.vocab.encode(tokens)
-    elif args.draft:
+    elif args.draft or args.lookup:
+        flag = "--draft" if args.draft else "--lookup"
         if penalties is not None or args.no_repeat_ngram or gram:
-            raise SystemExit("--draft does not support penalties, n-gram "
+            raise SystemExit(f"{flag} does not support penalties, n-gram "
                              "bans or grammar constraints yet (history-"
                              "dependent distributions break the "
-                             "draft/target acceptance math)")
-        draft, _, _ = _load_generator(args.draft)
-        ids = gen.generate_ids_speculative(
-            draft, prompt_ids, max_len=args.max_len,
-            gamma=args.gamma, temperature=args.temperature,
-            top_k=args.top_k, seed=args.seed, top_p=args.top_p,
-            min_p=args.min_p)[0]
-        tokens = gen.trim_at_eos(ids)
+                             "proposal/target acceptance math)")
+        if args.draft:
+            draft, _, _ = _load_generator(args.draft)
+            ids = gen.generate_ids_speculative(
+                draft, prompt_ids, max_len=args.max_len,
+                gamma=args.gamma, temperature=args.temperature,
+                top_k=args.top_k, seed=args.seed, top_p=args.top_p,
+                min_p=args.min_p)[0]
+        else:
+            ids = gen.generate_ids_lookup(
+                prompt_ids, max_len=args.max_len, gamma=args.gamma,
+                ngram=args.lookup_ngram, temperature=args.temperature,
+                top_k=args.top_k, seed=args.seed, top_p=args.top_p,
+                min_p=args.min_p)[0]
+        tokens = scheme_b.vocab.decode(ids) if scheme == "b3" \
+            else gen.trim_at_eos(ids)
     elif scheme == "b3":
         ids = gen.generate_ids(prompt_ids, max_len=args.max_len,
                                temperature=args.temperature,
@@ -428,6 +438,13 @@ def main(argv=None):
                         "with an aligned draft)")
     g.add_argument("--gamma", type=int, default=4,
                    help="speculative proposals per verify step")
+    g.add_argument("--lookup", action="store_true",
+                   help="draft-free speculative decoding: propose "
+                        "continuations from the stream's own history "
+                        "(prompt-lookup n-gram speculation; exact output "
+                        "distribution, wins on repetitive token streams)")
+    g.add_argument("--lookup-ngram", type=int, default=3,
+                   help="history n-gram length matched by --lookup")
     g.set_defaults(fn=cmd_generate)
 
     ab = sub.add_parser("ablate",
