@@ -156,6 +156,11 @@ class Generator:
         Batch 1, corrected causal configs only."""
         from .speculative import generate_prompt_lookup
 
+        if not self.cfg.causal or self.cfg.pos_broadcast_bug:
+            raise ValueError(
+                "prompt-lookup speculation requires a corrected causal "
+                "checkpoint (train --corrected); this config has the "
+                "reference bidirectional/pos quirks")
         max_len = max_len or self.cfg.seq_len
         max_len = min(max_len, self.cfg.n_pos - gamma)
         p = len(prompt_ids)

@@ -124,21 +124,38 @@ class Pipeline:
                             top_p: float = 1.0, min_p: float = 0.0,
                             penalties: tuple | None = None,
                             no_repeat_ngram: int = 0,
-                            grammar: bool = False):
+                            grammar: bool = False, lookup: bool = False):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
-        multi-section generation."""
+        multi-section generation.
+
+        lookup=True decodes via draft-free prompt-lookup speculation
+        (Generator.generate_ids_lookup): exact output distribution, lower
+        batch-1 latency on self-repetitive streams. Solo decode only (the
+        engine's ragged rows don't speculate) and incompatible with the
+        history-dependent transforms (penalties/ngram/grammar)."""
+        if lookup and (penalties is not None or no_repeat_ngram
+                       or grammar):
+            raise ValueError(
+                "lookup does not compose with penalties, n-gram bans or "
+                "grammar constraints (history-dependent distributions "
+                "break the proposal/target acceptance math)")
         dropped = []
         gram = self.grammar() if grammar else None
         if self.scheme == "b3":
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
             gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
-            ids = self.generator.generate_ids(
-                prompt_ids, temperature=temperature, top_k=top_k,
-                seed=run_seed, use_cache=self.use_cache, top_p=top_p,
-                min_p=min_p, penalties=penalties,
-                no_repeat_ngram=no_repeat_ngram, grammar=gram)[0]
+            if lookup:
+                ids = self.generator.generate_ids_lookup(
+                    prompt_ids, temperature=temperature, top_k=top_k,
+                    seed=run_seed, top_p=top_p, min_p=min_p)[0]
+            else:
+                ids = self.generator.generate_ids(
+                    prompt_ids, temperature=temperature, top_k=top_k,
+                    seed=run_seed, use_cache=self.use_cache, top_p=top_p,
+                    min_p=min_p, penalties=penalties,
+                    no_repeat_ngram=no_repeat_ngram, grammar=gram)[0]
             tokens = self.scheme_b.vocab.decode(ids)
             song = self.scheme_b.decode_to_song(ids)
             return gen_prompt, tokens, song, dropped
@@ -151,6 +168,13 @@ class Pipeline:
         known = [t for t in gen_prompt if t in self.generator.vocab]
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
+        if lookup:
+            ids = self.generator.generate_ids_lookup(
+                self.generator.vocab.encode(gen_prompt),
+                temperature=temperature, top_k=top_k, seed=run_seed,
+                top_p=top_p, min_p=min_p)[0]
+            tokens = self.generator.trim_at_eos(ids)
+            return gen_prompt, tokens, tokens_to_song(tokens), dropped
         use_batcher = self.batcher is not None and getattr(
             self.batcher, "accepts", lambda **_: True)(
                 top_k=top_k, top_p=top_p, min_p=min_p,
@@ -186,7 +210,8 @@ class Pipeline:
                  top_p: float = 1.0, min_p: float = 0.0,
                  penalties: tuple | None = None,
                  no_repeat_ngram: int = 0,
-                 grammar: bool = False) -> GenerationResult:
+                 grammar: bool = False,
+                 lookup: bool = False) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -203,7 +228,7 @@ class Pipeline:
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
             mapping, temperature, top_k, run_seed, top_p, min_p,
-            penalties, no_repeat_ngram, grammar)
+            penalties, no_repeat_ngram, grammar, lookup)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -235,7 +260,8 @@ class Pipeline:
                           min_p: float = 0.0,
                           penalties: tuple | None = None,
                           no_repeat_ngram: int = 0,
-                          grammar: bool = False) -> GenerationResult:
+                          grammar: bool = False,
+                          lookup: bool = False) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -253,7 +279,7 @@ class Pipeline:
                                  render_audio=render_audio, top_p=top_p,
                                  min_p=min_p, penalties=penalties,
                                  no_repeat_ngram=no_repeat_ngram,
-                                 grammar=grammar)
+                                 grammar=grammar, lookup=lookup)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -271,7 +297,7 @@ class Pipeline:
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
                 mapping, temperature, top_k, run_seed, top_p, min_p,
-                penalties, no_repeat_ngram, grammar)
+                penalties, no_repeat_ngram, grammar, lookup)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)

@@ -252,23 +252,35 @@ class EAMGHandler(BaseHTTPRequestHandler):
             except ValueError as exc:
                 self._json(422, {"error": str(exc)})
                 return
+            lookup = fields.get("lookup", "").lower() in ("1", "true",
+                                                          "yes")
+            if lookup and stream:
+                self._json(422, {"error": "lookup does not stream yet "
+                                          "(whole-block speculation)"})
+                return
             if stream:
                 self._stream_generate(prompt, fields, fmt, sections,
                                       seed, t_start)
                 return
             gen_fn = (self.pipeline.generate_sections if sections
                       else self.pipeline.generate)
-            result = gen_fn(
-                prompt,
-                temperature=float(fields.get("temperature", 1.0)),
-                top_k=int(fields.get("top_k", 50)),
-                top_p=float(fields.get("top_p", 1.0)),
-                min_p=float(fields.get("min_p", 0.0)),
-                penalties=_parse_penalties(fields),
-                no_repeat_ngram=_parse_ngram(fields),
-                grammar=_parse_grammar(fields),
-                seed=int(seed) if seed is not None else None,
-                render_audio=fmt == "wav")
+            try:
+                result = gen_fn(
+                    prompt,
+                    temperature=float(fields.get("temperature", 1.0)),
+                    top_k=int(fields.get("top_k", 50)),
+                    top_p=float(fields.get("top_p", 1.0)),
+                    min_p=float(fields.get("min_p", 0.0)),
+                    penalties=_parse_penalties(fields),
+                    no_repeat_ngram=_parse_ngram(fields),
+                    grammar=_parse_grammar(fields),
+                    seed=int(seed) if seed is not None else None,
+                    render_audio=fmt == "wav", lookup=lookup)
+            except ValueError as exc:
+                # invalid request composition (e.g. lookup + grammar, or
+                # lookup on a reference-quirk checkpoint)
+                self._json(422, {"error": str(exc)})
+                return
             self.stats.observe(_time.perf_counter() - t_start,
                                tokens=len(result.tokens))
             self.logger.log("generate", emotion=result.label,

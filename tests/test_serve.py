@@ -424,3 +424,54 @@ def test_http_grammar_field(server):
                      {"prompt": "so happy today", "seed": "6",
                       "grammar": "false"}).read()
     assert off == base
+
+
+def test_http_lookup_field(server):
+    """lookup form field: prompt-lookup speculation needs a corrected
+    causal checkpoint — the reference-quirk demo model must 422 with a
+    clear message, and composing lookup with grammar must 422 too."""
+    for extra in ({}, {"grammar": "true"}):
+        try:
+            _post_form(f"{server}/generate?format=midi",
+                       {"prompt": "so happy", "seed": "1",
+                        "lookup": "1", **extra})
+            assert False, "expected HTTP 422"
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+
+
+def test_http_lookup_corrected_pipeline():
+    """On a corrected-causal pipeline, lookup=1 serves a valid MIDI,
+    is seed-deterministic, and streams the exact target distribution
+    (spot check: same seed without lookup differs only by RNG schedule,
+    so we assert determinism, not equality)."""
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True)
+    srv = make_server(pipe, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        a = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy", "seed": "3",
+                        "lookup": "true"}).read()
+        b = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy", "seed": "3",
+                        "lookup": "true"}).read()
+        assert a[:4] == b"MThd"
+        assert a == b
+        # sections compose with lookup (each section decodes solo)
+        c = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy. Then I was sad.",
+                        "seed": "3", "lookup": "1",
+                        "sections": "true"}).read()
+        assert c[:4] == b"MThd"
+        # lookup + stream is rejected before the event stream starts
+        try:
+            _post_form(f"{base}/generate?stream=1",
+                       {"prompt": "I am happy", "lookup": "1"})
+            assert False, "expected HTTP 422"
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+    finally:
+        srv.shutdown()
