@@ -237,6 +237,18 @@ def cmd_convert_pt(args):
     print("converted ->", args.out)
 
 
+def cmd_export_pt(args):
+    from .models.import_torch import export_reference_checkpoint
+    from .utils import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    export_reference_checkpoint(args.pt, ckpt["params"], ckpt["vocab"],
+                                ckpt["cfg"], dialect=args.dialect)
+    print(f"exported -> {args.pt} ({args.dialect} dialect; loadable by "
+          f"the reference's torch scripts via torch.load + strict "
+          f"load_state_dict)")
+
+
 def cmd_convert_gqa(args):
     from .models.gqa_convert import convert_checkpoint_dir
 
@@ -483,6 +495,17 @@ def main(argv=None):
     c.add_argument("--serving-arch", action="store_true",
                    help="build the api_cache pre-LN serving arch")
     c.set_defaults(fn=cmd_convert_pt)
+
+    ep = sub.add_parser("export-pt",
+                        help="checkpoint dir -> reference .pt (torch "
+                             "format; the reverse of convert-pt)")
+    ep.add_argument("--ckpt", required=True)
+    ep.add_argument("--pt", required=True)
+    ep.add_argument("--dialect", choices=("trainer", "kv"),
+                    default="trainer",
+                    help="state-dict key naming: trainer (train_*.py / "
+                         "api.py) or kv (api_cache.py remap output)")
+    ep.set_defaults(fn=cmd_export_pt)
 
     q = sub.add_parser("convert-gqa",
                        help="MHA checkpoint dir -> GQA (mean-pooled K/V "

@@ -215,6 +215,14 @@ def generate_prompt_lookup(params: dict, prompt: jax.Array, prompt_len,
     /root/reference/api_cache.py:166-182. Batch 1, corrected causal
     configs only (same contract as generate_speculative).
 
+    Measured caveats (DESIGN.md §3.6): on Scheme-B checkpoints acceptance
+    is ~1.1 tok/verify — the absolute `T_x` onset tokens increase
+    monotonically, so exact n-gram matches rarely predict continuations;
+    and on TPU at default matmul precision the block-verify rounds
+    differently than single-token steps, so greedy near-tie argmaxes can
+    flip (bit-parity holds on CPU and under
+    jax.default_matmul_precision("float32")).
+
     Returns (tokens [1, max_len], n_tokens, n_verify_steps) — generated
     tokens per verify step = (n_tokens - prompt_len - 1) / n_verify_steps
     is the speculation win to report.

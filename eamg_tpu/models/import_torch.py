@@ -200,3 +200,59 @@ def load_reference_checkpoint(path, serving_arch: bool = False,
     params = import_state_dict(sd, cfg)
     vocab = Vocab(dict(ckpt["vocab"]))
     return params, cfg, vocab
+
+
+def export_reference_checkpoint(path, params: dict, vocab_tok2id: dict,
+                                cfg: GPTConfig,
+                                dialect: str = "trainer") -> None:
+    """Write a reference-format ``.pt`` file a reference user can load with
+    their own scripts (``torch.load`` + ``load_state_dict(strict=True)`` —
+    generate_music/generate.py:17-38, api.py:33-55, api_cache.py:26-138).
+
+    Payload matches train_large2.py:100-110: ``{"model": state_dict,
+    "vocab": tok2id, "cfg": {...}}`` with the geometry keys the reference
+    CLIs read back (``seq_len``/``n_head``/...). Floating tensors are cast
+    to float32 (the reference trains and serves f32; our bf16 storage is a
+    TPU serving optimization). ``dialect`` picks the key naming: "trainer"
+    (train_*.py / api.py) or "kv" (the api_cache.py remap output).
+
+    torch.save runs in a throwaway subprocess — torch and XLA:CPU must not
+    share a process on this host (same isolation as _torch_load_as_numpy).
+    """
+    sd = export_state_dict(params, dialect=dialect)
+    sd = {k: (v.astype(np.float32) if np.issubdtype(
+        np.asarray(v).dtype, np.floating) or str(v.dtype) == "bfloat16"
+        else np.asarray(v)) for k, v in sd.items()}
+    payload = {
+        "model": sd,
+        "vocab": dict(vocab_tok2id),
+        "cfg": {"vocab_size": cfg.vocab_size, "seq_len": cfg.seq_len,
+                "d_model": cfg.d_model, "n_head": cfg.n_head,
+                "n_layer": cfg.n_layer, "d_ff": cfg.d_ff or 4 * cfg.d_model},
+    }
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    if "torch" in sys.modules:  # pure-torch caller (tests' oracle side)
+        import torch
+
+        torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in sd.items()},
+                    "vocab": payload["vocab"], "cfg": payload["cfg"]}, path)
+        return
+    script = (
+        "import pickle, sys\n"
+        "import numpy as np\n"
+        "import torch\n"
+        "p = pickle.load(open(sys.argv[1], 'rb'))\n"
+        "p['model'] = {k: torch.from_numpy(np.ascontiguousarray(v))\n"
+        "              for k, v in p['model'].items()}\n"
+        "torch.save(p, sys.argv[2])\n")
+    with tempfile.TemporaryDirectory() as td:
+        blob = f"{td}/payload_np.pkl"
+        with open(blob, "wb") as f:
+            pickle.dump(payload, f)
+        subprocess.run([sys.executable, "-c", script, blob, str(path)],
+                       check=True, timeout=600)

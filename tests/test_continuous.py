@@ -243,22 +243,46 @@ def test_accepts_mismatched_params(generator):
         eng.close()
 
 
-def test_cancel_mid_stream_frees_slot(generator):
+def test_cancel_mid_stream_frees_slot(generator, monkeypatch):
     """Closing a stream generator (SSE client disconnect) cancels the row:
     the slot frees at the next chunk boundary instead of decoding to
-    completion, and the engine keeps serving correctly."""
+    completion, and the engine keeps serving correctly.
+
+    The worker's chunk step is gated by a semaphore so the cancel
+    deterministically lands while the row is still live — without the gate
+    the row can decode to natural completion before the worker drains the
+    cancel queue (a served row, cancelled==0: the race this test flaked
+    on), which is legitimate engine behavior but not the path under test.
+    The first delta reaches the stream after the second chunk dispatch
+    (depth-1 lookahead harvest), so the gate opens with two permits."""
+    from eamg_tpu.serve import continuous as cont
+
+    gate = threading.Semaphore(2)
+    real_chunk = cont.ragged_chunk
+
+    def gated_chunk(*args, **kwargs):
+        gate.acquire()
+        return real_chunk(*args, **kwargs)
+
+    monkeypatch.setattr(cont, "ragged_chunk", gated_chunk)
     eng = ContinuousBatcher(generator, slots=1, chunk=2, max_len=32)
     try:
         stream = eng.submit_stream([1, 2], seed=5, max_len=32)
         first = next(stream)
         assert first  # at least one delta arrived before the disconnect
         stream.close()  # raises GeneratorExit inside submit_stream
-        # the single slot must free: with a zombie holding it this would
-        # block until the 120 s timeout
+        # the cancel is queued while the worker is parked at the gate with
+        # the row still live; release it and the slot must free at the
+        # next loop iteration — with a zombie holding it the submit below
+        # would block until the 120 s timeout
+        for _ in range(64):
+            gate.release()
         out = eng.submit([3, 4], seed=9, max_len=16, timeout=120)
         assert out == solo(generator, [3, 4], 9, 16)
         assert eng.stats["cancelled"] == 1
     finally:
+        for _ in range(64):
+            gate.release()  # never leave the worker parked at close()
         eng.close()
 
 
