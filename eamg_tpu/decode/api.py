@@ -35,7 +35,14 @@ class Generator:
 
     def __init__(self, params: dict, cfg: GPTConfig, vocab: Vocab,
                  eos_token: str = END_TOKEN, pad_token: str = "[PAD]"):
-        self.params = params
+        # Pin params on device ONCE. Checkpoint loaders return numpy
+        # trees, and jit re-transfers numpy arguments on EVERY call —
+        # measured 2469 -> 501 us/step (4.9x) on demo_ckpt_b3 batch-1
+        # greedy over the tunnel, where each call re-shipped the 10 MB
+        # model. For params that are already jax arrays (init_params
+        # output, mesh-sharded trees from sharded serving) asarray is an
+        # identity: placement and shardings pass through untouched.
+        self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.vocab = vocab
         self.eos_id = vocab.get(eos_token, -1)
