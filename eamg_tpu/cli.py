@@ -242,9 +242,32 @@ def cmd_export_pt(args):
     from .utils import load_checkpoint
 
     ckpt = load_checkpoint(args.ckpt)
+    cfg = ckpt["cfg"]
+    # the .pt payload carries only geometry — arch semantics live in the
+    # LOADER script the reference user picks. Default the key dialect from
+    # the checkpoint's LN placement (post-LN weights belong in train_*.py /
+    # api.py, pre-LN/GELU weights in api_cache.py's GPTWithKV), and warn
+    # about any flag the reference scripts cannot represent.
+    dialect = args.dialect or (
+        "kv" if cfg.ln_placement == "pre" else "trainer")
+    canon_loader = "kv" if cfg.ln_placement == "pre" else "trainer"
+    if dialect != canon_loader:
+        print(f"warning: checkpoint is {cfg.ln_placement}-LN but the "
+              f"{dialect} dialect targets the "
+              f"{'pre' if dialect == 'kv' else 'post'}-LN reference "
+              f"loader — outputs will differ from this checkpoint's "
+              f"native forward")
+    dropped = [f"{k}={getattr(cfg, k)}" for k, default in (
+        ("causal", False), ("batch_first_bug", False),
+        ("pos_broadcast_bug", False), ("n_experts", None),
+        ("n_kv_heads", None)) if getattr(cfg, k) != default]
+    if dropped:
+        print("warning: the reference .pt payload cannot represent these "
+              "arch flags (they are dropped; reference scripts will run "
+              "their own defaults): " + ", ".join(dropped))
     export_reference_checkpoint(args.pt, ckpt["params"], ckpt["vocab"],
-                                ckpt["cfg"], dialect=args.dialect)
-    print(f"exported -> {args.pt} ({args.dialect} dialect; loadable by "
+                                cfg, dialect=dialect)
+    print(f"exported -> {args.pt} ({dialect} dialect; loadable by "
           f"the reference's torch scripts via torch.load + strict "
           f"load_state_dict)")
 
@@ -501,10 +524,11 @@ def main(argv=None):
                              "format; the reverse of convert-pt)")
     ep.add_argument("--ckpt", required=True)
     ep.add_argument("--pt", required=True)
-    ep.add_argument("--dialect", choices=("trainer", "kv"),
-                    default="trainer",
+    ep.add_argument("--dialect", choices=("trainer", "kv"), default=None,
                     help="state-dict key naming: trainer (train_*.py / "
-                         "api.py) or kv (api_cache.py remap output)")
+                         "api.py) or kv (api_cache.py remap output); "
+                         "default follows the checkpoint's ln_placement "
+                         "(post -> trainer, pre -> kv)")
     ep.set_defaults(fn=cmd_export_pt)
 
     q = sub.add_parser("convert-gqa",

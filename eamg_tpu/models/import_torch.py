@@ -100,6 +100,18 @@ def export_state_dict(params: dict, dialect: str = "trainer") -> dict:
         "MoE layers have no torch state-dict dialect — the reference "
         "architecture is dense (export the dense layers only, or keep "
         "MoE checkpoints in the native directory format)")
+    assert not any(isinstance(leaf, dict)
+                   for p in params["layers"]
+                   for grp in p.values() for leaf in grp.values()), (
+        "quantized params ({'q','s'} leaves) have no torch state-dict "
+        "dialect — dequantize first (the reference dialects are dense "
+        "MHA float32)")
+    for p in params["layers"]:
+        in_w = np.asarray(p["attn"]["in_w"])
+        assert in_w.shape[0] == 3 * in_w.shape[1], (
+            "GQA checkpoints (n_kv_heads != n_head) have no torch "
+            "state-dict dialect — the reference arch is dense MHA with a "
+            "fused [3d, d] in_proj; convert back to MHA before exporting")
     sd = {"emb.weight": np.asarray(params["tok_emb"]),
           "pos": np.asarray(params["pos"]),
           "fc.weight": np.asarray(params["head"]["w"]),

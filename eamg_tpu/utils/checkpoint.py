@@ -78,19 +78,17 @@ def load_checkpoint(path: str) -> dict:
 
 
 def export_reference_pt(path: str, params: dict, vocab_tok2id: dict,
-                        cfg: GPTConfig) -> None:
+                        cfg: GPTConfig, dialect: str = "trainer") -> None:
     """Write a torch ``.pt`` in the reference's trainer payload so reference
     tooling (api.py:30-55, generate_music/generate.py) can load our models.
-    Requires torch; import is gated."""
-    import torch
 
-    from ..models.import_torch import export_state_dict
+    Thin alias for :func:`models.import_torch.export_reference_checkpoint`
+    (the canonical exporter: f32 cast, full cfg payload, torch.save in a
+    subprocess so torch never shares this process with XLA:CPU)."""
+    from ..models.import_torch import export_reference_checkpoint
 
-    sd = {k: torch.tensor(np.asarray(v))
-          for k, v in export_state_dict(params).items()}
-    torch.save({"model": sd, "vocab": vocab_tok2id,
-                "cfg": dict(seq_len=cfg.seq_len, d_model=cfg.d_model,
-                            n_head=cfg.n_head, n_layer=cfg.n_layer)}, path)
+    export_reference_checkpoint(path, params, vocab_tok2id, cfg,
+                                dialect=dialect)
 
 
 class CheckpointCadence:

@@ -106,3 +106,54 @@ def test_export_pt_kv_dialect_keys(tmp_path):
     assert "tok_emb.weight" in keys and "pos_emb" in keys
     assert "layers.0.attn.in_proj_weight" in keys
     assert "layers.1.mlp.2.weight" in keys and "head.weight" in keys
+
+
+def test_export_rejects_gqa_and_quantized(tmp_path):
+    """export_state_dict refuses GQA and quantized trees with a clear
+    message (ADVICE r2: these previously failed late/silently)."""
+    from eamg_tpu.models.import_torch import export_state_dict
+
+    gqa_cfg = GPTConfig(vocab_size=37, seq_len=32, d_model=16, n_head=4,
+                        n_layer=1, causal=True, n_kv_heads=2)
+    gqa = init_params(jax.random.PRNGKey(0), gqa_cfg)
+    with pytest.raises(AssertionError, match="GQA"):
+        export_state_dict(gqa)
+
+    dense = init_params(jax.random.PRNGKey(0), CFG)
+    quant = jax.tree.map(np.asarray, dense)
+    w = quant["layers"][0]["mlp"]["w1"]
+    quant["layers"][0]["mlp"]["w1"] = {
+        "q": np.zeros(w.shape, np.int8), "s": np.ones((w.shape[0], 1))}
+    with pytest.raises(AssertionError, match="quantized"):
+        export_state_dict(quant)
+
+
+def test_cli_export_pt_dialect_follows_ln_placement(tmp_path, capsys):
+    """A pre-LN (KV-arch) checkpoint exports in the kv dialect by default
+    and non-default arch flags print a warning (ADVICE r2)."""
+    cfg = GPTConfig(vocab_size=37, seq_len=32, d_model=16, n_head=2,
+                    n_layer=1, causal=True, ln_placement="pre",
+                    activation="gelu")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    d = tmp_path / "pre_ckpt"
+    save_checkpoint(str(d), params, VOCAB, cfg)
+    pt = tmp_path / "pre.pt"
+    cli_main(["export-pt", "--ckpt", str(d), "--pt", str(pt)])
+    out = capsys.readouterr().out
+    assert "kv dialect" in out
+    assert "causal=True" in out and "warning" in out
+
+    # kv-dialect key names confirm the default followed ln_placement
+    import pickle
+    import subprocess
+    import sys
+
+    script = ("import pickle, sys, torch\n"
+              "ckpt = torch.load(sys.argv[1], map_location='cpu',"
+              " weights_only=True)\n"
+              "pickle.dump(sorted(ckpt['model']), open(sys.argv[2], 'wb'))\n")
+    keys_f = tmp_path / "k.pkl"
+    subprocess.run([sys.executable, "-c", script, str(pt), str(keys_f)],
+                   check=True, timeout=600)
+    keys = pickle.loads(keys_f.read_bytes())
+    assert "tok_emb.weight" in keys and "layers.0.attn.in_proj_weight" in keys
