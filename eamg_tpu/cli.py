@@ -322,6 +322,15 @@ def cmd_export_emotion_hf(args):
         print("pushed ->", args.push)
 
 
+def cmd_train_demo_a(args):
+    from .tools.demo_a import DemoASpec, train_demo_a
+
+    spec = DemoASpec(rows=args.rows, heldout_rows=args.heldout_rows,
+                     epochs=args.epochs, seed=args.seed)
+    metrics = train_demo_a(args.out, spec=spec)
+    print(json.dumps(metrics))
+
+
 def cmd_distill_emotion(args):
     from .emotion.train_scratch import ScratchSpec, distill_classifier
 
@@ -573,6 +582,18 @@ def main(argv=None):
     x.add_argument("--out", required=True)
     x.add_argument("--push", default=None, help="HF repo id to upload to")
     x.set_defaults(fn=cmd_export_emotion_hf)
+
+    da = sub.add_parser("train-demo-a",
+                        help="retrain the packaged Scheme-A demo on the "
+                             "grid-quantized motif-reuse corpus "
+                             "(generalization metrics in "
+                             "train_metrics.json)")
+    da.add_argument("--out", default="eamg_tpu/serve/demo_ckpt_a")
+    da.add_argument("--rows", type=int, default=12000)
+    da.add_argument("--heldout-rows", type=int, default=400)
+    da.add_argument("--epochs", type=int, default=8)
+    da.add_argument("--seed", type=int, default=0)
+    da.set_defaults(fn=cmd_train_demo_a)
 
     di = sub.add_parser("distill-emotion",
                         help="train the in-repo neural emotion classifier "

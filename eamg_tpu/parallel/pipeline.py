@@ -50,13 +50,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.gpt import GPTConfig, _linear, block
 
 
-def make_pp_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
-    """A (data, stage) mesh. Pure PP = data 1; DP x PP otherwise."""
+def make_pp_mesh(stages: int, data: int = 1, model: int = 1,
+                 devices=None) -> Mesh:
+    """A (data, stage[, model]) mesh. Pure PP = data 1; DP x PP
+    otherwise; ``model > 1`` adds Megatron tensor parallelism INSIDE each
+    stage (3-axis dp x pp x tp composition)."""
     devices = devices if devices is not None else jax.devices()
-    assert data * stages <= len(devices), (
-        f"mesh {data}x{stages} > {len(devices)} devices")
-    grid = np.asarray(devices[:data * stages]).reshape(data, stages)
-    return Mesh(grid, axis_names=("data", "stage"))
+    n = data * stages * model
+    assert n <= len(devices), (
+        f"mesh {data}x{stages}x{model} > {len(devices)} devices")
+    if model == 1:
+        grid = np.asarray(devices[:n]).reshape(data, stages)
+        return Mesh(grid, axis_names=("data", "stage"))
+    grid = np.asarray(devices[:n]).reshape(data, stages, model)
+    return Mesh(grid, axis_names=("data", "stage", "model"))
 
 
 def stack_layers(params: dict, n_stages: int) -> dict:
@@ -91,19 +98,41 @@ def unstack_layers(params: dict) -> dict:
             "layers": layers}
 
 
-def pp_pspecs(params_stacked: dict) -> dict:
+def pp_pspecs(params_stacked: dict, tp: bool = False) -> dict:
     """PartitionSpec tree: stage-stacked layers shard on the leading
-    ``stage`` axis; everything else replicated."""
+    ``stage`` axis; everything else replicated. ``tp=True`` additionally
+    shards each stage's weights over a ``model`` axis with the Megatron
+    column/row layout (parallel/mesh.py::param_pspecs shifted by the two
+    leading [n_stages, layers_per_stage] axes) — the 3-axis dp x pp x tp
+    composition. The pipeline shard_map stays MANUAL over (data, stage)
+    only; ``model`` remains an auto axis, so GSPMD inserts the same
+    per-stage TP psums it inserts for the unpipelined TP trainer."""
+    if tp:
+        layers = {
+            "attn": {"in_w": P("stage", None, "model", None),
+                     "in_b": P("stage", None, "model"),
+                     "out_w": P("stage", None, None, "model"),
+                     "out_b": P("stage", None)},
+            "ln1": {"g": P("stage", None), "b": P("stage", None)},
+            "ln2": {"g": P("stage", None), "b": P("stage", None)},
+            "mlp": {"w1": P("stage", None, "model", None),
+                    "b1": P("stage", None, "model"),
+                    "w2": P("stage", None, None, "model"),
+                    "b2": P("stage", None)},
+        }
+    else:
+        layers = jax.tree.map(lambda a: P("stage"),
+                              params_stacked["layers"])
     return {
         "tok_emb": P(), "pos": P(),
-        "layers": jax.tree.map(lambda a: P("stage"),
-                               params_stacked["layers"]),
+        "layers": layers,
         "head": {"w": P(), "b": P()},
     }
 
 
-def shard_pp_params(params_stacked: dict, mesh: Mesh) -> dict:
-    specs = pp_pspecs(params_stacked)
+def shard_pp_params(params_stacked: dict, mesh: Mesh,
+                    tp: bool = False) -> dict:
+    specs = pp_pspecs(params_stacked, tp=tp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params_stacked, specs)
@@ -188,11 +217,16 @@ def pipeline_forward(params_stacked: dict, ids: jax.Array, cfg: GPTConfig,
     xs = x.reshape(n_micro, Bm, T, cfg.d_model)
 
     data = "data" if "data" in mesh.axis_names else None
+    # manual over (data, stage) ONLY: a 3-axis mesh's 'model' axis stays
+    # auto, so the layer arrays keep their Megatron sharding inside the
+    # body and GSPMD inserts the per-stage TP psums (dp x pp x tp)
     fn = jax.shard_map(
         functools.partial(_pipeline_body, cfg=cfg, n_stages=S, axis=axis),
         mesh=mesh,
-        in_specs=(pp_pspecs(params_stacked)["layers"], P(None, data)),
-        out_specs=P(axis, None, data), check_vma=False)
+        in_specs=(jax.tree.map(lambda a: P(axis),
+                               params_stacked["layers"]), P(None, data)),
+        out_specs=P(axis, None, data), check_vma=False,
+        axis_names={n for n in ("data", axis) if n in mesh.axis_names})
     hidden = fn(params_stacked["layers"], xs)[-1]      # [n_micro, Bm, T, D]
     h = hidden.reshape(B, T, cfg.d_model)
     return _linear(h.astype(jnp.float32), params_stacked["head"]["w"],
@@ -247,11 +281,12 @@ class PipelineTrainer:
         self.cfg, self.tcfg, self.mesh = cfg, tcfg, mesh
         self.n_micro = n_micro
         self.optimizer = make_optimizer(tcfg)
+        tp = "model" in mesh.axis_names and mesh.shape["model"] > 1
         # the donated step invalidates its inputs; copy so the caller's
         # per-layer params tree survives (head/embed pass through
         # stack_layers by reference)
         self.params = jax.tree.map(jnp.copy, shard_pp_params(
-            stack_layers(params, mesh.shape["stage"]), mesh))
+            stack_layers(params, mesh.shape["stage"]), mesh, tp=tp))
         self.opt_state = self.optimizer.init(self.params)
         self.step_fn = make_pp_train_step(cfg, tcfg, mesh, n_micro,
                                           self.optimizer)

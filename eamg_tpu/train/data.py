@@ -214,6 +214,111 @@ def synthetic_corpus(n_rows: int, seed: int = 0, n_notes: int = 24,
         for i in range(n_rows)]
 
 
+# --------------------------------------- grid corpus (generalizing demo)
+#
+# The tempo-locked generator above accumulates FLOAT onsets, so every
+# `[NOTE] ... [START:t] ...` string is nearly unique — a Scheme-A model
+# trained on it can only memorize (round-2 demo: train PPL 1.33, held-out
+# 1747). Real Lakh Scheme-A corpora recur note strings because times are
+# 3-dp roundings of quantized musical grids (midi_test/midi_extract.py:
+# 22-27: start/end/duration rounded to 3 decimals). This generator makes
+# that structure explicit: a small BPM set, onsets on a half-beat integer
+# grid, and a GLOBAL motif library shared by every song — so the exact
+# note strings recur corpus-wide and held-out songs are (almost) fully
+# in-vocabulary, the precondition for a generalizing Scheme-A demo.
+
+# beat lengths round to clean 3-dp values; the 17 EATS keys stay _KEYS
+_GRID_BPMS = [60.0, 75.0, 90.0, 120.0, 150.0]
+_SHARP_NAMES = ["C", "C#", "D", "D#", "E", "F", "F#", "G", "G#", "A",
+                "A#", "B"]
+_MAJOR = [0, 2, 4, 5, 7, 9, 11]
+_MINOR = [0, 2, 3, 5, 7, 8, 10]
+
+
+def key_scale_pitches(key: str, degrees: int = 10,
+                      base_octave: int = 3) -> list[str]:
+    """Pitch names (sharp spelling, the pretty_midi note-name dialect) of
+    ``degrees`` scale steps of ``key`` starting at ``base_octave``.
+    ``key`` uses the normalized dialect ('-' flats, lowercase mode)."""
+    tonic, mode = key.rsplit(" ", 1)
+    flat = tonic.endswith("-")
+    pc = _SHARP_NAMES.index(tonic[0])
+    if flat:
+        pc = (pc - 1) % 12
+    elif tonic.endswith("#"):
+        pc = (pc + 1) % 12
+    steps = _MAJOR if mode == "major" else _MINOR
+    out = []
+    for d in range(degrees):
+        semis = pc + steps[d % 7] + 12 * (d // 7)
+        out.append(f"{_SHARP_NAMES[semis % 12]}{base_octave + semis // 12}")
+    return out
+
+
+def motif_library(n_motifs: int = 40, seed: int = 7) -> list[list[tuple]]:
+    """The global motif pool every song draws from. A motif is a list of
+    (scale_degree, duration_units) steps; units are half-beats. Seeded
+    independently of the per-song RNG so train and held-out corpora share
+    the exact same library (motifs recur corpus-wide by construction)."""
+    rng = random.Random(seed)
+    lib = []
+    for _ in range(n_motifs):
+        deg = rng.randint(0, 6)
+        motif = []
+        for _ in range(rng.randint(4, 7)):
+            motif.append((deg, rng.choice([1, 1, 2, 2, 2, 4])))
+            deg = min(9, max(0, deg + rng.choice([-3, -2, -1, 1, 1, 2, 3])))
+        lib.append(motif)
+    return lib
+
+
+def grid_song(rng: random.Random, lib: list[list[tuple]],
+              key: str | None = None, bpm: float | None = None,
+              max_units: int = 28) -> list[str]:
+    """One Scheme-A song on the quantized grid: header + per-instrument
+    motif chains. Onsets/durations are half-beat integers scaled by the
+    BPM's beat length and rounded to 3 dp (the midi_extract.py:22-27
+    convention), so identical (pitch, slot, duration, bpm) draws produce
+    byte-identical note strings across songs."""
+    bpm = bpm if bpm is not None else rng.choice(_GRID_BPMS)
+    key = key or rng.choice(_KEYS)
+    pitches = key_scale_pitches(key)
+    half_beat = 60.0 / bpm / 2.0
+    toks = ["[START_SEQUENCE]", f"[BPM] {bpm}", f"[KEY_SIGNATURE] {key}"]
+    for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
+        toks.append(f"[INSTRUMENT] {inst}")
+        t_units = 0
+        while t_units < max_units:
+            for deg, dur in rng.choice(lib):
+                if t_units + dur > max_units:
+                    break
+                start = round(t_units * half_beat, 3)
+                end = round((t_units + dur) * half_beat, 3)
+                toks.append(
+                    f"[NOTE] [PITCH:{pitches[deg]}] [START:{start}] "
+                    f"[END:{end}] [DURATION:{round(dur * half_beat, 3)}]")
+                t_units += dur
+            else:
+                continue
+            break
+    toks.append("[END_SEQUENCE]")
+    return toks
+
+
+def grid_corpus(n_rows: int, seed: int = 0, n_motifs: int = 40,
+                motif_seed: int = 7) -> list[str]:
+    """JSON-encoded grid songs (lmd CSV 'tokens' column shape). Different
+    ``seed`` values give disjoint song COMPOSITIONS over the same motif
+    library — the held-out split for the generalization metric. The first
+    len(_KEYS) rows cycle every key so a vocab built from any prefix of
+    the corpus can encode any EATS mapping."""
+    rng = random.Random(seed)
+    lib = motif_library(n_motifs, seed=motif_seed)
+    return [json.dumps(grid_song(
+        rng, lib, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None))
+        for i in range(n_rows)]
+
+
 def write_synthetic_csv(path: str, n_rows: int, seed: int = 0,
                         n_notes: int = 24) -> None:
     """Write a corpus CSV with the reference schema (file, key, tokens)."""

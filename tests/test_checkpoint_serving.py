@@ -96,4 +96,14 @@ class TestPackagedDemo:
         with open(os.path.join(PACKAGED[scheme],
                                "train_metrics.json")) as f:
             m = json.load(f)
-        assert m["final_ppl"] < 10.0  # trained, not random (random ~ vocab)
+        if scheme == "a":
+            # round-3 demo contract (VERDICT r2 #1): the Scheme-A demo
+            # GENERALIZES — held-out PPL <= 10 (was 1747 on the round-2
+            # memorizing corpus), near-total held-out vocab coverage, and
+            # conditioned generation obeys the prompted BPM grid and key
+            assert m["heldout_ppl"] <= 10.0, m
+            assert m["heldout_token_coverage"] > 0.99, m
+            assert m["grid_onset_obedience"] > 0.95, m
+            assert m["in_key_obedience"] > 0.90, m
+        else:
+            assert m["final_ppl"] < 10.0  # trained, not random
