@@ -38,21 +38,35 @@ _CHUNK = 128                     # voices per compiled render call
 _MASTER_GAIN = 0.35
 
 
-@partial(jax.jit, static_argnames=("n_total", "d_samples"))
+@partial(jax.jit, static_argnames=("n_total", "d_samples", "use_filter"))
 def _render_voices(bank, pos0, end, loop_s, loop_e, loops, ratio,
                    t_start, dur, gain, delay, attack, hold, decay,
-                   sustain, release, n_total, d_samples):
+                   sustain, release, fc_hz, q_cb, vib_cents, vib_hz,
+                   vib_delay, n_total, d_samples, use_filter=False):
     """[V] voice params -> [n_total] waveform (one chunk).
 
     All per-voice params are [V] float32 (loops is bool). ``bank`` is the
     flat sample array with a 1-sample interpolation guard at the end.
+    ``use_filter`` (static; host gates it on any voice's fc being below
+    open) enables the initialFilterFc/Q low-pass via an rfft magnitude
+    multiply, so unfiltered fonts pay nothing.
     """
     V = pos0.shape[0]
     ramp = jnp.arange(d_samples, dtype=jnp.float32)        # [D]
     tt = ramp / SAMPLE_RATE                                # [D] seconds
 
+    # vibrato LFO (vibLfoToPitch): the instantaneous rate is
+    # ratio * 2^(c*sin(w(t-d))/1200); for |c| <= ~100 cents the linear
+    # approximation 1 + c*ln2/1200*sin is within 0.2%, so the read
+    # position is the analytic integral — no per-sample cumsum:
+    # pos(t) = ratio*(t + (c*ln2/1200) * (1 - cos(w*(t-d))) / w)
+    w = 2.0 * jnp.pi * jnp.maximum(vib_hz, 1e-3)[:, None]  # [V, 1]
+    t_act = jnp.maximum(tt[None, :] - vib_delay[:, None], 0.0)
+    vib_amp = vib_cents[:, None] * (jnp.log(2.0) / 1200.0)
+    vib_pos = vib_amp * (1.0 - jnp.cos(w * t_act)) / w     # seconds
     # fractional source read positions, loop-wrapped for sustained zones
-    sp = pos0[:, None] + ramp[None, :] * ratio[:, None]    # [V, D]
+    sp = pos0[:, None] + (ramp[None, :]
+                          + vib_pos * SAMPLE_RATE) * ratio[:, None]
     lw = jnp.maximum(loop_e - loop_s, 1.0)[:, None]
     wrapped = loop_s[:, None] + jnp.mod(sp - loop_s[:, None], lw)
     sp = jnp.where(loops[:, None] & (sp >= loop_e[:, None]), wrapped, sp)
@@ -81,6 +95,24 @@ def _render_voices(bank, pos0, end, loop_s, loop_e, loops, ratio,
                          0.0, 1.0)
 
     tiles = pcm * env * gain[:, None] * in_data            # [V, D]
+
+    if use_filter:
+        # initialFilterFc/Q: zero-phase magnitude filtering — each
+        # voice's tile is multiplied in the frequency domain by the
+        # 2nd-order resonant low-pass magnitude |H(f)| =
+        # 1/sqrt((1-x^2)^2 + (x/Q)^2), x = f/fc, Q = 10^(cB/200).
+        # Zero-phase differs from FluidSynth's IIR in phase only; the
+        # spectral envelope (what test_sf2's similarity metric and ears
+        # compare) matches. Voices with fc >= 19 kHz stay exactly open.
+        freqs = jnp.fft.rfftfreq(d_samples, 1.0 / SAMPLE_RATE)  # [F]
+        x = freqs[None, :] / jnp.maximum(fc_hz, 1.0)[:, None]   # [V, F]
+        q_lin = jnp.clip(10.0 ** (q_cb / 200.0), 0.5, 100.0)[:, None]
+        mag = jax.lax.rsqrt(jnp.square(1.0 - jnp.square(x))
+                            + jnp.square(x / q_lin))
+        mag = jnp.minimum(mag, q_lin)          # cap at the resonance peak
+        mag = jnp.where(fc_hz[:, None] >= 19000.0, 1.0, mag)
+        tiles = jnp.fft.irfft(jnp.fft.rfft(tiles, axis=1) * mag,
+                              n=d_samples, axis=1).astype(jnp.float32)
 
     start_idx = jnp.round(t_start * SAMPLE_RATE).astype(jnp.int32)
     idx = start_idx[:, None] + jnp.arange(d_samples)[None, :]
@@ -138,7 +170,10 @@ class Sf2Renderer:
                         float(v.gain * vel_gain * _MASTER_GAIN),
                         float(v.delay), float(min(v.attack, 4.0)),
                         float(min(v.hold, 4.0)), float(min(v.decay, 8.0)),
-                        float(v.sustain), float(min(v.release, 4.0))))
+                        float(v.sustain), float(min(v.release, 4.0)),
+                        float(v.fc_hz), float(v.filter_q_cb),
+                        float(v.vib_cents), float(v.vib_hz),
+                        float(v.vib_delay)))
         return rows, leftovers
 
     def render_song(self, song: MidiSong, tail: float = 0.5,
@@ -154,15 +189,21 @@ class Sf2Renderer:
         out = np.zeros(n_total, np.float32)
         for c in range(0, len(rows), _CHUNK):
             chunk = rows[c:c + _CHUNK]
-            arr = np.zeros((_CHUNK, 15), np.float32)
+            arr = np.zeros((_CHUNK, 20), np.float32)
+            arr[:, 15] = 20000.0          # padding voices: open filter
+            arr[:, 18] = 8.176
             arr[:len(chunk)] = np.asarray(chunk, np.float32)
-            cols = [jnp.asarray(arr[:, i]) for i in range(15)]
+            cols = [jnp.asarray(arr[:, i]) for i in range(20)]
             loops = cols[4] > 0.5
+            # static gate: fonts with every filter open (e.g. FluidR3's
+            # many unfiltered zones, the additive fixture) skip the fft
+            use_filter = bool((arr[:, 15] < 19000.0).any())
             out += np.asarray(_render_voices(
                 self.bank, cols[0], cols[1], cols[2], cols[3], loops,
                 cols[5], cols[6], cols[7], cols[8], cols[9], cols[10],
-                cols[11], cols[12], cols[13], cols[14],
-                n_total, d_samples))
+                cols[11], cols[12], cols[13], cols[14], cols[15],
+                cols[16], cols[17], cols[18], cols[19],
+                n_total, d_samples, use_filter=use_filter))
         if leftovers:
             fallback = MidiSong()
             fallback.instruments = leftovers

@@ -16,8 +16,11 @@ subset of the SF2.04 spec that determines which PCM gets played and how:
   timecents/centibels, initialAttenuation, coarse/fine tune,
   scaleTuning, sampleModes, overridingRootKey, sampleID, instrument.
   Preset-level generators are ADDITIVE offsets to instrument-level
-  values (spec 9.4); modulators (pmod/imod) are skipped — FluidR3's
-  audible character lives in its samples and envelopes.
+  values (spec 9.4), plus the timbre generators: initialFilterFc/Q
+  (per-voice low-pass with resonance) and the vibrato LFO triple
+  (vibLfoToPitch / freqVibLFO / delayVibLFO). Modulator CHUNKS
+  (pmod/imod) are still skipped — FluidR3's default modulators map
+  controllers we never vary (mod wheel, expression).
 
 Pure stdlib + numpy; no device code here (the renderer owns that).
 """
@@ -35,6 +38,11 @@ G_END_OFF = 1
 G_STARTLOOP_OFF = 2
 G_ENDLOOP_OFF = 3
 G_START_COARSE = 4
+G_VIB_LFO_TO_PITCH = 6
+G_INIT_FILTER_FC = 8
+G_INIT_FILTER_Q = 9
+G_DELAY_VIB_LFO = 23
+G_FREQ_VIB_LFO = 24
 G_DELAY_ENV = 33
 G_ATTACK_ENV = 34
 G_HOLD_ENV = 35
@@ -63,6 +71,11 @@ _DEFAULTS = {
     G_SCALE_TUNING: 100, G_SAMPLE_MODES: 0, G_ROOT_KEY: -1,
     G_START_OFF: 0, G_END_OFF: 0, G_STARTLOOP_OFF: 0, G_ENDLOOP_OFF: 0,
     G_START_COARSE: 0, G_STARTLOOP_COARSE: 0, G_ENDLOOP_COARSE: 0,
+    # low-pass filter (spec 8.1.3: 13500 abs cents ~= 19.9 kHz = open,
+    # Q = 0 cB) and vibrato LFO (0 cents depth, 0 tc -> 8.176 Hz,
+    # -12000 tc delay = instant)
+    G_INIT_FILTER_FC: 13500, G_INIT_FILTER_Q: 0,
+    G_VIB_LFO_TO_PITCH: 0, G_DELAY_VIB_LFO: -12000, G_FREQ_VIB_LFO: 0,
 }
 # generators whose value is one of these is ignored at preset level
 _INST_ONLY = {G_SAMPLE_MODES, G_ROOT_KEY, G_SAMPLE_ID, G_INSTRUMENT,
@@ -72,6 +85,11 @@ _INST_ONLY = {G_SAMPLE_MODES, G_ROOT_KEY, G_SAMPLE_ID, G_INSTRUMENT,
 
 def _timecents_to_s(tc: float) -> float:
     return float(2.0 ** (tc / 1200.0))
+
+
+def _abs_cents_to_hz(c: float) -> float:
+    """Absolute cents -> Hz (spec 8.1.2: 0 abs cents = 8.176 Hz)."""
+    return float(8.176 * 2.0 ** (c / 1200.0))
 
 
 def _cb_to_gain(cb: float) -> float:
@@ -105,6 +123,14 @@ class Voice:
     decay: float
     sustain: float
     release: float
+    # low-pass filter (initialFilterFc/Q): cutoff Hz (>= 19 kHz = open)
+    # and resonance in centibels
+    fc_hz: float = 20000.0
+    filter_q_cb: float = 0.0
+    # vibrato LFO (vibLfoToPitch / freqVibLFO / delayVibLFO)
+    vib_cents: float = 0.0
+    vib_hz: float = 8.176
+    vib_delay: float = 0.0
 
 
 class SoundFont:
@@ -306,7 +332,13 @@ def _make_voice(ieff, peff, p_key, p_vel, shdr) -> Voice | None:
         hold=_timecents_to_s(_gen(ieff, peff, G_HOLD_ENV)),
         decay=_timecents_to_s(_gen(ieff, peff, G_DECAY_ENV)),
         sustain=_cb_to_gain(sus_cb),
-        release=_timecents_to_s(_gen(ieff, peff, G_RELEASE_ENV)))
+        release=_timecents_to_s(_gen(ieff, peff, G_RELEASE_ENV)),
+        fc_hz=min(_abs_cents_to_hz(_gen(ieff, peff, G_INIT_FILTER_FC)),
+                  20000.0),
+        filter_q_cb=max(0.0, float(_gen(ieff, peff, G_INIT_FILTER_Q))),
+        vib_cents=float(_gen(ieff, peff, G_VIB_LFO_TO_PITCH)),
+        vib_hz=_abs_cents_to_hz(_gen(ieff, peff, G_FREQ_VIB_LFO)),
+        vib_delay=_timecents_to_s(_gen(ieff, peff, G_DELAY_VIB_LFO)))
 
 
 def load_sf2(path: str) -> SoundFont:

@@ -461,6 +461,480 @@ OOD_EVAL = [
      "sadness"),
 ]
 
+# Round-3 IMPLICIT tier: ~140 hand-written sentences where the emotion is
+# carried by the SITUATION, not by any feeling word ("his boots are still
+# by the door and nobody can move them" = grief with zero lexical cue).
+# This is the register where the reference's pretrained-DistilBERT world
+# knowledge genuinely outclasses any from-scratch template model — scored
+# and reported honestly as its own metric (ood_implicit), separate from
+# the cue-bearing OOD tier the distillation recipe can actually learn.
+OOD_IMPLICIT = [
+    ("five each way through traffic just to watch her land that routine "
+     "perfectly, worth every mile", "admiration"),
+    ("the carpenter fitted the staircase without a single nail, i could "
+     "watch that craftsmanship for hours", "admiration"),
+    ("he solved in four moves what took the rest of us all evening",
+     "admiration"),
+    ("the nurse kept the whole ward calm through the blackout, what a "
+     "professional", "admiration"),
+    ("that bridge has stood for nine hundred years, the people who built "
+     "it knew exactly what they were doing", "admiration"),
+    ("the goalkeeper saved three penalties in a row, i have never seen "
+     "anything like it", "admiration"),
+    ("the duck kept stealing the dog's biscuits and waddling off, we "
+     "couldn't breathe from laughing", "amusement"),
+    ("my daughter explained very seriously that the moon follows only "
+     "her, i lost it", "amusement"),
+    ("he put both contact lenses in the same eye this morning, comedy "
+     "all day", "amusement"),
+    ("the translation app turned my dinner order into a marriage "
+     "proposal, the waiter and i both cracked", "amusement"),
+    ("grandpa's third retelling of the ferret story gets funnier every "
+     "single year", "amusement"),
+    ("the parrot learned the ringtone and now the whole office keeps "
+     "answering dead phones", "amusement"),
+    ("they towed my car from my own driveway and want two hundred for "
+     "the privilege", "anger"),
+    ("he promised the refund six weeks ago and now he won't answer the "
+     "phone", "anger"),
+    ("somebody let their dog ruin the garden we planted for the school "
+     "and just walked away", "anger"),
+    ("the landlord shut off the heat in january over a dispute he "
+     "invented", "anger"),
+    ("don't you dare tell me to calm down after what you just did",
+     "anger"),
+    ("the upstairs neighbor practices drums at six in the morning, "
+     "every morning", "annoyance"),
+    ("the form needs a stamp from an office that is only open while i "
+     "am at work", "annoyance"),
+    ("he clicks that pen through the entire meeting, every meeting",
+     "annoyance"),
+    ("the app logs me out each time i switch windows and wants the "
+     "password again", "annoyance"),
+    ("the checkout line reopened the moment i finished waiting in the "
+     "other one", "annoyance"),
+    ("the committee's plan to move the market indoors for winter is the "
+     "right call", "approval"),
+    ("charging less for the early bus will get cars off the road, i'm "
+     "for it", "approval"),
+    ("letting the interns present their own work was exactly how it "
+     "should be done", "approval"),
+    ("the new crosswalk by the school was overdue and they placed it "
+     "well", "approval"),
+    ("the referee's decision was harsh but correct, i'll stand by it",
+     "approval"),
+    ("i left the porch light on and a plate in the oven for whenever "
+     "you get in", "caring"),
+    ("the roads ice over after dark, take the early train instead",
+     "caring"),
+    ("she sat with the new kid at lunch all week so he wouldn't eat "
+     "alone", "caring"),
+    ("put my number in your pocket in case the battery dies out there",
+     "caring"),
+    ("i'll cover your shift, go be with your mother", "caring"),
+    ("the invoice says paid, the portal says overdue, and the bank "
+     "shows neither", "confusion"),
+    ("why does the map show the hotel on an island when the booking "
+     "says city center", "confusion"),
+    ("the recipe says fold the mixture but never says into what",
+     "confusion"),
+    ("half the emails say the meeting moved and half say it never "
+     "existed", "confusion"),
+    ("the manual has steps one, two, and five", "confusion"),
+    ("what do the bees do inside the hive all winter, i had to look it "
+     "up at midnight", "curiosity"),
+    ("the attic door has been painted shut for decades and i think "
+     "about it constantly", "curiosity"),
+    ("who keeps leaving a single chess piece on the library windowsill",
+     "curiosity"),
+    ("the radio signal repeats every ninety minutes and nobody knows "
+     "the source", "curiosity"),
+    ("i opened one article about deep sea vents and surfaced three "
+     "hours later", "curiosity"),
+    ("a little stone cottage with a wood stove and no neighbors, that's "
+     "all i think about", "desire"),
+    ("every time the travel photos load i start pricing flights i "
+     "can't book", "desire"),
+    ("the guitar in that shop window has been calling me for months",
+     "desire"),
+    ("one more summer at the lake house like the old ones, i'd trade "
+     "anything", "desire"),
+    ("i keep the brochure for the pottery course under my keyboard",
+     "desire"),
+    ("the sequel threw away everything that made the first one worth "
+     "watching", "disappointment"),
+    ("we drove four hours for the famous viewpoint and it was fogged "
+     "in and fenced off", "disappointment"),
+    ("the internship turned out to be fetching coffee and filing, "
+     "nothing they promised", "disappointment"),
+    ("after the tasting menu hype, dinner was a cold plate and a "
+     "shrug", "disappointment"),
+    ("he didn't even open the present i spent a month making",
+     "disappointment"),
+    ("printing the town budget in a font nobody can read is not "
+     "transparency", "disapproval"),
+    ("they cut the library hours to fund another parking structure, "
+     "wrong priorities", "disapproval"),
+    ("selling the youth field to a billboard company should never have "
+     "passed", "disapproval"),
+    ("docking pay for clocking in two minutes late is petty and "
+     "counterproductive", "disapproval"),
+    ("the coach benched the kid for missing practice during a family "
+     "funeral, that's not discipline", "disapproval"),
+    ("the milk had turned solid and the smell reached me from across "
+     "the kitchen", "disgust"),
+    ("something died inside the wall and the hallway knows it",
+     "disgust"),
+    ("he sneezed into his hand and offered me the same hand to shake",
+     "disgust"),
+    ("the motel mattress had stains i refuse to describe", "disgust"),
+    ("flies were circling the buffet tray before we even sat down",
+     "disgust"),
+    ("i waved back at someone who was waving at the person behind me",
+     "embarrassment"),
+    ("my phone read the private message aloud on the crowded bus at "
+     "full volume", "embarrassment"),
+    ("i gave the toast twice because i forgot i'd already given it",
+     "embarrassment"),
+    ("the teacher used my quiz answer as the example of what not to do",
+     "embarrassment"),
+    ("my card declined in front of the whole queue at the bakery",
+     "embarrassment"),
+    ("the festival lineup dropped and they're headlining the friday "
+     "night", "excitement"),
+    ("keys to the first apartment get handed over tomorrow morning",
+     "excitement"),
+    ("the acceptance letter is sitting in my inbox and i keep "
+     "rereading it", "excitement"),
+    ("boarding passes printed, bags by the door, alarm set for four",
+     "excitement"),
+    ("the demo build goes live tonight and the team is bouncing off "
+     "the walls", "excitement"),
+    ("the ice cracked somewhere under us and the whole lake went quiet",
+     "fear"),
+    ("footsteps kept pace with mine down the empty platform", "fear"),
+    ("the brakes felt soft all the way down the mountain road", "fear"),
+    ("the doctor said the word biopsy and the room tilted", "fear"),
+    ("wind took the tent at two in the morning and we were miles from "
+     "anything", "fear"),
+    ("the stranger chased my rolling suitcase across the terminal and "
+     "missed his own train doing it", "gratitude"),
+    ("my neighbors shoveled the whole drive before my shift ended",
+     "gratitude"),
+    ("she stayed on the phone with me until the tow truck came",
+     "gratitude"),
+    ("the surgeon came out at midnight just to tell us himself",
+     "gratitude"),
+    ("someone turned in my wallet with every bill still inside",
+     "gratitude"),
+    ("his boots are still by the door and nobody can move them",
+     "grief"),
+    ("the first birthday without her, we lit the candles anyway",
+     "grief"),
+    ("i reached for the phone to call dad before i remembered",
+     "grief"),
+    ("the garden went wild this summer, she was the one who kept it",
+     "grief"),
+    ("we scattered the ashes where he taught us to fish", "grief"),
+    ("the whole street came out for the first warm evening and nobody "
+     "wanted to go in", "joy"),
+    ("the baby laughed for the first time and we played it back all "
+     "night", "joy"),
+    ("paid off the last loan payment and danced alone in the kitchen",
+     "joy"),
+    ("the team called my name and the stadium lights felt like "
+     "sunrise", "joy"),
+    ("first snow fell during recess and the classroom emptied in ten "
+     "seconds", "joy"),
+    ("forty years married and he still saves her the window seat",
+     "love"),
+    ("she mailed me her grandmother's ring with a note that said "
+     "you're family now", "love"),
+    ("the dog waits at the gate from five o'clock no matter the "
+     "weather", "love"),
+    ("he learned to braid hair from videos so the mornings would go "
+     "easier for our girl", "love"),
+    ("across the crowded arrivals hall i spotted her before the doors "
+     "even opened", "love"),
+    ("the results post at nine and i have checked the page eleven "
+     "times since eight", "nervousness"),
+    ("my mouth went dry the second they called my row for the oral "
+     "exam", "nervousness"),
+    ("i rewrote the opening line of the speech in the parking garage",
+     "nervousness"),
+    ("the flight board says delayed and the connection window keeps "
+     "shrinking", "nervousness"),
+    ("three interviewers, one chair, and my heartbeat louder than the "
+     "clock", "nervousness"),
+    ("the scans were clear this time and the doctor says the odds keep "
+     "improving", "optimism"),
+    ("the seedlings survived the late frost, it's going to be a good "
+     "season", "optimism"),
+    ("enrollment doubled this year, the little school might make it "
+     "after all", "optimism"),
+    ("the new manager actually listens, this place is going to turn "
+     "around", "optimism"),
+    ("we only lost by one this time, next match is ours", "optimism"),
+    ("the bakery my parents started in a garage turns thirty this "
+     "spring and the line still goes around the block", "pride"),
+    ("i laid every brick of that wall myself and it hasn't moved an "
+     "inch in ten years", "pride"),
+    ("my thesis is on the library shelf with my name on the spine",
+     "pride"),
+    ("the kid i tutored all winter just made the honor roll", "pride"),
+    ("we kept the restaurant open through the worst year on record and "
+     "never cut a single paycheck", "pride"),
+    ("the recipe never worked because the oven runs thirty degrees "
+     "cold, all these years", "realization"),
+    ("looking at the old photos i finally see how young our parents "
+     "were", "realization"),
+    ("the trail markers weren't wrong, we were reading the map upside "
+     "down", "realization"),
+    ("she wasn't ignoring me, my messages never sent", "realization"),
+    ("the house wasn't creaking at night, it was the radiator "
+     "cooling", "realization"),
+    ("the lump turned out to be a cyst, nothing more", "relief"),
+    ("the brakes were fixed an hour before the mountain trip", "relief"),
+    ("my passport was in the other jacket the whole time", "relief"),
+    ("the storm turned north and missed the harvest by a county",
+     "relief"),
+    ("he walked out of the collapsed barn with nothing but a scratch",
+     "relief"),
+    ("i mocked his accent when we were kids and it still makes me "
+     "wince", "remorse"),
+    ("i sold her books when she moved out and she still doesn't know",
+     "remorse"),
+    ("the plant died because i kept promising tomorrow", "remorse"),
+    ("i let them blame the new guy and said nothing", "remorse"),
+    ("i missed the recital for a meeting that got cancelled anyway",
+     "remorse"),
+    ("the swings at the old school are chained up and rusted through",
+     "sadness"),
+    ("the last of her perfume ran out this morning", "sadness"),
+    ("nobody came to the retirement party except the caterer",
+     "sadness"),
+    ("the band broke up the week before i finally had ticket money",
+     "sadness"),
+    ("the lighthouse went automatic and the keeper's window is dark "
+     "now", "sadness"),
+    ("the quiet intern who never spoke won the national fencing title "
+     "over the weekend", "surprise"),
+    ("i opened the cupboard and a cat i do not own was sitting there",
+     "surprise"),
+    ("the lottery numbers matched four of mine before i stopped "
+     "breathing", "surprise"),
+    ("the substitute teacher turned out to be my mother", "surprise"),
+    ("the package i ordered last spring arrived today, in triplicate",
+     "surprise"),
+    ("the ferry docks at slip nine on weekdays", "neutral"),
+    ("the spreadsheet recalculates when you press the function key",
+     "neutral"),
+    ("the paint needs two coats and a day to cure", "neutral"),
+    ("the committee meets on the first tuesday of each month",
+     "neutral"),
+    ("the trailhead is two miles past the second bridge", "neutral"),
+    ("the contract renews automatically unless cancelled in writing",
+     "neutral"),
+]
+
+# Round-3 cue-bearing expansion (VERDICT r2 #2d): ~100 more sentences in
+# the ORIGINAL OOD_EVAL style — an explicit emotion cue (feeling word or
+# conventional idiom) buried among unseen content words — so the primary
+# OOD metric stops moving 2 points per sentence. Free text, hand-written,
+# never generated from the templates.
+OOD_EVAL_CUE = [
+    ("the way the old watchmaker trued that balance wheel was masterful",
+     "admiration"),
+    ("her closing argument left the whole courtroom in awe", "admiration"),
+    ("the apprentice's first violin already sounds remarkable",
+     "admiration"),
+    ("honestly the drone footage from the cave dive was stunning",
+     "admiration"),
+    ("the intern's joke about the fire drill had the whole floor "
+     "giggling into their coffee", "amusement"),
+    ("the blooper reel from the school play is hilarious", "amusement"),
+    ("his impression of the gps voice cracked the entire carpool up",
+     "amusement"),
+    ("the seagull stealing the mayor's speech notes was comical",
+     "amusement"),
+    ("the warranty people hung up on me twice and now i'm furious",
+     "anger"),
+    ("seeing the bulldozers in the orchard made my blood boil", "anger"),
+    ("he scratched the rental and blamed me, i am livid", "anger"),
+    ("the tow yard wanted cash only and i lost my temper at the window",
+     "anger"),
+    ("the printer jamming on page ninety-nine of a hundred is so "
+     "irritating", "annoyance"),
+    ("the hold music cutting to a survey every four minutes is "
+     "infuriatingly tedious", "annoyance"),
+    ("his humming through the whole exam was grating", "annoyance"),
+    ("the autocorrect keeps changing the client's name, so aggravating",
+     "annoyance"),
+    ("moving the recycling bins to the alley was a sensible call",
+     "approval"),
+    ("the tutor's plan to start with fractions makes sense to me",
+     "approval"),
+    ("switching the fleet to night charging was the right call",
+     "approval"),
+    ("the board endorsing the apprenticeship scheme gets my full "
+     "support", "approval"),
+    ("i tucked a blanket and a flashlight in your trunk, drive safely",
+     "caring"),
+    ("she walks the widower's dog every morning just to check in on "
+     "him", "caring"),
+    ("wear the thick gloves on the scaffold today, i worry about you",
+     "caring"),
+    ("i kept your dinner warm in the oven, rest first", "caring"),
+    ("the timetable lists two platform nines and i'm completely "
+     "baffled", "confusion"),
+    ("the assembly diagram shows screws the kit doesn't contain, i "
+     "can't make heads or tails of it", "confusion"),
+    ("the grading rubric contradicts the syllabus and i'm lost",
+     "confusion"),
+    ("wait, the invoice is dated next year? i'm so mixed up", "confusion"),
+    ("what's actually inside the weather balloon payload? dying to "
+     "know", "curiosity"),
+    ("the sealed wing of the archive has me endlessly intrigued",
+     "curiosity"),
+    ("i'm so curious how the magician got the bowl under the hat",
+     "curiosity"),
+    ("the unlabeled switch in the basement fascinates me", "curiosity"),
+    ("i'm aching for one of those canal houses with the crooked "
+     "shutters", "desire"),
+    ("a workshop of my own with a lathe is all i crave", "desire"),
+    ("i yearn for the long train ride north every autumn", "desire"),
+    ("that espresso machine is on my wishlist before anything else",
+     "desire"),
+    ("the museum's famous hall was closed for cleaning, what a letdown",
+     "disappointment"),
+    ("the playoff ended on a forfeit, deeply anticlimactic",
+     "disappointment"),
+    ("the heirloom tomatoes came out bland this year, such a "
+     "disappointment", "disappointment"),
+    ("the keynote was a forty-minute ad, i expected better",
+     "disappointment"),
+    ("renting out the fire lane for food trucks is out of line",
+     "disapproval"),
+    ("i frown upon auctioning the school's telescope to cover "
+     "catering", "disapproval"),
+    ("padding the minutes before the vote was poor form", "disapproval"),
+    ("skimming tips from the jar is not okay and the manager knows it",
+     "disapproval"),
+    ("the gym towels smelled so rancid i gagged at the door", "disgust"),
+    ("the crawlspace was slick with something foul, utterly revolting",
+     "disgust"),
+    ("finding the mouse nest in the breadbox made my stomach turn",
+     "disgust"),
+    ("the fridge at the office is repugnant by friday", "disgust"),
+    ("i introduced the groom by the ex's name, i was mortified",
+     "embarrassment"),
+    ("my notes blew off the podium mid-speech and i went red in the "
+     "face", "embarrassment"),
+    ("tripping over the cat in front of the inspectors was humiliating",
+     "embarrassment"),
+    ("the hiccups started during my own wedding vows, so cringeworthy",
+     "embarrassment"),
+    ("the seed catalog came and i'm buzzing for planting season",
+     "excitement"),
+    ("launch night for the observatory is tomorrow and i'm thrilled to "
+     "bits", "excitement"),
+    ("we got the permits for the rooftop garden, i'm so pumped",
+     "excitement"),
+    ("the twins start walking tours with us in june, i can hardly "
+     "wait", "excitement"),
+    ("the scaffolding swayed in the gusts and i was petrified", "fear"),
+    ("headlights died on the pass road and dread took over", "fear"),
+    ("the growl from the treeline froze me solid with terror", "fear"),
+    ("the elevator dropped half a floor and my heart pounded for an "
+     "hour", "fear"),
+    ("the stranger who jumped the fence to save our hens, i can't "
+     "thank him enough", "gratitude"),
+    ("so thankful the pharmacist stayed late for grandma's "
+     "prescription", "gratitude"),
+    ("much obliged to whoever salted the clinic steps before dawn",
+     "gratitude"),
+    ("the volunteers rebuilt the pier for nothing, we're deeply "
+     "grateful", "gratitude"),
+    ("we're in mourning for the orchard keeper who taught us grafting",
+     "grief"),
+    ("the choir sang her favorite hymn at the memorial and we wept",
+     "grief"),
+    ("his workshop still smells of cedar and the heartache won't "
+     "lift", "grief"),
+    ("a year of condolence cards still sits unopened on the piano",
+     "grief"),
+    ("the lambs raced the fence line at dawn and i was beaming", "joy"),
+    ("pure bliss, the first swim of summer off the old dock", "joy"),
+    ("the whole terrace burst with laughter when the lights came on",
+     "joy"),
+    ("grinning ear to ear since the adoption papers cleared", "joy"),
+    ("the lighthouse keeper leaves love notes in the logbook for his "
+     "wife", "love"),
+    ("i'm smitten with the baker who saves me the last rye", "love"),
+    ("my darling still waltzes me around the kitchen on sundays",
+     "love"),
+    ("head over heels since the night the power went out and we "
+     "talked till dawn", "love"),
+    ("pacing the corridor with sweaty palms before the bar results",
+     "nervousness"),
+    ("my stomach is in knots over the customs inspection", "nervousness"),
+    ("on pins and needles until the surgeon calls back", "nervousness"),
+    ("the recital starts in ten and the kid's got stage fright, me "
+     "too honestly", "nervousness"),
+    ("the wells came back clean, brighter days ahead for the village",
+     "optimism"),
+    ("the cast comes off friday, it will all work out", "optimism"),
+    ("glass half full, the late frost spared the vines", "optimism"),
+    ("new sponsors, new kits, hope springs for the sunday league",
+     "optimism"),
+    ("i passed the welding certification on the first try, proud "
+     "doesn't cover it", "pride"),
+    ("she defended the thesis in a borrowed suit and stood tall",
+     "pride"),
+    ("the bridge i helped rivet turned fifty, my chest swells every "
+     "crossing", "pride"),
+    ("our scrappy choir took gold at regionals, beaming with pride",
+     "pride"),
+    ("the penny dropped, the ledger was off by the exchange rate all "
+     "along", "realization"),
+    ("it dawned on me the birds weren't lost, i was", "realization"),
+    ("the aha moment came in the shower, the valve was backwards",
+     "realization"),
+    ("connecting the dots, the leak only happens when the neighbors "
+     "water", "realization"),
+    ("the all clear siren sounded and the whole shelter exhaled",
+     "relief"),
+    ("what a weight off, the deed was notarized after all", "relief"),
+    ("crisis averted, the generator caught before the incubators "
+     "cooled", "relief"),
+    ("thank goodness the brakes were checked before the school run",
+     "relief"),
+    ("i regret selling the piano before asking my sister", "remorse"),
+    ("forgive me, i repeated what you told me in confidence", "remorse"),
+    ("it weighs on my conscience that i skipped the farewell shift",
+     "remorse"),
+    ("i owe the doorman an apology for last tuesday", "remorse"),
+    ("the empty aviary makes the courtyard feel gloomy", "sadness"),
+    ("a heavy heart since the ferry route was cancelled", "sadness"),
+    ("the last letter came back unopened and i've been tearful since",
+     "sadness"),
+    ("the carousel horses went to auction and i'm downcast", "sadness"),
+    ("the shy librarian was the anonymous donor all along, jaw "
+     "dropped", "surprise"),
+    ("out of the blue the landlord forgave the back rent", "surprise"),
+    ("the missing cat strolled in after two winters, we were "
+     "speechless", "surprise"),
+    ("plot twist, the rival bakery catered our anniversary for free",
+     "surprise"),
+    ("the shuttle departs from bay twelve on the quarter hour",
+     "neutral"),
+    ("the ledger closes on the last business day of the month",
+     "neutral"),
+    ("the greenhouse vents open automatically above twenty degrees",
+     "neutral"),
+    ("the manual says to torque the bolts in a star pattern", "neutral"),
+]
+
 
 def _variants(kw: str) -> list[str]:
     """Cheap morphological variants for single alphabetic words."""
@@ -632,6 +1106,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
                                          phrase_templates[2:])
 
     train_x, train_y = [], []
+    train_cues: list[str] = []   # per-train-example cue span ("" = none)
     eval_x, eval_y = [], []
     uf_x, uf_y = [], []
     for label, forms in banks.items():
@@ -641,7 +1116,8 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         unseen_forms, train_forms = forms[:n_uf], forms[n_uf:]
         lid = label2id[label]
 
-        def emit(n, temps, ptemps, bank, xs, ys, augment=False):
+        def emit(n, temps, ptemps, bank, xs, ys, augment=False,
+                 cues=None):
             for _ in range(n):
                 kw = rng.choice(bank)
                 if label == "neutral":
@@ -673,9 +1149,13 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
                     text = _word_substitute(text, rng, pool, keep=kw)
                 xs.append(text)
                 ys.append(lid)
+                if cues is not None:
+                    # neutral bank entries are whole sentences, not cue
+                    # spans — span supervision treats them as cue-free
+                    cues.append("" if label == "neutral" else kw)
 
         emit(n_per_label, train_templates, train_ptemplates, train_forms,
-             train_x, train_y, augment=True)
+             train_x, train_y, augment=True, cues=train_cues)
         emit(max(8, n_per_label // 8), eval_templates, eval_ptemplates,
              train_forms, eval_x, eval_y)
         emit(max(8, n_per_label // 16), eval_templates, eval_ptemplates,
@@ -704,6 +1184,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
             text = _word_substitute(text, rng, pool)
         train_x.append(text)
         train_y.append(nid)
+        train_cues.append("")
 
     # bare-keyword templates ("{kw}") and neutral full-sentence banks can
     # reproduce a train text verbatim in eval; drop those pairs so the eval
@@ -713,12 +1194,20 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
                            if x not in seen]) if eval_x else ([], [])
     uf_x, uf_y = zip(*[(x, y) for x, y in zip(uf_x, uf_y)
                        if x not in seen]) if uf_x else ([], [])
-    ood_x = [t for t, _ in OOD_EVAL]
-    ood_y = [label2id[l] for _, l in OOD_EVAL]
+    # two OOD tiers (r2: one 56-sentence set): cue-bearing (the primary
+    # metric — an explicit cue buried in unseen context, 164 sentences)
+    # and implicit (situation-only, no feeling words — the pretrained-LM
+    # frontier, reported honestly as its own number)
+    ood_full = OOD_EVAL + OOD_EVAL_CUE
+    ood_x = [t for t, _ in ood_full]
+    ood_y = [label2id[l] for _, l in ood_full]
     return {"train": (train_x, train_y),
+            "train_cues": train_cues,
             "eval": (list(eval_x), list(eval_y)),
             "eval_unseen_forms": (list(uf_x), list(uf_y)),
-            "ood": (ood_x, ood_y)}
+            "ood": (ood_x, ood_y),
+            "ood_implicit": ([t for t, _ in OOD_IMPLICIT],
+                             [label2id[l] for _, l in OOD_IMPLICIT])}
 
 
 def tokenizer_corpus(train_texts: list[str]) -> list[str]:

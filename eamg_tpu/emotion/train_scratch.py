@@ -48,13 +48,25 @@ class ScratchSpec:
     label_smoothing: float = 0.05
     pool: str = "cls"
     piece_dropout: float = 0.15  # P(word -> random stem split) in training
+    # Cue-span suppression (pool="max" only): weight of the auxiliary
+    # penalty on NON-cue tokens' positive non-neutral logits. The corpus
+    # knows each example's cue span by construction (distill_data
+    # train_cues); untrained context words at eval time can then no
+    # longer spike a spurious label through the max — the top remaining
+    # OOD failure mode of the plain max-pool model. 0 disables.
+    cue_suppress: float = 0.0
 
 
-def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0):
-    enc = [tok.encode(t, max_length, rng=rng, piece_dropout=piece_dropout)
-           for t in texts]
-    return (np.stack([e["input_ids"] for e in enc]),
-            np.stack([e["attention_mask"] for e in enc]))
+def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0,
+                cues=None):
+    enc = [tok.encode(t, max_length, rng=rng, piece_dropout=piece_dropout,
+                      cue=cues[i] if cues is not None else None)
+           for i, t in enumerate(texts)]
+    out = (np.stack([e["input_ids"] for e in enc]),
+           np.stack([e["attention_mask"] for e in enc]))
+    if cues is not None:
+        return out + (np.stack([e["cue_mask"] for e in enc]),)
+    return out
 
 
 def _accuracy(params, cfg, tok, texts, labels, max_length, batch=256,
@@ -104,16 +116,35 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
     optimizer = optax.adamw(schedule, weight_decay=spec.weight_decay)
     opt_state = optimizer.init(params)
 
+    suppress = spec.cue_suppress if spec.pool == "max" else 0.0
+    neutral_id = {v: k for k, v in ID2LABEL.items()}["neutral"]
+
     @jax.jit
-    def step(params, opt_state, ids, mask, labels):
+    def step(params, opt_state, ids, mask, labels, cue_mask):
         def loss_fn(p):
-            logits = db.forward(p, ids, mask, cfg)
+            if suppress:
+                tok = db.forward_token_logits(p, ids, mask, cfg)
+                neg = jnp.finfo(tok.dtype).min
+                logits = jnp.max(
+                    jnp.where(mask[..., None] > 0, tok, neg), axis=1)
+            else:
+                logits = db.forward(p, ids, mask, cfg)
             logp = jax.nn.log_softmax(logits, axis=-1)
             onehot = jax.nn.one_hot(labels, cfg.num_labels)
             sm = spec.label_smoothing
             target = onehot * (1 - sm) + sm / cfg.num_labels
             loss = -jnp.mean(jnp.sum(target * logp, axis=-1))
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            if suppress:
+                # non-cue, non-pad tokens must not spike any non-neutral
+                # label: squared hinge on their positive logits. Neutral
+                # is exempt (cue-free sentences ARE neutral evidence).
+                non_cue = (mask > 0) & (cue_mask == 0)
+                cls_w = jnp.ones((cfg.num_labels,)).at[neutral_id].set(0.0)
+                pen = jnp.square(jax.nn.relu(tok)) * cls_w
+                pen = jnp.sum(pen * non_cue[..., None]) / \
+                    jnp.maximum(jnp.sum(non_cue), 1)
+                loss = loss + suppress * pen
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -129,17 +160,21 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
     n = len(train_x)
     # pad the tail batch so one compiled program covers every step
     loss = acc = 0.0
+    cues = data.get("train_cues") if suppress else None
     for epoch in range(spec.epochs):
         # re-encode each epoch: piece_dropout re-samples stem splits, so
         # stem-piece embeddings see many (stem, ##suffix) routings
-        ids, mask = _encode_all(tok, train_x, spec.max_length, rng=enc_rng,
-                                piece_dropout=spec.piece_dropout)
+        enc = _encode_all(tok, train_x, spec.max_length, rng=enc_rng,
+                          piece_dropout=spec.piece_dropout, cues=cues)
+        ids, mask = enc[0], enc[1]
+        cue_m = enc[2] if cues is not None else np.zeros_like(mask)
         order = rng.permutation(n)
         for s in range(0, n - spec.batch + 1, spec.batch):
             sel = order[s:s + spec.batch]
             params, opt_state, loss, acc = step(
                 params, opt_state, jnp.asarray(ids[sel]),
-                jnp.asarray(mask[sel]), jnp.asarray(labels[sel]))
+                jnp.asarray(mask[sel]), jnp.asarray(labels[sel]),
+                jnp.asarray(cue_m[sel]))
         ev = _accuracy(params, cfg, tok, *data["eval"], spec.max_length)
         log_fn(f"[distill] epoch {epoch + 1}/{spec.epochs}: "
                f"train_loss={float(loss):.4f} "
@@ -162,6 +197,13 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
         "ood_top3_distilbert": _accuracy(params, cfg, tok, *data["ood"],
                                          spec.max_length, top_k=3),
         "ood_acc_lexicon": _lexicon_accuracy(*data["ood"]),
+        # situation-only sentences, no feeling words: the pretrained-LM
+        # frontier (distill_data.OOD_IMPLICIT) — honest separate metric
+        "ood_implicit_acc": _accuracy(
+            params, cfg, tok, *data["ood_implicit"], spec.max_length),
+        "ood_implicit_top3": _accuracy(
+            params, cfg, tok, *data["ood_implicit"], spec.max_length,
+            top_k=3),
         "n_train": n, "vocab_size": len(vocab),
         "params": int(sum(np.prod(x.shape)
                           for x in jax.tree.leaves(params))),

@@ -71,6 +71,24 @@ def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
     targets, Scripts/finetuneDistillBert.ipynb cell 8); lora_scale =
     alpha/r (16/8 = 2 for the reference recipe).
     """
+    return _forward_impl(params, ids, attention_mask, cfg, lora,
+                         lora_scale)
+
+
+def forward_token_logits(params: dict, ids: jax.Array,
+                         attention_mask: jax.Array,
+                         cfg: DistilBertConfig) -> jax.Array:
+    """[B, T, num_labels] PER-TOKEN label logits (pool='max' models only:
+    the head before the masked max). The max-pool trainer's cue-span
+    suppression loss reads these; ``forward`` == masked max over dim 1.
+    NOT jitted — call inside your own jit (the trainer does)."""
+    assert cfg.pool == "max"
+    return _forward_impl(params, ids, attention_mask, cfg, None, 2.0,
+                         token_logits=True)
+
+
+def _forward_impl(params, ids, attention_mask, cfg, lora=None,
+                  lora_scale=2.0, token_logits=False):
     B, T = ids.shape
     x = (params["word_emb"][ids]
          + params["pos_emb"][jnp.arange(T)][None])
@@ -102,6 +120,21 @@ def forward(params: dict, ids: jax.Array, attention_mask: jax.Array,
         x = _ln(x + _lin(h, p["lin2"]), p["out_ln"]["g"], p["out_ln"]["b"],
                 cfg.ln_eps)
 
+    if cfg.pool == "max":
+        # cue-detector head: per-token label logits, masked max over
+        # positions. Long noun-heavy contexts can't dilute a trained cue
+        # phrase — the strongest token-local evidence wins regardless of
+        # sentence length (the top OOD failure mode of CLS pooling:
+        # "the contractor took our deposit and never showed, i am fuming"
+        # drowned the cue in unseen content words).
+        h = jax.nn.relu(_lin(x, params["pre_classifier"]))
+        tok_logits = _lin(h, params["classifier"])          # [B, T, L]
+        if token_logits:
+            return tok_logits
+        neg = jnp.finfo(tok_logits.dtype).min
+        m = attention_mask[..., None] > 0
+        return jnp.max(jnp.where(m, tok_logits, neg), axis=1)
+    assert not token_logits, "token logits need pool='max'"
     if cfg.pool == "mean":
         w = attention_mask[..., None].astype(x.dtype)
         pooled = jnp.sum(x * w, axis=1) / jnp.maximum(
@@ -315,13 +348,33 @@ class WordPieceTokenizer:
         return out
 
     def encode(self, text: str, max_length: int = 128, rng=None,
-               piece_dropout: float = 0.0) -> dict:
-        """-> {"input_ids": [T], "attention_mask": [T]} padded to
-        max_length, truncated with [CLS]/[SEP] preserved. rng +
-        piece_dropout > 0 enables training-time subword regularization."""
-        toks = (self.tokenize_dropout(text, rng, piece_dropout)
-                if rng is not None and piece_dropout > 0
-                else self.tokenize(text))[:max_length - 2]
+               piece_dropout: float = 0.0, cue: str | None = None) -> dict:
+        """-> {"input_ids": [T], "attention_mask": [T][, "cue_mask"]}
+        padded to max_length, truncated with [CLS]/[SEP] preserved. rng +
+        piece_dropout > 0 enables training-time subword regularization.
+        ``cue`` (a space-separated word span) adds a per-token 0/1
+        "cue_mask" marking the pieces of cue words — the span supervision
+        the max-pool trainer uses to suppress spurious context spikes."""
+        if cue is None:
+            toks = (self.tokenize_dropout(text, rng, piece_dropout)
+                    if rng is not None and piece_dropout > 0
+                    else self.tokenize(text))[:max_length - 2]
+            flags = None
+        else:
+            protected = {w for cw in cue.split()
+                         for w in self._basic(cw)}
+            toks, flags = [], []
+            for word in self._basic(text):
+                if rng is not None and piece_dropout > 0 \
+                        and len(word) >= 5 and word in self.vocab \
+                        and rng.random() < piece_dropout:
+                    pieces = self._random_split(word, rng)
+                else:
+                    pieces = self._wordpiece(word)
+                toks.extend(pieces)
+                flags.extend([word in protected] * len(pieces))
+            toks = toks[:max_length - 2]
+            flags = [False] + flags[:max_length - 2] + [False]
         toks = [self.cls] + toks + [self.sep]
         ids = [self.vocab.get(t, self.vocab.get(self.unk, 0)) for t in toks]
         mask = [1] * len(ids)
@@ -329,5 +382,9 @@ class WordPieceTokenizer:
         while len(ids) < max_length:
             ids.append(pad_id)
             mask.append(0)
-        return {"input_ids": np.asarray(ids, np.int32),
-                "attention_mask": np.asarray(mask, np.int32)}
+        out = {"input_ids": np.asarray(ids, np.int32),
+               "attention_mask": np.asarray(mask, np.int32)}
+        if flags is not None:
+            flags = flags + [False] * (max_length - len(flags))
+            out["cue_mask"] = np.asarray(flags[:max_length], np.int32)
+        return out

@@ -64,13 +64,31 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, str]:
 
 
 
+# request hardening (fuzz contract: malformed input -> 4xx, never 500)
+MAX_BODY_BYTES = 2 << 20        # 2 MiB: far above any legitimate form
+MAX_PROMPT_CHARS = 20_000       # free-text prompts are sentences
+
+
+def _num(fields, key, default, conv):
+    """Parse a numeric form field; ValueError carries the field name so
+    the 422 body tells the client what was malformed."""
+    raw = fields.get(key)
+    if raw is None or raw == "":
+        return default
+    try:
+        return conv(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"form field {key!r} must be a number, "
+                         f"got {raw[:40]!r}") from None
+
+
 def _parse_penalties(fields):
     """repetition_penalty / frequency_penalty / presence_penalty form
     fields -> (rep, freq, pres) tuple, or None when all absent/neutral
     (None keeps the penalty-free compiled programs)."""
-    rep = float(fields.get("repetition_penalty", 1.0))
-    freq = float(fields.get("frequency_penalty", 0.0))
-    pres = float(fields.get("presence_penalty", 0.0))
+    rep = _num(fields, "repetition_penalty", 1.0, float)
+    freq = _num(fields, "frequency_penalty", 0.0, float)
+    pres = _num(fields, "presence_penalty", 0.0, float)
     if (rep, freq, pres) == (1.0, 0.0, 0.0):
         return None
     return (rep, freq, pres)
@@ -89,7 +107,7 @@ def _parse_ngram(fields) -> int:
     value is one compiled program — the bound keeps a hostile client from
     forcing unbounded fresh compiles (minutes each on the remote-compile
     helper); values above 8 ban essentially nothing anyway."""
-    n = int(fields.get("no_repeat_ngram", 0))
+    n = _num(fields, "no_repeat_ngram", 0, int)
     if n < 0 or n > 8:
         raise ValueError("no_repeat_ngram must be in [0, 8]")
     return n
@@ -223,17 +241,36 @@ class EAMGHandler(BaseHTTPRequestHandler):
 
     def _generate(self, parsed):
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
+            # body hardening: malformed framing/encoding -> 400, oversize
+            # -> 413, bad field values -> 422; a fuzzer must never see 500
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length > MAX_BODY_BYTES:
+                self._json(413, {"error": "request body too large"})
+                return
+            body = self.rfile.read(max(length, 0))
             ctype = self.headers.get("Content-Type", "")
-            if ctype.startswith("multipart/form-data"):
-                fields = _parse_multipart(body, ctype)
-            else:
-                fields = {k: v[0] for k, v in
-                          urllib.parse.parse_qs(body.decode()).items()}
+            try:
+                if ctype.startswith("multipart/form-data"):
+                    fields = _parse_multipart(body, ctype)
+                else:
+                    fields = {k: v[0] for k, v in
+                              urllib.parse.parse_qs(
+                                  body.decode()).items()}
+            except Exception:
+                self._json(400, {"error": "malformed request body"})
+                return
             prompt = fields.get("prompt", "")
             if not prompt:
                 self._json(422, {"error": "form field 'prompt' required"})
+                return
+            if len(prompt) > MAX_PROMPT_CHARS:
+                self._json(422, {"error": f"prompt too long "
+                                          f"(max {MAX_PROMPT_CHARS} "
+                                          f"chars)"})
                 return
             qs = urllib.parse.parse_qs(parsed.query)
             fmt = qs.get("format", [fields.get("format", "wav")])[0]
@@ -247,8 +284,19 @@ class EAMGHandler(BaseHTTPRequestHandler):
                                                               "yes")
             stream = qs.get("stream", [fields.get("stream", "")])[0] \
                 .lower() in ("1", "true", "yes")
+            # validate EVERY numeric field up front: a malformed value
+            # must 422 before any work (and before a stream's 200 header
+            # is committed)
             try:
-                _parse_ngram(fields)
+                sampling = dict(
+                    temperature=_num(fields, "temperature", 1.0, float),
+                    top_k=_num(fields, "top_k", 50, int),
+                    top_p=_num(fields, "top_p", 1.0, float),
+                    min_p=_num(fields, "min_p", 0.0, float),
+                    penalties=_parse_penalties(fields),
+                    no_repeat_ngram=_parse_ngram(fields),
+                    grammar=_parse_grammar(fields),
+                    seed=_num(fields, "seed", None, int))
             except ValueError as exc:
                 self._json(422, {"error": str(exc)})
                 return
@@ -259,23 +307,15 @@ class EAMGHandler(BaseHTTPRequestHandler):
                                           "(whole-block speculation)"})
                 return
             if stream:
-                self._stream_generate(prompt, fields, fmt, sections,
-                                      seed, t_start)
+                self._stream_generate(prompt, sampling, fmt, sections,
+                                      t_start)
                 return
             gen_fn = (self.pipeline.generate_sections if sections
                       else self.pipeline.generate)
             try:
                 result = gen_fn(
-                    prompt,
-                    temperature=float(fields.get("temperature", 1.0)),
-                    top_k=int(fields.get("top_k", 50)),
-                    top_p=float(fields.get("top_p", 1.0)),
-                    min_p=float(fields.get("min_p", 0.0)),
-                    penalties=_parse_penalties(fields),
-                    no_repeat_ngram=_parse_ngram(fields),
-                    grammar=_parse_grammar(fields),
-                    seed=int(seed) if seed is not None else None,
-                    render_audio=fmt == "wav", lookup=lookup)
+                    prompt, render_audio=fmt == "wav", lookup=lookup,
+                    **sampling)
             except ValueError as exc:
                 # invalid request composition (e.g. lookup + grammar, or
                 # lookup on a reference-quirk checkpoint)
@@ -307,12 +347,14 @@ class EAMGHandler(BaseHTTPRequestHandler):
         except Exception as exc:  # pragma: no cover - defensive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-    def _stream_generate(self, prompt, fields, fmt, sections, seed,
-                         t_start):
+    def _stream_generate(self, prompt, sampling, fmt, sections, t_start):
         """``POST /generate?stream=1`` -> Server-Sent Events: meta /
         token-delta events as compiled chunks complete, then a final done
         event with the MIDI (and WAV) as base64 (pipeline.generate_stream).
-        The reference's client saw nothing until the full WAV arrived."""
+        The reference's client saw nothing until the full WAV arrived.
+        ``sampling`` arrives pre-validated from _generate (fuzz contract:
+        a malformed numeric field 422s before the 200 event-stream
+        header is committed)."""
         import time as _time
 
         # decide overload BEFORE committing to a 200 event-stream (a race
@@ -326,12 +368,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
         batcher = getattr(self.pipeline, "batcher", None)
         if isinstance(batcher, ContinuousBatcher) \
                 and batcher.accepts(
-                    top_k=int(fields.get("top_k", 50)),
-                    top_p=float(fields.get("top_p", 1.0)),
-                    min_p=float(fields.get("min_p", 0.0)),
-                    penalties=_parse_penalties(fields),
-                    no_repeat_ngram=_parse_ngram(fields),
-                    grammar=_parse_grammar(fields)) \
+                    top_k=sampling["top_k"], top_p=sampling["top_p"],
+                    min_p=sampling["min_p"],
+                    penalties=sampling["penalties"],
+                    no_repeat_ngram=sampling["no_repeat_ngram"],
+                    grammar=sampling["grammar"]) \
                 and batcher.overloaded():
             batcher.stats["rejected"] += 1
             self._send(503, json.dumps(
@@ -346,16 +387,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
         n_tokens = 0
         label = ""
         stream = self.pipeline.generate_stream(
-            prompt,
-            temperature=float(fields.get("temperature", 1.0)),
-            top_k=int(fields.get("top_k", 50)),
-            top_p=float(fields.get("top_p", 1.0)),
-            min_p=float(fields.get("min_p", 0.0)),
-            penalties=_parse_penalties(fields),
-            no_repeat_ngram=_parse_ngram(fields),
-            grammar=_parse_grammar(fields),
-            seed=int(seed) if seed is not None else None,
-            render_audio=fmt == "wav", sections=sections)
+            prompt, render_audio=fmt == "wav", sections=sections,
+            **sampling)
         try:
             for ev in stream:
                 if ev["event"] == "done":

@@ -63,6 +63,7 @@ def build_test_sf2() -> bytes:
 
     # --- instruments: zones are (keyRange?, sampleModes, sampleID)
     G_ATTACK, G_KEYRANGE, G_MODES, G_SID, G_INST = 34, 43, 54, 53, 41
+    G_VIB2PITCH, G_FILTER_FC, G_VIBFREQ = 6, 8, 24
 
     def gen(oper, amount):
         return struct.pack("<Hh", oper, amount) if amount < 0 \
@@ -74,21 +75,36 @@ def build_test_sf2() -> bytes:
     # 1200*log2(0.18) ~= -2969), then the sample zone
     igen1_glob = gen(G_ATTACK, -2969)
     igen1 = gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1) + gen(G_SID, 1)
+    # inst 2 (filtered saw): initialFilterFc ~1 kHz
+    # (1200*log2(1000/8.176) ~= 8321 absolute cents)
+    igen2 = (gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1)
+             + gen(G_FILTER_FC, 8321) + gen(G_SID, 1))
+    # inst 3 (vibrato sine): 50-cent vibrato at ~5 Hz
+    # (freqVibLFO = 1200*log2(5/8.176) ~= -851 absolute cents)
+    igen3 = (gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1)
+             + gen(G_VIB2PITCH, 50) + gen(G_VIBFREQ, -851)
+             + gen(G_SID, 0))
 
-    igen = igen0 + igen1_glob + igen1
+    igen = igen0 + igen1_glob + igen1 + igen2 + igen3
     # ibag: zone -> first gen index (each gen record is 4 bytes)
     ibag = b"".join(struct.pack("<HH", g, 0)
-                    for g in (0, 3, 4, 7))  # inst0-z0, GLOB, inst1-z0, EOZ
+                    for g in (0, 3, 4, 7, 11, 16))
+    # zones: inst0-z0, GLOB, inst1-z0, inst2-z0, inst3-z0, EOZ
     inst = (struct.pack("<20sH", b"sine-inst", 0)
             + struct.pack("<20sH", b"saw-inst", 1)   # bags 1..2 (GLOB+zone)
-            + struct.pack("<20sH", b"EOI", 3))
+            + struct.pack("<20sH", b"filt-inst", 3)
+            + struct.pack("<20sH", b"vib-inst", 4)
+            + struct.pack("<20sH", b"EOI", 5))
 
     # --- presets
-    pgen = gen(G_INST, 0) + gen(G_INST, 1)
-    pbag = b"".join(struct.pack("<HH", g, 0) for g in (0, 1, 2))
+    pgen = (gen(G_INST, 0) + gen(G_INST, 1) + gen(G_INST, 2)
+            + gen(G_INST, 3))
+    pbag = b"".join(struct.pack("<HH", g, 0) for g in (0, 1, 2, 3, 4))
     phdr = (struct.pack("<20sHHHIII", b"sine-preset", 0, 0, 0, 0, 0, 0)
             + struct.pack("<20sHHHIII", b"saw-preset", 40, 0, 1, 0, 0, 0)
-            + struct.pack("<20sHHHIII", b"EOP", 0, 0, 2, 0, 0, 0))
+            + struct.pack("<20sHHHIII", b"filt-preset", 41, 0, 2, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"vib-preset", 42, 0, 3, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"EOP", 0, 0, 4, 0, 0, 0))
 
     pmod = imod = b"\0" * 10      # terminal modulator records only
 

@@ -31,7 +31,14 @@ def test_make_corpus_splits_are_disjoint_pairs():
     # eval sentences use held-out templates: no exact overlap with train
     assert not set(eval_x) & set(train_x)
     assert len(data["eval_unseen_forms"][0]) > 0
-    assert len(data["ood"][0]) == len(OOD_EVAL)
+    from eamg_tpu.emotion.distill_data import OOD_EVAL_CUE, OOD_IMPLICIT
+
+    assert len(data["ood"][0]) == len(OOD_EVAL) + len(OOD_EVAL_CUE)
+    assert len(data["ood_implicit"][0]) == len(OOD_IMPLICIT)
+    # span supervision: one cue per train example, "" for cue-free
+    assert len(data["train_cues"]) == len(train_x)
+    assert any(c == "" for c in data["train_cues"])
+    assert any(c and c in t for c, t in zip(data["train_cues"], train_x))
 
 
 def test_make_corpus_deterministic():

@@ -34,7 +34,7 @@ def _song(program, pitch, dur, is_drum=False, velocity=100):
 
 
 def test_parse_presets_and_voices(sf):
-    assert set(sf.presets) == {(0, 0), (0, 40)}
+    assert set(sf.presets) == {(0, 0), (0, 40), (0, 41), (0, 42)}
     (v,) = sf.lookup(0, 0, 69, 100)
     assert v.root_key == 69 and v.loops and v.src_rate == RATE
     assert (v.key_lo, v.key_hi) == (0, 127)
@@ -134,3 +134,105 @@ def test_render_to_wav_method(renderer, tmp_path):
     out = tmp_path / "direct.wav"
     renderer.render_to_wav(_song(0, 69, 0.5), str(out))
     assert out.read_bytes()[:4] == b"RIFF"
+
+
+# ---------------- initialFilterFc/Q + vibrato LFO (VERDICT r2 #7) ------
+
+def _band_energy(wave, lo_hz, hi_hz, rate=RATE):
+    spec = np.abs(np.fft.rfft(wave)) ** 2
+    freqs = np.fft.rfftfreq(len(wave), 1.0 / rate)
+    sel = (freqs >= lo_hz) & (freqs < hi_hz)
+    return float(spec[sel].sum())
+
+
+def test_filter_generators_parsed(sf):
+    (v,) = sf.lookup(0, 41, 60, 100)
+    assert 900.0 < v.fc_hz < 1100.0          # 8321 abs cents ~ 1 kHz
+    (vu,) = sf.lookup(0, 40, 60, 100)
+    assert vu.fc_hz >= 19000.0               # default: open
+    (vv,) = sf.lookup(0, 42, 69, 100)
+    assert vv.vib_cents == 50 and 4.5 < vv.vib_hz < 5.5
+
+
+def test_filter_attenuates_highs(renderer):
+    """Program 41 = program 40's saw through a 1 kHz low-pass: the
+    high-band share of energy must drop by an order of magnitude."""
+    plain = renderer.render_song(_song(40, 60, 1.0))
+    filt = renderer.render_song(_song(41, 60, 1.0))
+
+    def hi_share(w):
+        hi = _band_energy(w, 3000, 8000)
+        return hi / max(_band_energy(w, 50, 8000), 1e-12)
+
+    assert hi_share(filt) < hi_share(plain) / 10.0, (
+        hi_share(plain), hi_share(filt))
+    # the fundamental (261.6 Hz, below fc) survives
+    assert dominant_freq(filt) == pytest.approx(261.63, rel=0.03)
+
+
+def test_vibrato_modulates_pitch(renderer):
+    """Program 42 = the 440 Hz sine with a 50-cent, ~5 Hz vibrato: the
+    STFT peak frequency must oscillate ~±50 cents; the plain sine
+    (program 0) must not."""
+    def peak_track(wave, win=4096):
+        peaks = []
+        # track only the sustained region (0.2-1.9 s): the release tail
+        # is near-silence and its FFT peak is noise
+        for s in range(int(0.2 * RATE), int(1.9 * RATE) - win, win // 2):
+            seg = wave[s:s + win] * np.hanning(win)
+            spec = np.abs(np.fft.rfft(seg))
+            k = int(np.argmax(spec[1:])) + 1
+            # parabolic interpolation for sub-bin precision (the
+            # denominator is NEGATIVE at a true peak — concave log-spec)
+            a, b, c = np.log(spec[k - 1:k + 2] + 1e-12)
+            denom = a - 2 * b + c
+            off = 0.5 * (a - c) / denom if abs(denom) > 1e-9 else 0.0
+            peaks.append((k + off) * RATE / win)
+        return np.asarray(peaks)
+
+    vib = peak_track(renderer.render_song(_song(42, 69, 2.0)))
+    plain = peak_track(renderer.render_song(_song(0, 69, 2.0)))
+    p2p_vib = vib.max() / vib.min()
+    p2p_plain = plain.max() / plain.min()
+    # 50-cent depth -> ±50 cents -> peak-to-peak ratio 2^(100/1200)=1.059
+    assert 1.025 < p2p_vib < 1.12, p2p_vib
+    assert p2p_plain < 1.01, p2p_plain
+
+
+@pytest.mark.skipif(__import__("shutil").which("fluidsynth") is None,
+                    reason="fluidsynth binary not on this host (golden "
+                           "procedure in docs/DESIGN.md §5.4)")
+def test_spectral_similarity_vs_fluidsynth(tmp_path, renderer):
+    """Certification test for hosts WITH the real renderer: our sampler's
+    band-energy profile must correlate with FluidSynth's on the same
+    fixture font + song (the renderer we substitute for,
+    api_cache.py:234-235)."""
+    import subprocess
+    import wave as wavemod
+
+    sf2 = tmp_path / "fixture.sf2"
+    sf2.write_bytes(build_test_sf2())
+    song = MidiSong(initial_tempo=120.0)
+    for prog, pitch in ((0, 69), (40, 60), (41, 64), (42, 72)):
+        inst = Instrument(prog)
+        inst.notes.append(Note(100, pitch, 0.1, 1.2))
+        song.instruments.append(inst)
+    mid = tmp_path / "fixture.mid"
+    with open(mid, "wb") as f:
+        song.write(f)
+    wav = tmp_path / "fluid.wav"
+    subprocess.run(
+        ["fluidsynth", "-ni", "-F", str(wav), "-r", str(RATE),
+         str(sf2), str(mid)], check=True, timeout=600,
+        capture_output=True)
+    with wavemod.open(str(wav), "rb") as w:
+        raw = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        theirs = raw.reshape(-1, w.getnchannels()).mean(1) / 32768.0
+    ours = renderer.render_song(song)
+    n = min(len(ours), len(theirs))
+    bands = np.geomspace(60, RATE / 2 - 1, 25)
+    prof = lambda w: np.log10(np.asarray(
+        [_band_energy(w[:n], lo, hi) for lo, hi in
+         zip(bands[:-1], bands[1:])]) + 1e-12)
+    r = np.corrcoef(prof(ours), prof(theirs))[0, 1]
+    assert r > 0.7, f"band-energy correlation {r:.3f}"
