@@ -127,9 +127,10 @@ def cmd_generate(args):
 
         gram = grammar_for(scheme_b) if scheme == "b3" \
             else grammar_a(gen.vocab)
-    if sum(map(bool, (args.beams, args.draft, args.lookup))) > 1:
-        raise SystemExit("--beams, --draft and --lookup are mutually "
-                         "exclusive")
+    if sum(map(bool, (args.beams, args.draft, args.lookup,
+                      args.medusa))) > 1:
+        raise SystemExit("--beams, --draft, --lookup and --medusa are "
+                         "mutually exclusive")
     if args.beams:
         if penalties is not None or args.no_repeat_ngram:
             raise SystemExit("--beams is a deterministic argmax-tree "
@@ -147,14 +148,23 @@ def cmd_generate(args):
                                      length_penalty=args.length_penalty,
                                      grammar=gram)
             ids = gen.vocab.encode(tokens)
-    elif args.draft or args.lookup:
-        flag = "--draft" if args.draft else "--lookup"
+    elif args.draft or args.lookup or args.medusa:
+        flag = ("--draft" if args.draft
+                else "--lookup" if args.lookup else "--medusa")
         if penalties is not None or args.no_repeat_ngram or gram:
             raise SystemExit(f"{flag} does not support penalties, n-gram "
                              "bans or grammar constraints yet (history-"
                              "dependent distributions break the "
                              "proposal/target acceptance math)")
-        if args.draft:
+        if args.medusa:
+            from .tools.medusa import load_medusa_heads
+
+            ids = gen.generate_ids_medusa(
+                load_medusa_heads(args.medusa), prompt_ids,
+                max_len=args.max_len, gamma=args.gamma,
+                temperature=args.temperature, top_k=args.top_k,
+                seed=args.seed, top_p=args.top_p, min_p=args.min_p)[0]
+        elif args.draft:
             draft, _, _ = _load_generator(args.draft)
             ids = gen.generate_ids_speculative(
                 draft, prompt_ids, max_len=args.max_len,
@@ -204,7 +214,7 @@ def cmd_ablate(args):
         csv_path=args.csv, n_rows=args.synthetic, max_rows=args.max_rows,
         seq_len=args.seq_len, d_model=args.d_model, n_head=args.n_head,
         n_layer=args.n_layer, epochs=args.epochs, seed=args.seed,
-        dtype=args.dtype)
+        dtype=args.dtype, jitter_ms=args.jitter_ms)
     rows = run_ablation(acfg)
     table = markdown_table(rows)
     print(table)
@@ -278,6 +288,24 @@ def cmd_convert_gqa(args):
     convert_checkpoint_dir(args.ckpt, args.out, args.kv_heads)
     print(f"converted -> {args.out} (n_kv_heads={args.kv_heads}; run a "
           f"short finetune to recover quality: cli train --resume)")
+
+
+def cmd_train_medusa(args):
+    from .tools.medusa import MedusaSpec, measure, train_medusa_heads
+
+    ckpt = args.ckpt
+    if ckpt is None:
+        from .serve.pipeline import packaged_demo_checkpoints
+
+        ckpt = packaged_demo_checkpoints()["b3"]
+    out = train_medusa_heads(ckpt, args.out, MedusaSpec(
+        n_heads=args.heads, rows=args.rows, epochs=args.epochs,
+        batch=args.batch, lr=args.lr, seed=args.seed))
+    res = {"train": {k: v for k, v in out.items() if k != "blocks"}}
+    if args.measure:
+        res["measure"] = measure(ckpt, args.out, max_len=args.max_len,
+                                 gamma=args.heads, greedy=not args.sample)
+    print(json.dumps(res))
 
 
 def cmd_gqa_recover(args):
@@ -489,6 +517,11 @@ def main(argv=None):
                         "distribution, wins on repetitive token streams)")
     g.add_argument("--lookup-ngram", type=int, default=3,
                    help="history n-gram length matched by --lookup")
+    g.add_argument("--medusa", default=None,
+                   help="medusa heads pickle (cli train-medusa): "
+                        "multi-token decoding — gamma head proposals "
+                        "verified in one block forward, exact output "
+                        "distribution")
     g.set_defaults(fn=cmd_generate)
 
     ab = sub.add_parser("ablate",
@@ -504,6 +537,9 @@ def main(argv=None):
     ab.add_argument("--n-layer", type=int, default=2)
     ab.add_argument("--epochs", type=int, default=4)
     ab.add_argument("--seed", type=int, default=0)
+    ab.add_argument("--jitter-ms", type=float, default=0.0,
+                    help="Gaussian micro-timing on synthetic onsets "
+                         "(performance-MIDI realism; see tools/ablation)")
     ab.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ab.add_argument("--out", default=None, help="write markdown table here")
@@ -562,6 +598,26 @@ def main(argv=None):
     gr.add_argument("--lr", type=float, default=1e-4)
     gr.add_argument("--seed", type=int, default=0)
     gr.set_defaults(fn=cmd_gqa_recover)
+
+    md = sub.add_parser("train-medusa",
+                        help="train Medusa heads on a frozen checkpoint "
+                             "(batch-1 multi-token decoding) and "
+                             "optionally measure the latency win")
+    md.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (default: the packaged B3 demo)")
+    md.add_argument("--out", required=True, help="heads pickle path")
+    md.add_argument("--heads", type=int, default=4)
+    md.add_argument("--rows", type=int, default=4000)
+    md.add_argument("--epochs", type=int, default=4)
+    md.add_argument("--batch", type=int, default=32)
+    md.add_argument("--lr", type=float, default=1e-3)
+    md.add_argument("--seed", type=int, default=0)
+    md.add_argument("--measure", action="store_true",
+                    help="time batch-1 plain vs medusa after training")
+    md.add_argument("--max-len", dest="max_len", type=int, default=256)
+    md.add_argument("--sample", action="store_true",
+                    help="measure sampled (default greedy) decoding")
+    md.set_defaults(fn=cmd_train_medusa)
 
     d = sub.add_parser("convert-distilbert",
                        help="HF snapshot dir -> emotion checkpoint dir")

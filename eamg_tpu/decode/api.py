@@ -185,6 +185,40 @@ class Generator:
             pad_id=self.pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
         return np.asarray(buf)[:, :int(pos)]
 
+    def generate_ids_medusa(self, heads: dict, prompt_ids: list[int],
+                            max_len: int | None = None, gamma: int = 4,
+                            temperature: float = 1.0, top_k: int = 50,
+                            seed: int = 0, greedy: bool = False,
+                            top_p: float = 1.0,
+                            min_p: float = 0.0) -> np.ndarray:
+        """Medusa multi-token decode (decode/medusa.py): ``heads`` from
+        tools.medusa.load_medusa_heads proposes gamma tokens per verify
+        step with ZERO extra serial chain traversals. Output distribution
+        identical to target-only decoding; greedy output bit-identical.
+        Batch 1, corrected causal configs only."""
+        from .medusa import generate_medusa
+
+        if not self.cfg.causal or self.cfg.pos_broadcast_bug:
+            raise ValueError(
+                "medusa decoding requires a corrected causal checkpoint "
+                "(train --corrected); this config has the reference "
+                "bidirectional/pos quirks")
+        gamma = min(gamma, len(heads["blocks"]))
+        max_len = max_len or self.cfg.seq_len
+        max_len = min(max_len, self.cfg.n_pos - gamma)
+        p = len(prompt_ids)
+        if p >= max_len:
+            return np.asarray([list(prompt_ids)], np.int32)
+        bucket = min(_bucket(p), max_len)
+        prompt = np.full((1, bucket), self.pad_id, np.int32)
+        prompt[0, :p] = prompt_ids
+        buf, pos, _ = generate_medusa(
+            self.params, heads, jnp.asarray(prompt), p,
+            jax.random.PRNGKey(seed), self.cfg, max_len, gamma=gamma,
+            temperature=temperature, top_k=top_k, eos_id=self.eos_id,
+            pad_id=self.pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
+        return np.asarray(buf)[:, :int(pos)]
+
     def generate_ids_beam(self, prompt_ids: list[int],
                           max_len: int | None = None, n_beams: int = 4,
                           length_penalty: float = 1.0,

@@ -100,19 +100,34 @@ def verify_stream(params: dict, cfg: GPTConfig, ids, prompt_len: int,
     }
 
 
-def perplexity(params: dict, cfg: GPTConfig, ids, pad_id: int = 0) -> float:
+def perplexity(params: dict, cfg: GPTConfig, ids, pad_id: int = 0,
+               batch: int = 128) -> float:
     """Teacher-forced next-token perplexity over [B, T] padded sequences
     (x = ids[:, :-1], y = ids[:, 1:], PAD masked) — the paper's PPL metric
-    (§10.4), computed the way the trainers see data."""
-    ids = jnp.asarray(ids, jnp.int32)
-    x, y = ids[:, :-1], ids[:, 1:]
-    logits = forward(params, x, cfg)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # one-hot contraction, NOT take_along_axis: vocab-axis gathers hit the
-    # scalar core on this backend and FailedPrecondition at some shapes
-    # (same convention as decode/ragged.py's last-logit selection)
-    onehot = jax.nn.one_hot(y, logits.shape[-1], dtype=jnp.float32)
-    nll = -jnp.sum(logp * onehot, axis=-1)
-    mask = y != pad_id
-    mean_nll = jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
-    return float(jnp.exp(mean_nll))
+    (§10.4), computed the way the trainers see data.
+
+    Evaluates in ``batch``-row chunks: a monolithic forward materializes
+    [B, T, V] logits (26 GB at 3000 eval rows on the flagship vocab — the
+    at-scale ablation's OOM). The tail chunk pads with PAD rows, which
+    the mask drops, so the result is chunking-invariant."""
+    ids = np.asarray(ids, np.int32)
+    total_nll, total_count = 0.0, 0
+    for s in range(0, ids.shape[0], batch):
+        chunk = ids[s:s + batch]
+        if chunk.shape[0] < batch and s > 0:  # keep one compiled shape
+            pad = np.full((batch - chunk.shape[0], ids.shape[1]), pad_id,
+                          np.int32)
+            chunk = np.concatenate([chunk, pad])
+        chunk = jnp.asarray(chunk)
+        x, y = chunk[:, :-1], chunk[:, 1:]
+        logits = forward(params, x, cfg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # one-hot contraction, NOT take_along_axis: vocab-axis gathers hit
+        # the scalar core on this backend and FailedPrecondition at some
+        # shapes (same convention as decode/ragged.py last-logit selection)
+        onehot = jax.nn.one_hot(y, logits.shape[-1], dtype=jnp.float32)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        mask = y != pad_id
+        total_nll += float(jnp.sum(nll * mask))
+        total_count += int(jnp.sum(mask))
+    return float(np.exp(total_nll / max(total_count, 1)))

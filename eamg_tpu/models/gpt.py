@@ -590,9 +590,12 @@ def decode_step(params: dict, last_ids: jax.Array, cache: dict,
     return logits, {"k": tuple(ks), "v": tuple(vs), "length": t + 1}
 
 
-def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
+def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig,
+                 return_hidden: bool = False):
     """Multi-token cached decode: [B, G] ids starting at cache position t ->
-    ([B, G, V] logits, cache with length t+G).
+    ([B, G, V] logits, cache with length t+G), or with
+    ``return_hidden=True`` ([B, G, V] logits, [B, G, D] final hidden
+    states, cache) — the Medusa heads propose from the hidden states.
 
     The verify step of speculative decoding (and a chunked-prefill
     building block): each of the G tokens attends to all cached positions
@@ -631,7 +634,10 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig):
         x = _finish_block(p, x, attn_out, cfg)
     logits = _linear(x.astype(jnp.float32), params["head"]["w"],
                      params["head"]["b"])
-    return logits, {"k": tuple(ks), "v": tuple(vs), "length": t + G}
+    new_cache = {"k": tuple(ks), "v": tuple(vs), "length": t + G}
+    if return_hidden:
+        return logits, x, new_cache
+    return logits, new_cache
 
 
 def count_params(params) -> int:

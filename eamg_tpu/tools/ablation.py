@@ -49,6 +49,18 @@ class AblationConfig:
     n_rows: int = 384                  # synthetic rows when csv_path absent
     max_rows: int | None = None        # cap on CSV rows
     eval_frac: float = 0.125
+    # Gaussian micro-timing on synthetic onsets/offsets (ms). Real Lakh
+    # is performance MIDI: human jitter is what makes 200 ms buckets
+    # DEGRADE PPL (paper §10.4's −fine-bins row) instead of trivially
+    # winning on a grid-pure corpus. 0 keeps the old grid-pure corpus.
+    jitter_ms: float = 0.0
+    # BPM set for the synthetic corpus. A set whose half-beats are exact
+    # 50 ms multiples (e.g. (60, 75, 100, 120, 150)) makes the 50 ms
+    # tokenization DETERMINISTIC while 200 ms buckets phase-alias —
+    # the regime (sequenced/quantized MIDI, most of Lakh) where the
+    # paper's −fine-bins degradation appears. None = uniform 60..180
+    # (incommensurate: both resolutions alias).
+    bpm_set: tuple | None = None
     # model geometry (small-by-default; paper scale = large2 geometry)
     seq_len: int = 96
     d_model: int = 128
@@ -144,9 +156,12 @@ def run_ablation(acfg: AblationConfig | None = None) -> list[AblationRow]:
         rows = list(iter_csv_tokens(acfg.csv_path, max_rows=acfg.max_rows))
     else:
         rows = synthetic_corpus(acfg.n_rows, seed=acfg.seed,
-                                tempo_locked=True)
+                                tempo_locked=True,
+                                jitter_ms=acfg.jitter_ms,
+                                bpm_set=acfg.bpm_set)
     log(f"[ablate] corpus: {len(rows)} rows "
-        f"({'csv' if acfg.csv_path else 'synthetic tempo-locked'})")
+        f"({'csv' if acfg.csv_path else 'synthetic tempo-locked'}"
+        f"{f', jitter {acfg.jitter_ms:g} ms' if acfg.jitter_ms else ''})")
 
     variants = {
         "full": (SchemeB3(seq_len=acfg.seq_len, res_ms=50), False),

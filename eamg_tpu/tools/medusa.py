@@ -1,0 +1,207 @@
+"""Train Medusa heads on a frozen checkpoint + measure the batch-1 win.
+
+The heads are the cheap part of the Medusa recipe: per head one [D, D]
+residual block feeding the base LM head (decode/medusa.py). Training
+needs only the base model's hidden states, so the base stays FROZEN
+(bit-parity of normal serving is untouched) and head training is
+minutes on-chip — the same uptraining pattern as tools/gqa_recover.py.
+
+``measure()`` reports the VERDICT r2 #4 table: batch-1 tokens/s for
+plain generate_kv vs generate_medusa, plus tokens accepted per verify
+step (the speculation win that has to clear the dispatch floor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..decode.medusa import generate_medusa, init_medusa_heads
+from ..models.gpt import GPTConfig, forward_hidden
+from ..train.data import pad_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class MedusaSpec:
+    n_heads: int = 4
+    rows: int = 4000
+    epochs: int = 4
+    batch: int = 32
+    lr: float = 1e-3
+    seed: int = 0
+
+
+def _corpus_for(ckpt: dict, rows: int, seed: int):
+    """Encoded id rows matching the checkpoint's scheme (the demo
+    checkpoints' own synthetic distributions)."""
+    from ..tokenizer import SchemeB3, Vocab, detect_scheme
+    from ..train.data import grid_corpus, synthetic_corpus
+
+    vocab = Vocab(ckpt["vocab"])
+    scheme = detect_scheme(vocab)
+    seq_len = ckpt["cfg"].seq_len
+    if scheme == "b3":
+        b3 = SchemeB3(seq_len=seq_len)
+        raw = synthetic_corpus(rows, seed=seed, tempo_locked=True)
+        return [b3.explode(js) for js in raw], vocab
+    import json as _json
+
+    raw = grid_corpus(rows, seed=seed)
+    enc = []
+    for js in raw:
+        toks = [t for t in _json.loads(js) if t in vocab][:seq_len]
+        enc.append(vocab.encode(toks))
+    return enc, vocab
+
+
+def train_medusa_heads(ckpt_dir: str, out_path: str,
+                       spec: MedusaSpec = MedusaSpec(),
+                       log_fn=print) -> dict:
+    """Train heads for the checkpoint at ckpt_dir; write a pickle
+    {"blocks", "n_heads", "ckpt"} to out_path."""
+    from ..utils.checkpoint import load_checkpoint
+
+    t0 = time.time()
+    ckpt = load_checkpoint(ckpt_dir)
+    cfg: GPTConfig = ckpt["cfg"]
+    assert cfg.causal, "medusa needs the corrected causal architecture"
+    base = jax.tree.map(jnp.asarray, ckpt["params"])
+    encoded, vocab = _corpus_for(ckpt, spec.rows, spec.seed)
+    ids = pad_rows(encoded, cfg.seq_len, vocab.pad_id)
+    K = spec.n_heads
+
+    heads = init_medusa_heads(jax.random.PRNGKey(spec.seed), cfg, K)
+    opt = optax.adamw(spec.lr)
+    opt_state = opt.init(heads)
+
+    @jax.jit
+    def step(heads, opt_state, batch_ids):
+        x = batch_ids[:, :-1]
+        h = jax.lax.stop_gradient(
+            forward_hidden(base, x, cfg))            # [B, T, D] frozen
+
+        def loss_fn(hd):
+            total = jnp.zeros(())
+            count = jnp.zeros(())
+            for k, blk in enumerate(hd["blocks"], start=1):
+                hk = h + jax.nn.silu(h @ blk["w"].T + blk["b"])
+                logits = (hk.astype(jnp.float32) @ base["head"]["w"].T
+                          + base["head"]["b"])       # [B, T, V]
+                # head_k at position t predicts ids[t+1+k]
+                y = jnp.roll(batch_ids, -(1 + k), axis=1)[:, :-1]
+                valid = (jnp.arange(x.shape[1])[None]
+                         < x.shape[1] - k) & (y != vocab.pad_id)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.sum(logp * jax.nn.one_hot(y, cfg.vocab_size),
+                               -1)
+                total = total + jnp.sum(nll * valid)
+                count = count + jnp.sum(valid)
+            return total / jnp.maximum(count, 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(heads)
+        updates, opt_state = opt.update(grads, opt_state, heads)
+        return optax.apply_updates(heads, updates), opt_state, loss
+
+    rng = np.random.default_rng(spec.seed)
+    n = ids.shape[0]
+    loss = float("nan")
+    for epoch in range(spec.epochs):
+        order = rng.permutation(n)
+        for s in range(0, n - spec.batch + 1, spec.batch):
+            sel = order[s:s + spec.batch]
+            heads, opt_state, loss = step(heads, opt_state,
+                                          jnp.asarray(ids[sel]))
+        log_fn(f"[medusa] epoch {epoch + 1}/{spec.epochs}: "
+               f"head_loss={float(loss):.4f}")
+
+    out = {"blocks": [jax.tree.map(np.asarray, b)
+                      for b in heads["blocks"]],
+           "n_heads": K, "ckpt": os.path.abspath(ckpt_dir),
+           "final_loss": float(loss),
+           "train_seconds": round(time.time() - t0, 1)}
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        pickle.dump(out, f)
+    log_fn(f"[medusa] saved {K} heads -> {out_path}")
+    return out
+
+
+def load_medusa_heads(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    return {"blocks": [jax.tree.map(jnp.asarray, b)
+                       for b in raw["blocks"]]}
+
+
+def measure(ckpt_dir: str, heads_path: str, max_len: int = 256,
+            gamma: int = 4, greedy: bool = True, seed: int = 0,
+            reps: int = 3, log_fn=print) -> dict:
+    """Batch-1 latency A/B: plain generate_kv vs generate_medusa on the
+    same checkpoint+prompt (VERDICT r2 #4's done-criterion table)."""
+    from ..decode.loop import generate_kv
+    from ..tokenizer import SchemeB3, Vocab, detect_scheme
+    from ..utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(ckpt_dir)
+    cfg: GPTConfig = ckpt["cfg"]
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    heads = load_medusa_heads(heads_path)
+    vocab = Vocab(ckpt["vocab"])
+    scheme = detect_scheme(vocab)
+    if scheme == "b3":
+        prompt_ids = SchemeB3(seq_len=cfg.seq_len).control_prefix(
+            120, 0)
+    else:
+        toks = ["[START_SEQUENCE]"]
+        prompt_ids = [vocab.tok2id[t] for t in toks if t in vocab.tok2id]
+    prompt = jnp.asarray(prompt_ids, jnp.int32)[None]
+    plen = jnp.asarray(len(prompt_ids), jnp.int32)
+    rng = jax.random.PRNGKey(seed)
+    # eos disabled (-1) on both sides: fixed-length generations give a
+    # fair per-token timing comparison
+
+    def run_plain():
+        buf, pos = generate_kv(params, prompt, plen, rng, cfg, max_len,
+                               greedy=greedy, eos_id=-1,
+                               pad_id=vocab.pad_id,
+                               refeed_last_prompt=False)
+        return buf, int(pos)
+
+    def run_medusa():
+        buf, pos, n_steps = generate_medusa(
+            params, heads, prompt, plen, rng, cfg, max_len, gamma=gamma,
+            greedy=greedy, eos_id=-1, pad_id=vocab.pad_id)
+        return buf, int(pos), int(n_steps)
+
+    run_plain(); run_medusa()                      # compile
+    t_plain = min(_timed(run_plain) for _ in range(reps))
+    t_med = min(_timed(run_medusa) for _ in range(reps))
+    _, pos_p = run_plain()
+    _, pos_m, n_steps = run_medusa()
+    gen_m = pos_m - len(prompt_ids)
+    out = {
+        "plain_tok_s": round((pos_p - len(prompt_ids)) / t_plain, 1),
+        "medusa_tok_s": round(gen_m / t_med, 1),
+        "speedup": round(t_plain / t_med * gen_m /
+                         max(pos_p - len(prompt_ids), 1), 3),
+        "tokens_per_verify": round(gen_m / max(n_steps, 1), 3),
+        "gamma": gamma, "max_len": max_len, "greedy": greedy,
+    }
+    log_fn(f"[medusa] {json.dumps(out)}")
+    return out
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    np.asarray(jax.tree.leaves(out)[0])            # host fetch barrier
+    return time.perf_counter() - t0

@@ -172,19 +172,30 @@ _INSTRUMENTS = ["Violin", "Acoustic Grand Piano", "Flute"]
 
 def synthetic_song(rng: random.Random, n_notes: int = 24,
                    key: str | None = None,
-                   tempo_locked: bool = False) -> list[str]:
+                   tempo_locked: bool = False,
+                   jitter_ms: float = 0.0,
+                   bpm_set: tuple | None = None) -> list[str]:
     """One fake Scheme-A token sequence with the exact string grammar.
 
     tempo_locked=True makes note timing an actual function of the BPM token
     (inter-onset intervals are beat fractions) so models trained on the
     corpus can *learn* tempo conditioning — required for the MSE-Tune
     metric (paper §10.4) to be meaningful on synthetic data.
+
+    jitter_ms > 0 adds Gaussian micro-timing to every onset/offset —
+    the structure real Lakh data has (performance MIDI, not quantized
+    scores). Without it the corpus is grid-pure and COARSE time buckets
+    trivially win the §10.4 ablation (fewer distinguishable outcomes =
+    lower entropy); with human-scale jitter (~20-30 ms), 50 ms bins
+    absorb the noise while 200 ms bins turn boundary-adjacent onsets
+    into irreducible coin flips — the paper's −fine-bins degradation.
     """
-    bpm = rng.randint(60, 180)
+    bpm = rng.choice(list(bpm_set)) if bpm_set else rng.randint(60, 180)
     toks = ["[START_SEQUENCE]",
             f"[BPM] {float(bpm)}",
             f"[KEY_SIGNATURE] {key or rng.choice(_KEYS)}"]
     beat = 60.0 / bpm
+    jit = jitter_ms / 1000.0
     for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
         toks.append(f"[INSTRUMENT] {inst}")
         t = 0.0
@@ -193,24 +204,30 @@ def synthetic_song(rng: random.Random, n_notes: int = 24,
                 dur = beat * rng.choice([0.5, 0.5, 1.0, 1.0, 1.0, 2.0])
             else:
                 dur = rng.choice([0.125, 0.25, 0.5, 1.0])
-            start, end = round(t, 3), round(t + dur, 3)
+            j0 = rng.gauss(0.0, jit) if jit else 0.0
+            j1 = rng.gauss(0.0, jit) if jit else 0.0
+            start = round(max(t + j0, 0.0), 3)
+            end = round(max(t + dur + j1, start + 0.01), 3)
             toks.append(
                 f"[NOTE] [PITCH:{rng.choice(_PITCHES)}] [START:{start}] "
-                f"[END:{end}] [DURATION:{round(dur, 3)}]")
+                f"[END:{end}] [DURATION:{round(end - start, 3)}]")
             t += dur
     toks.append("[END_SEQUENCE]")
     return toks
 
 
 def synthetic_corpus(n_rows: int, seed: int = 0, n_notes: int = 24,
-                     tempo_locked: bool = False) -> list[str]:
+                     tempo_locked: bool = False,
+                     jitter_ms: float = 0.0,
+                     bpm_set: tuple | None = None) -> list[str]:
     """JSON-encoded rows shaped like the lmd CSV 'tokens' column."""
     rng = random.Random(seed)
     # the first len(_KEYS) rows cycle through every key so a vocabulary
     # built from the corpus can encode any EATS mapping
     return [json.dumps(synthetic_song(
         rng, n_notes, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None,
-        tempo_locked=tempo_locked))
+        tempo_locked=tempo_locked, jitter_ms=jitter_ms,
+        bpm_set=bpm_set))
         for i in range(n_rows)]
 
 
