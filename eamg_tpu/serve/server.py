@@ -249,6 +249,15 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 self._json(400, {"error": "bad Content-Length"})
                 return
             if length > MAX_BODY_BYTES:
+                # drain (bounded) before responding: responding while the
+                # client is still writing resets the connection and the
+                # client sees a broken pipe instead of the 413
+                remaining = min(length, 16 << 20)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 16))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
                 self._json(413, {"error": "request body too large"})
                 return
             body = self.rfile.read(max(length, 0))

@@ -61,6 +61,14 @@ class AblationConfig:
     # paper's −fine-bins degradation appears. None = uniform 60..180
     # (incommensurate: both resolutions alias).
     bpm_set: tuple | None = None
+    # Motif-structured corpus (train/data.py grid_song): durations come
+    # from a shared motif library, so the EXACT rhythm identifies which
+    # motif is playing and therefore the continuation. This is the
+    # mechanism that makes fine bins win on real music: the per-token
+    # entropy they pay encoding precise timing is repaid by a sharper
+    # CONTEXT for later predictions; iid-duration corpora can never show
+    # it (coarse bins win the pure rate trade there).
+    motif_corpus: bool = False
     # model geometry (small-by-default; paper scale = large2 geometry)
     seq_len: int = 96
     d_model: int = 128
@@ -154,13 +162,28 @@ def run_ablation(acfg: AblationConfig | None = None) -> list[AblationRow]:
     log = acfg.log_fn
     if acfg.csv_path:
         rows = list(iter_csv_tokens(acfg.csv_path, max_rows=acfg.max_rows))
+    elif acfg.motif_corpus:
+        import json as _json
+        import random as _random
+
+        from ..train.data import grid_song, motif_library
+
+        _rng = _random.Random(acfg.seed)
+        lib = motif_library(40, seed=7)
+        bpms = acfg.bpm_set or (60, 75, 100, 120, 150)
+        rows = [_json.dumps(grid_song(_rng, lib,
+                                      bpm=float(_rng.choice(bpms)),
+                                      max_units=40))
+                for _ in range(acfg.n_rows)]
     else:
         rows = synthetic_corpus(acfg.n_rows, seed=acfg.seed,
                                 tempo_locked=True,
                                 jitter_ms=acfg.jitter_ms,
                                 bpm_set=acfg.bpm_set)
-    log(f"[ablate] corpus: {len(rows)} rows "
-        f"({'csv' if acfg.csv_path else 'synthetic tempo-locked'}"
+    kind = ("csv" if acfg.csv_path else
+            "synthetic motif-grid" if acfg.motif_corpus else
+            "synthetic tempo-locked")
+    log(f"[ablate] corpus: {len(rows)} rows ({kind}"
         f"{f', jitter {acfg.jitter_ms:g} ms' if acfg.jitter_ms else ''})")
 
     variants = {

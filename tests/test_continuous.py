@@ -589,3 +589,76 @@ def test_plain_engine_rejects_penalties(generator):
             eng.submit([1, 2, 3], seed=7, penalties=(1.5, 0.0, 0.0))
     finally:
         eng.close()
+
+
+def test_soak_mixed_mode_no_slot_leak(generator):
+    """CI-scale twin of benchmarks.py scenario 11 (VERDICT r2 #8): 120
+    mixed requests (plain / per-row params / streamed / cancelled /
+    greedy) through one engine — every request accounted for, ZERO slot
+    leaks, RSS flat."""
+    import random
+    import threading
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    eng = ContinuousBatcher(generator, slots=4, chunk=8, max_len=32,
+                            per_row_sampling=True)
+    try:
+        eng.submit([1, 2, 3], seed=0, max_len=16)   # compile
+        rss0 = rss_mb()
+        N = 120
+        errors, done = [], [0]
+        lock = threading.Lock()
+
+        def one(i):
+            try:
+                ml = 12 + (i % 3) * 6
+                kind = i % 5
+                if kind == 0:
+                    eng.submit([1, 2, 3], seed=i, max_len=ml)
+                elif kind == 1:
+                    eng.submit([1, 2, 3], seed=i, max_len=ml, top_p=0.9,
+                               temperature=0.8, penalties=(1.2, 0.0, 0.0))
+                elif kind == 2:
+                    for _ in eng.submit_stream([1, 2, 3], seed=i,
+                                               max_len=ml):
+                        pass
+                elif kind == 3:
+                    s = eng.submit_stream([1, 2, 3], seed=i, max_len=ml)
+                    next(s, None)
+                    s.close()
+                else:   # per-row nucleus only
+                    eng.submit([1, 2, 3], seed=i, max_len=ml,
+                               top_p=0.7)
+                with lock:
+                    done[0] += 1
+            except Exception as exc:  # noqa: BLE001
+                with lock:
+                    errors.append(f"{type(exc).__name__}: {exc}")
+
+        rng = random.Random(0)
+        threads = [threading.Thread(target=one, args=(i,), daemon=True)
+                   for i in range(N)]
+        for t in threads:
+            t.start()
+            if rng.random() < 0.3:
+                import time as _t
+
+                _t.sleep(0.002)
+        for t in threads:
+            t.join(timeout=600)
+        import time as _t
+
+        _t.sleep(0.5)
+        assert done[0] == N and not errors, (done[0], errors[:5])
+        assert len(eng._free) == 4, "slot leak"
+        assert eng.stats["served"] + eng.stats["cancelled"] >= \
+            eng.stats["admitted"]
+        assert rss_mb() - rss0 < 512, "RSS grew during soak"
+    finally:
+        eng.close()

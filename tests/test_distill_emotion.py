@@ -118,6 +118,14 @@ class TestPackagedCheckpoint:
         assert m["unseen_forms_acc_distilbert"] > \
             m["unseen_forms_acc_lexicon"]
         assert m["ood_acc_distilbert"] > m["ood_acc_lexicon"]
+        # round-3 floors (VERDICT r2 #2): >= 0.70 on the round-2 56-
+        # sentence OOD metric, >= 0.60 top-1 / >= 0.85 top-3 on the grown
+        # 168-sentence cue-bearing tier (maxpool cue-detector head +
+        # cue-span suppression; shipped = 0.714 / 0.637 / 0.905)
+        assert m["ood_acc_56_r2_metric"] >= 0.70, m
+        assert m["ood_acc_distilbert"] >= 0.60, m
+        assert m["ood_top3_distilbert"] >= 0.85, m
+        assert m["unseen_forms_acc_distilbert"] >= 0.60, m
 
     def test_sanity_predictions(self):
         from eamg_tpu.emotion.infer import EmotionClassifier
