@@ -149,8 +149,17 @@ def run_training(preset: str, csv_path: str | None = None,
 
         cfg = dataclasses.replace(cfg, causal=True, batch_first_bug=False,
                                   pos_broadcast_bug=False)
+    # Time-chunked CE measured FASTER at every batch size on large
+    # vocabularies (round-3 train-step study, DESIGN.md §3.8: 15.3 ->
+    # 14.2 ms at the reference batch-16 flagship geometry — the [B,T,V]
+    # logits round-trip never hits HBM), on top of being the OOM fix for
+    # big batches. Grad-exact (tested); incompatible with the MoE aux
+    # loss, so MoE runs keep the monolithic head.
+    loss_chunk = 73 if cfg.vocab_size >= 4096 and not cfg.n_experts \
+        else None
     tcfg = TrainConfig(**{**tcfg.__dict__, "pad_id": vocab.pad_id,
-                          "tp": tp, "fsdp": fsdp, "pack": pack})
+                          "tp": tp, "fsdp": fsdp, "pack": pack,
+                          "loss_chunk": loss_chunk})
 
     if resume_from:
         # crash-resume with optimizer state and step count intact — the
