@@ -45,15 +45,32 @@ def init_medusa_heads(rng: jax.Array, cfg: GPTConfig,
                        for _ in range(n_heads)]}
 
 
+def _stack_heads(heads: dict):
+    """blocks list -> (w [g, D, D], b [g, D]) so the per-step head
+    evaluation is ONE batched matmul instead of g serial chains — the
+    decode loop body is latency-bound on serial op issue (DESIGN.md
+    §3.7), so op count in the body is the cost model."""
+    return (jnp.stack([blk["w"] for blk in heads["blocks"]]),
+            jnp.stack([blk["b"] for blk in heads["blocks"]]))
+
+
+def _head_logits(w: jax.Array, b: jax.Array, params: dict,
+                 h: jax.Array) -> jax.Array:
+    """Stacked-head logits: h [D] -> [g, V] via two batched matmuls."""
+    hk = h[None] + jax.nn.silu(jnp.einsum("gde,e->gd", w, h) + b)
+    return (hk.astype(jnp.float32) @ params["head"]["w"].T
+            + params["head"]["b"])
+
+
 def medusa_logits(heads: dict, params: dict, h: jax.Array) -> jax.Array:
     """h [..., D] -> [n_heads, ..., V]: head_k's logits for the token
     k+2 positions after the one ``h`` sits at (the base head covers +1)."""
-    outs = []
-    for blk in heads["blocks"]:
-        hk = h + jax.nn.silu(h @ blk["w"].T + blk["b"])
-        outs.append(hk.astype(jnp.float32) @ params["head"]["w"].T
-                    + params["head"]["b"])
-    return jnp.stack(outs)
+    w, b = _stack_heads(heads)
+    hk = h[None] + jax.nn.silu(
+        jnp.einsum("gde,...e->g...d", w, h)
+        + b.reshape((b.shape[0],) + (1,) * (h.ndim - 1) + (-1,)))
+    return (hk.astype(jnp.float32) @ params["head"]["w"].T
+            + params["head"]["b"])
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "gamma", "top_k",
@@ -103,6 +120,8 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
     # base distribution — acceptance math keeps the output exact either way
     h0 = jnp.zeros((cfg.d_model,), cfg.jnp_dtype)
 
+    hw, hb = _stack_heads(heads)  # stacked ONCE, outside the loop body
+
     def cond(state):
         buf, pos, last, h_last, done, rng, cache, n_steps = state
         return jnp.logical_and(pos < max_len, ~done)
@@ -112,13 +131,13 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
         L = pos - 1  # cached prefix length; `last` sits at index L
 
         # ---- head proposals: one hidden state, gamma parallel heads ------
-        head_lg = medusa_logits(heads, params, h_last)        # [g, V]
-        q = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
-                                      greedy, top_p, min_p)[0])(head_lg)
+        head_lg = _head_logits(hw, hb, params, h_last)        # [g, V]
         rng, sub_d = jax.random.split(rng)
         if greedy:
-            d = jnp.argmax(q, -1).astype(jnp.int32)           # [gamma]
+            d = jnp.argmax(head_lg, -1).astype(jnp.int32)     # [gamma]
         else:
+            q = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
+                                          greedy, top_p, min_p)[0])(head_lg)
             d = jax.random.categorical(
                 sub_d, jnp.log(q + 1e-30), axis=-1).astype(jnp.int32)
 
@@ -128,35 +147,42 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
               "length": jnp.asarray(L, jnp.int32)}
         logits_t, h_block, ct = decode_block(params, block, ct, cfg,
                                              return_hidden=True)
-        p = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
-                                      greedy, top_p, min_p)[0])(
-                                          logits_t[0])        # [g+1, V]
 
-        # ---- Leviathan acceptance (q = head dists) ------------------------
-        rng, sub_u, sub_r = jax.random.split(rng, 3)
-        onehot_d = jax.nn.one_hot(d, V)
-        p_d = jnp.sum(p[:gamma] * onehot_d, -1)
-        q_d = jnp.sum(q * onehot_d, -1)
         if greedy:
-            acc = p_d > 0.5  # one-hot p: accepted iff d == target argmax
+            # fast path: acceptance is d_k == target argmax; the residual
+            # resample collapses to the target argmax. No [*, V] one-hots,
+            # no softmaxes — bit-identical outcomes to the general path.
+            t = jnp.argmax(logits_t[0], -1).astype(jnp.int32)  # [g+1]
+            acc = d == t[:gamma]
+            acc_prefix = jnp.cumprod(acc.astype(jnp.int32))
+            n = jnp.sum(acc_prefix)                           # accepted
+            t_new = t[n]
+            rng = rng  # no draws consumed on the greedy path
         else:
+            p = jax.vmap(lambda lg: _dist(lg[None], temperature, top_k,
+                                          greedy, top_p, min_p)[0])(
+                                              logits_t[0])    # [g+1, V]
+
+            # ---- Leviathan acceptance (q = head dists) --------------------
+            rng, sub_u, sub_r = jax.random.split(rng, 3)
+            onehot_d = jax.nn.one_hot(d, V)
+            p_d = jnp.sum(p[:gamma] * onehot_d, -1)
+            q_d = jnp.sum(q * onehot_d, -1)
             u = jax.random.uniform(sub_u, (gamma,))
             acc = u < jnp.minimum(1.0, p_d / jnp.maximum(q_d, 1e-30))
-        acc_prefix = jnp.cumprod(acc.astype(jnp.int32))
-        n = jnp.sum(acc_prefix)                               # accepted
+            acc_prefix = jnp.cumprod(acc.astype(jnp.int32))
+            n = jnp.sum(acc_prefix)                           # accepted
 
-        # ---- next token: residual resample or bonus ----------------------
-        p_n = p[n]
-        q_n = jnp.where(n < gamma, q[jnp.minimum(n, gamma - 1)],
-                        jnp.zeros((V,)))                      # bonus: = p
-        residual = jnp.maximum(p_n - q_n, 0.0)
-        rsum = jnp.sum(residual)
-        residual = jnp.where(rsum > 1e-12,
-                             residual / jnp.maximum(rsum, 1e-30), p_n)
-        t_new = jnp.argmax(residual).astype(jnp.int32) if greedy else \
-            jax.random.categorical(sub_r,
-                                   jnp.log(residual + 1e-30)).astype(
-                                       jnp.int32)
+            # ---- next token: residual resample or bonus -------------------
+            p_n = p[n]
+            q_n = jnp.where(n < gamma, q[jnp.minimum(n, gamma - 1)],
+                            jnp.zeros((V,)))                  # bonus: = p
+            residual = jnp.maximum(p_n - q_n, 0.0)
+            rsum = jnp.sum(residual)
+            residual = jnp.where(rsum > 1e-12,
+                                 residual / jnp.maximum(rsum, 1e-30), p_n)
+            t_new = jax.random.categorical(
+                sub_r, jnp.log(residual + 1e-30)).astype(jnp.int32)
 
         # ---- window of written tokens: d_1..d_n, t_new, pad... -----------
         idx = jnp.arange(gamma + 1)
