@@ -936,6 +936,685 @@ OOD_EVAL_CUE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-3 SITUATION banks: per-label scenario templates with NO feeling
+# words — the emotion is carried by what happens ("the season tickets came
+# in the mail, both seats, out of habit" = grief), the register the
+# reference's pretrained DistilBERT handles through world knowledge and a
+# template-distilled model scored 0.098 on (BENCHMARKS.md implicit tier).
+# Slot vocabularies are SHARED across all labels, so slot words are
+# label-neutral by construction (the same trick as the context-word
+# substitution pool); the schema words carry the label. Two templates per
+# label are held out to an `eval_situations` split; the hand-written
+# OOD_IMPLICIT tier above stays untouched as the final exam. These banks
+# teach the situation->emotion MAPPING; the eval sentences themselves
+# never appear in training (verified lexically disjoint at the sentence
+# level by the dedupe below, and written against different scenarios).
+_SIT_SLOTS: dict[str, list[str]] = {
+    "person": ["my mother", "my father", "my brother", "my sister",
+               "my uncle", "my aunt", "my cousin", "our neighbor",
+               "my roommate", "my coworker", "the coach", "the landlord",
+               "my grandfather", "my grandmother", "my oldest friend",
+               "the intern", "the new hire", "my teammate"],
+    "object": ["toolbox", "coffee grinder", "record player",
+               "sewing machine", "bicycle", "typewriter", "camera",
+               "ladder", "bookshelf", "teapot", "lawnmower", "accordion",
+               "telescope", "skateboard", "casserole dish", "power drill"],
+    "room": ["kitchen", "garage", "attic", "basement", "hallway",
+             "office", "stairwell", "laundry room", "break room",
+             "spare room"],
+    "place": ["by the front door", "in the stairwell", "behind the garage",
+              "at the bus stop", "on the top shelf", "near the mailboxes",
+              "under the awning", "by the loading dock"],
+    "time": ["since tuesday", "all month", "since the weekend",
+             "for two weeks", "since last spring", "all season",
+             "since the move", "every other day"],
+    "event": ["wedding", "graduation", "reunion", "recital", "tournament",
+              "open house", "fundraiser", "premiere", "ceremony",
+              "book fair"],
+}
+
+_SITUATIONS: dict[str, list[str]] = {
+    "admiration": [
+        "{person} rebuilt the {object} from spare parts in a single afternoon",
+        "she recited the whole second act from memory after one read",
+        "{person} landed the repair on the first try while we all just watched",
+        "he carried the team through the final set without dropping a point",
+        "{person} restored the old {object} until it looked factory new",
+        "the pilot set it down in that crosswind like it was nothing",
+        "she answered every question from the panel without once opening her notes",
+        "{person} has run the kitchen alone through every rush this year",
+        "the apprentice cut the joint by eye and it fit on the first press",
+        "he walked the high scaffold all day like it was a sidewalk",
+    ],
+    "amusement": [
+        "the dog answered the doorbell before any of us could get up",
+        "{person} wore two different shoes to the {event} and only noticed at lunch",
+        "the toddler introduced the goldfish to the mailman by full name",
+        "autocorrect turned the board update into a poem about soup",
+        "the goat got into the {room} again and ate the agenda",
+        "{person} fell asleep mid sentence and finished it an hour later",
+        "the gps sent the wedding convoy through a car wash",
+        "the kitten declared war on the printer and the printer is losing",
+        "halfway through the ceremony a pigeon took the ring pillow",
+        "{person} tried the dance from the video and took out the lamp",
+    ],
+    "anger": [
+        "the shop charged me twice and now pretends the order never existed",
+        "{person} borrowed the {object} months ago and sold it without asking",
+        "they promised the repair by friday and now won't pick up the phone",
+        "the airline gave my paid seat away while i stood at the gate",
+        "somebody keyed the car {place} and the cameras were conveniently off",
+        "the contractor tore out the wall and vanished with the deposit",
+        "they docked my pay for a shift i worked, and hr keeps closing the ticket",
+        "the mover dropped the piano and billed me for the stairs",
+        "{person} read my messages out loud to the whole {room}",
+        "the bank froze the account the day rent was due, no warning, no reason",
+    ],
+    "annoyance": [
+        "the smoke alarm chirps every forty minutes and only at night",
+        "{person} keeps replying all to the entire building",
+        "the website wants a new password every week and rejects every password",
+        "the {object} in the {room} has been beeping {time}",
+        "every elevator in the building is out except the slow one",
+        "the printer jams on the last page, every time, only mine",
+        "{person} hums the same four notes through the whole shift",
+        "roadworks moved from my street to my route to work, again",
+        "the meeting that could have been an email spawned three more meetings",
+        "the neighbor's sprinkler soaks our mail slot every morning at six",
+    ],
+    "approval": [
+        "moving the {event} indoors before the rain was exactly the right call",
+        "paying the volunteers' travel out of the surplus is how it should be done",
+        "the council finally paved the school route before winter, good on them",
+        "letting {person} run the project after all that work makes complete sense",
+        "closing the street for the saturday market was a smart move",
+        "the new rule that meetings end at noon has my full support",
+        "giving the bonus to the night crew first was the fair way round",
+        "the judges scored it exactly as it was skated",
+        "putting benches along the river path was money well spent",
+        "promoting from inside the team this time was the right decision",
+    ],
+    "caring": [
+        "i packed an extra sandwich in case {person} forgets lunch again",
+        "call me when you're through the mountain pass, whatever the hour",
+        "i moved the {object} so the baby can't reach it",
+        "{person} walks the new hire to the bus stop after late shifts",
+        "i left the spare key under the mat and soup on the stove",
+        "take my gloves, the forecast turned and yours are soaked",
+        "i set three alarms so you won't miss the early train",
+        "she checks on the old man at the corner house every evening",
+        "i saved you a plate and it's warming in the oven",
+        "text me from the door, not the parking lot",
+    ],
+    "confusion": [
+        "the ticket says gate nine, the board says gate two, the staff say neither",
+        "the {object} manual references a button this model does not have",
+        "my calendar shows the {event} twice and cancelled once",
+        "the landlord says the fee was waived, the statement says it doubled",
+        "step four assumes a part that step two told me to throw away",
+        "the sign says pull, the hinge says push, the door says nothing",
+        "payroll says i owe them, the bank says they paid me twice",
+        "{person} gave me directions that loop back to where we started",
+        "the form asks for a code from a letter that never came",
+        "the train app shows my train departing from two cities at once",
+    ],
+    "curiosity": [
+        "a different flag appears on the neighbor's porch every morning and i need to know the pattern",
+        "there's a staircase in the park that stops at nothing and i think about it daily",
+        "the {object} in the {room} rattles exactly at midnight, i've started a log",
+        "who rings the chapel bell now that the village is empty, i went back twice to check",
+        "the library keeps one locked case with no label and my card can't touch it",
+        "i found a coin in the garden older than the house and fell down a research hole",
+        "the old map shows a lane that simply isn't there anymore and i keep walking the block looking for it",
+        "what the stationmaster did between the night trains is my new favorite question",
+        "the tide pools were full of something new today and i stayed until dark watching",
+        "every house on the street has a blue door except one and i have questions",
+    ],
+    "desire": [
+        "the {object} in the shop window has survived three of my paychecks",
+        "i walk past the corner house with the green shutters just to look at it",
+        "the catalog opens itself to the sailboat page by now",
+        "one row of vines and a stone well, i've drawn the layout a hundred times",
+        "i price the night train to the coast every friday and close the tab",
+        "the test drive was three months ago and i still check the listing",
+        "a workshop with a window and a long bench, that's the entire plan",
+        "the course flyer has been on the fridge {time}",
+        "i've memorized the menu of the restaurant we can't book yet",
+        "every open house within an hour of here, i've toured twice",
+    ],
+    "disappointment": [
+        "the headliner cancelled an hour before doors and the refund is store credit",
+        "we saved all year for the coast and the beach was closed for works",
+        "the {event} sold out while the payment page was loading",
+        "the promotion went to the owner's nephew after all those weekends",
+        "the famous bakery was out of everything but napkins by ten",
+        "the kit arrived missing the one part that matters",
+        "{person} skipped the show i built the whole weekend around",
+        "the final episode answered none of it",
+        "the museum's famous hall was one room and a gift shop",
+        "three rounds of interviews for a role they quietly filled inside",
+    ],
+    "disapproval": [
+        "charging the scouts rent for the community hall is not what that hall is for",
+        "they replaced the crossing guard with a sign and call it a saving",
+        "auctioning the school instruments to fix the car park sends the wrong message",
+        "{person} takes credit for the night crew's numbers and nobody upstairs blinks",
+        "printing the notice only in legal jargon was a choice, and a poor one",
+        "the landlord counts the garden tap as a utility now, which should not stand",
+        "scheduling the vote for harvest week shut out half the town, and they knew it",
+        "the show cut the only local act to make room for a sponsor's cousin",
+        "fining tenants for drying laundry on their own balconies is over the line",
+        "they paved over the pond the biology class used every spring",
+    ],
+    "disgust": [
+        "the breakroom fridge grew something with a texture i won't forget",
+        "the {object} under the sink had been leaking into the rice bag for weeks",
+        "the seat pocket held someone's finished chicken wing",
+        "the pool filter coughed up a mat of hair the size of a cat",
+        "he double dipped straight back into the shared jar, twice, watching me",
+        "the dumpster runoff ran under our picnic table and nobody moved fast enough",
+        "the mattress in the furnished flat had an outline on it",
+        "the kitchen passed inspection and i watched a roach walk across the certificate",
+        "something in the {room} drain burps up a smell {time}",
+        "the buffet shrimp sat in the sun through both speeches",
+    ],
+    "embarrassment": [
+        "i pushed the pull door in front of the whole cafe and then did it again",
+        "my stomach rumbled into the microphone during the minute of silence",
+        "i called the teacher mom in front of the entire class",
+        "i clapped at the wrong moment and the whole hall turned around",
+        "my screen share showed the shopping tab with the {object} still in the cart",
+        "i practiced my handshake on the glass door before the interview, they all saw",
+        "i replied to the all staff thread with a message meant for {person}",
+        "i walked the length of the terminal with toilet paper trailing from my shoe",
+        "i sang the second verse alone because nobody told me the music stopped",
+        "i locked myself out in pajamas just as the open house crowd arrived",
+    ],
+    "excitement": [
+        "the tickets cleared and the seats are third row center",
+        "the release notes are live and the feature we begged for is first on the list",
+        "the countdown on the fridge calendar is down to single digits",
+        "the van is packed tonight so we can hit the road before sunrise",
+        "the invitation came with a plus one and backstage passes",
+        "they posted the bracket and we drew the home slot for the opener",
+        "the {event} confirmation just landed and saturday cannot come fast enough",
+        "the keys get cut friday and the paint goes on saturday",
+        "the signup opened at noon and we got the last two spots",
+        "the trailer dropped at midnight and the release date is inside",
+    ],
+    "fear": [
+        "the dog went silent mid bark and stared at the dark end of the yard",
+        "the elevator dropped half a floor before the brakes bit",
+        "a second set of footprints joined mine in the snow and never left",
+        "the alarm went off at three and the hallway lights were already dead",
+        "the ladder shifted while i was at the top of it",
+        "the voicemail was just breathing and my own name, twice",
+        "the current turned and the shore stopped getting closer",
+        "headlights followed every turn i made, even the wrong ones i made on purpose",
+        "the {room} door i locked at night was open at dawn",
+        "the forecast says the levee crests an hour after the school bus route",
+    ],
+    "gratitude": [
+        "{person} drove two hours in the storm to jump start my dead car",
+        "the pharmacist stayed past close so the prescription wouldn't wait the weekend",
+        "a stranger paid the difference when my card came up short at the register",
+        "the team covered my deadlines the whole week of the funeral without being asked",
+        "{person} talked the landlord into holding the flat until my paycheck cleared",
+        "the bus driver waited while i sprinted the whole block in the rain",
+        "someone handed my {object} to lost and found with a note about where i'd dropped it",
+        "the mechanic fixed the belt for the cost of the part and waved off the labor",
+        "my old teacher wrote the recommendation overnight, twenty years after class",
+        "the neighbors took turns walking the dog while i was laid up",
+    ],
+    "grief": [
+        "her handwriting is still on the kitchen chalkboard and we cook around it",
+        "the season tickets came in the mail, both seats, out of habit",
+        "i still dial the landline on sundays before i catch myself",
+        "his workshop is exactly as he left it, sawdust and all",
+        "the {object} she always borrowed sits where she left it in the {room}",
+        "we set his place at the holiday table for the first year anyway",
+        "the choir kept her folder on the shelf with her name still on the tab",
+        "dad's coat went to the charity shop today and the hooks look wrong",
+        "the voicemail box is full because nobody will delete the last one",
+        "the allotment committee sent his renewal form and none of us can open it",
+    ],
+    "joy": [
+        "the adoption papers cleared and the crib went up the same night",
+        "she passed the checkride and called us from the runway",
+        "the whole office poured onto the roof when the deal closed",
+        "the twins took their first steps within a minute of each other",
+        "the orchard hit its first full bloom since we planted it",
+        "rain ended the drought on the day of the harvest dance and everyone stayed out in it",
+        "the exam board posted the list and both our names are on it",
+        "the puppy met snow for the first time this morning",
+        "the last box is unpacked and the new place finally feels like ours",
+        "the band got back together for one night and the whole town showed up",
+    ],
+    "love": [
+        "he still irons her sunday blouse every saturday night, fifty years in",
+        "she keeps my terrible first poem laminated in her wallet",
+        "the porch swing creaks in two voices every evening after dinner",
+        "he drives the long way home so she can see the water",
+        "my grandparents still split the crossword, one pen each",
+        "she learned my bus schedule by heart before she learned my birthday",
+        "the fridge is a museum of every note we ever left each other",
+        "he recorded himself reading her favorite chapters for the night shifts",
+        "we wore out two kettles on late night phone calls before the wedding",
+        "she saves the end piece of every loaf because he likes it",
+    ],
+    "nervousness": [
+        "the callback window opened an hour ago and my phone is face up on the table",
+        "i've rehearsed my order twice and we haven't reached the counter",
+        "the {event} is at nine and i have retied this tie five times",
+        "my knee won't stop bouncing under the exam desk",
+        "i keep rereading the same contract line and the pen is getting heavy",
+        "the scale at the clinic is two rooms away and my chart is first",
+        "the driving examiner is walking over with the clipboard",
+        "i typed and deleted the same text to {person} nine times",
+        "the envelope with the results has been on the table {time} and i keep circling it",
+        "my name is third on the audition list and my hands found my pockets",
+    ],
+    "optimism": [
+        "the physio says the knee is ahead of schedule for spring",
+        "bookings are thin but the reviews keep coming in strong, we'll get there",
+        "the well came back two feet overnight, the rains are finally landing",
+        "the new seed stock sprouted in half the time, next season looks different",
+        "attendance doubled since the schedule change, this club has legs",
+        "the bank called back about the loan and the tone was different this time",
+        "the cast comes off friday and the trail will still be there",
+        "first sales day covered the rent, and that's before the holiday rush",
+        "the storm took the fence but the roof held, we'll be fine by summer",
+        "{person} finally agreed to the trial run, the rest will follow",
+    ],
+    "pride": [
+        "the shelf i built from scrap holds the full encyclopedia set without a wobble",
+        "our stall's jam took first ribbon at the county fair, third year running",
+        "i trained the whole night crew and now they run it better than i did",
+        "the app i wrote at the kitchen table just passed a thousand users",
+        "my daughter's bridge design won the regional and she explained it to the judges herself",
+        "i paid off the tractor with honey money alone",
+        "the choir i started with four voices filled the cathedral last night",
+        "every barrel this house ships has my stamp inside the lid",
+        "the scholarship fund we started covers three students a year now",
+        "i passed the exam they said nobody passes the first time",
+    ],
+    "realization": [
+        "the plant kept dying because the window faces north, not west",
+        "all these years the code was the street number read backwards",
+        "the bus was never late, the station clock runs fast",
+        "i finally see why grandpa always planted the beans by the fence",
+        "the draft was coming from the cellar, not the windows, all along",
+        "she laughed at my jokes because she needed the wifi password",
+        "the recipe says cups and i have been using mugs since college",
+        "the map key was on the back page the entire trip",
+        "it was never about the money, he just wanted to be asked",
+        "the interview wasn't going badly, the interviewer just never smiles",
+    ],
+    "relief": [
+        "the recall notice covered our model and the garage had already fixed it free",
+        "the x ray showed a sprain, nothing the boot won't handle",
+        "the missing ferret was asleep in the laundry the entire search",
+        "the tax letter was a refund, not an audit",
+        "the smoke was next door's barbecue, not the workshop",
+        "the landing gear light was a bulb, the wheels were fine all along",
+        "my {object} survived the move in one piece after all",
+        "the bridge closed for inspection ten minutes after we crossed it",
+        "the {event} got moved indoors an hour before the sky opened",
+        "the backup drive had everything, every single folder",
+    ],
+    "remorse": [
+        "i forgot {person}'s retirement dinner and only saw the photos after",
+        "i laughed first and checked if he was hurt second",
+        "i signed the card last and only because someone chased me, and she noticed",
+        "i repeated the secret at dinner before i even understood it was one",
+        "i returned the borrowed {object} broken and said nothing about it",
+        "i skipped the hospital visit for a sale that wasn't even real",
+        "i taught my little brother the shortcut that got him in trouble",
+        "i promised to water next door's garden and hid when they came home",
+        "i picked the movie over her recital and the seat they saved stayed empty",
+        "i snapped at the waiter over a mistake that turned out to be mine",
+    ],
+    "sadness": [
+        "the corner cinema showed its last reel and the marquee letters came down",
+        "my best friend's moving van left before i got off work",
+        "the {room} is too quiet now that the {object} is gone",
+        "the summer camp where we met is lots for sale now",
+        "the mural we painted in fourth grade got rolled over in gray this week",
+        "the last bus of the season left the seafront empty by eight",
+        "nobody renewed the chess club room and the boards went to storage",
+        "the orchard came down for the bypass in a single afternoon",
+        "the phone booth where he proposed is a planter now",
+        "her favorite bakery is a vape shop now and i cross the street",
+    ],
+    "surprise": [
+        "the quiet accountant owns the carousel at the pier, has for years",
+        "i pulled a fifty year old love letter out of the library book",
+        "the pothole crew dug up a cobblestone street nobody knew was under there",
+        "my carpool buddy turned out to be the keynote speaker",
+        "the {object} i donated came back as a raffle prize, to me",
+        "the recipe i've guarded for years is printed on the flour bag",
+        "the house plant we watered for a decade is plastic",
+        "the man at the next desk has been my pen pal since grade school",
+        "the painting in the {room} was hanging upside down for eleven years",
+        "the new mayor is the kid who mowed our lawn",
+    ],
+    "neutral": [
+        "the {event} starts at nine and the doors open at eight thirty",
+        "the invoice total includes the delivery charge",
+        "the {object} takes two batteries, the large kind",
+        "the office recycles on alternate thursdays",
+        "the recipe makes six servings as written",
+        "the parking meters take cards after the update",
+        "the {room} lights are on a motion timer",
+        "the library renews loans automatically once",
+        "the trail closes at dusk year round",
+        "the printer's toner ships separately",
+    ],
+}
+
+
+# Second batch (same round): the first training run scored held-out
+# situation TEMPLATES at only 0.157 while lifting the hand-written
+# implicit tier 0.098 -> 0.224 — the model learns scenario schemas it has
+# seen and abstracts weakly, so schema COUNT is the lever. Eight more
+# scenarios per label, all new schemas.
+_SITUATIONS2: dict[str, list[str]] = {
+    "admiration": [
+        "{person} speaks four languages and switches between them without missing a beat",
+        "the lifeguard read the current before anyone saw it and had both swimmers back in minutes",
+        "she tuned the piano by ear in under an hour",
+        "the old farmer calls the weather better than the forecast, days out",
+        "{person} juggled three jobs and still finished top of the class",
+        "the surgeon's hands never moved faster than they needed to",
+        "she fixed in one evening what stumped the whole team for a month",
+        "the blacksmith drew the blade straight on the first heat",
+    ],
+    "amusement": [
+        "the parakeet learned the microwave beep and now nobody trusts the kitchen",
+        "dad skipped the instructions and built the wardrobe inside out",
+        "the mascot tripped on the banner and took the trophy table with it",
+        "my nephew negotiated bedtime like a tiny lawyer, and won",
+        "the choir sneezed in unison and the conductor had to stop",
+        "the robot vacuum herded the cat's toys into one corner like a sheepdog",
+        "{person} mixed up the sugar and the salt at the {event} and the reviews were glowing anyway",
+        "the birthday candles relit themselves three times and grandpa declared war",
+    ],
+    "anger": [
+        "the gym renewed my membership the day after i cancelled it in person",
+        "my package sat across the street for a week marked delivery attempted",
+        "the insurance covered everything except the part that broke",
+        "the manager promised me the shift and gave it away an hour later",
+        "the tow lot wants cash only and the atm inside is out of order",
+        "they painted over the mural without asking anyone who painted it",
+        "the seller relisted the {object} i already paid for at a higher price",
+        "the hotel gave away the room at midnight with our name still on the booking",
+    ],
+    "annoyance": [
+        "the group chat pinged forty times about where to eat and decided nothing",
+        "the self checkout calls for assistance on every single item",
+        "my seatmate watched the whole movie on speaker",
+        "the {room} window only opens when it rains",
+        "the survey says five minutes and asks the same question nine ways",
+        "the ice cream truck loops our block hourly playing the same eight notes",
+        "every appliance in this house beeps a different tune at a different hour",
+        "the update moved every button i had finally memorized",
+    ],
+    "approval": [
+        "keeping the pool open an extra month was the right use of the surplus",
+        "the school swapping detention for garden duty is working, you can tell",
+        "rotating who chairs the meeting keeps everyone honest, smart system",
+        "the landlord fixing the roof before the facade shows the right priorities",
+        "they listened to the drivers and moved the stop twenty meters, exactly right",
+        "giving the rookies first pick of shifts this season was fair",
+        "the festival hiring local crews again is how it ought to work",
+        "the new quiet hours after nine strike the right balance",
+    ],
+    "caring": [
+        "i wrote the doctor's questions on a card so {person} won't have to remember them",
+        "i charge her phone overnight because she always forgets",
+        "start the car five minutes early, i don't want you scraping ice with bare hands",
+        "i labeled the leftovers so the night shift eats something real",
+        "{person} keeps a spare umbrella at the desk for whoever forgets theirs",
+        "i walked the route to the new school twice to mark the safe crossing",
+        "take the aisle seat, your knee does better with the stretch",
+        "i put grip tape on the {room} steps before the frost comes",
+    ],
+    "confusion": [
+        "the elevator buttons go one to six and the building has four floors",
+        "my badge opens the {room} on weekends but not on weekdays",
+        "the subtitle said one thing, the dub said another, the plot did a third",
+        "the assembly diagram shows eight screws and the bag holds eleven",
+        "the bill thanks me for a payment i have no record of making",
+        "the {event} invite lists two venues and no date",
+        "the support bot keeps answering a question i didn't ask",
+        "the thermostat reads freezing in the room where we're all sweating",
+    ],
+    "curiosity": [
+        "the bakery's back door gets a delivery at midnight and it isn't flour",
+        "the same initials are carved into every bench in the park, different decades",
+        "the {object} we inherited has a keyhole and no key anywhere in the house",
+        "one window in the condemned tower stays lit every night",
+        "the bus route skips one street with no explanation and i ride past it slower every time",
+        "the cookbook's margins are full of corrections in a stranger's handwriting",
+        "the phone rings once every sunday and the caller never stays on",
+        "there's a door in the {room} painted the same color as the wall",
+    ],
+    "desire": [
+        "the seed catalog arrived and my bookmarks outnumber the garden beds",
+        "the listing photos are three years old and i still know every room by heart",
+        "the ferry schedule to the islands lives folded in my coat pocket",
+        "i keep the paint sample taped where the new wall would go",
+        "the violin case in the pawn shop hasn't moved and neither have i",
+        "my cart has held the same {object} through four sales",
+        "i read the course syllabus again though enrollment closed months ago",
+        "the window seat of that cafe is the whole reason i take the long way",
+    ],
+    "disappointment": [
+        "the meteor shower peaked behind the one cloud in the sky",
+        "the reunion was three people and a folded banner",
+        "the recipe from the show tastes nothing like it looked",
+        "my entry scored two points below the cutoff, again",
+        "the signed copy turned out to be a printed signature",
+        "the job came with the title and none of the work they described",
+        "the famous fireworks were over in four minutes",
+        "the {object} i waited for {time} arrived in the wrong size",
+    ],
+    "disapproval": [
+        "towing bikes from the hospital rack during visiting hours is a new low",
+        "the paper buried the correction on the last page in small print",
+        "padding the invoice because the client seems rich is not a pricing strategy",
+        "the committee thanked the volunteers by cutting their parking passes",
+        "reserving the front row for sponsors at a school play misses the point",
+        "the landlord's fix for the leak was a bucket and a clause in the lease",
+        "announcing layoffs by group email on a friday evening says everything",
+        "they moved the {event} to a paid venue and kept calling it a community day",
+    ],
+    "disgust": [
+        "the gum under the desk formed an archaeological layer",
+        "the rental car's cup holder had something fused to the bottom",
+        "he clipped his nails onto the shared table through the whole meeting",
+        "the soup had a band aid in it and the manager offered a coupon",
+        "the public pool's deep end had a texture water should not have",
+        "the {room} sponge has been gray since the day i moved in, they still use it",
+        "the market stall thawed the same fish tray in the sun for the third day",
+        "the lint trap in the shared dryer hadn't been emptied in living memory",
+    ],
+    "embarrassment": [
+        "the automatic door didn't open and i walked into it at full stride",
+        "my ringtone went off during the vows, it was the duck song",
+        "i waved the taxi down and it was just a yellow car",
+        "i told the whole table the story they had all heard me tell last week",
+        "my sweater was inside out through both interviews",
+        "i asked when the baby was due and there was no baby",
+        "i cheered the wrong team's goal in the home stands",
+        "i hit reply all on the joke about the boss, and the boss replied first",
+    ],
+    "excitement": [
+        "the puppy comes home saturday and the crate is already by the bed",
+        "my number finally came up on the allotment waiting list",
+        "the cast list goes up at noon and the whole drama club is camped by the board",
+        "the new coaster opens friday and we have first ride wristbands",
+        "the box office confirmed the reunion tour stops here first",
+        "results drop tonight and the group chat is counting down by the minute",
+        "the library called, the book i waited months for is in",
+        "we signed the lease on the shop this morning, keys by friday",
+    ],
+    "fear": [
+        "the lights of the car behind us switched off but the engine kept pace",
+        "the railing gave an inch when i leaned on it over the drop",
+        "the pilot's voice changed and the cabin went very quiet",
+        "something big moved under the canoe and the water went still",
+        "the power cut out mid storm and the flashlight drawer was empty",
+        "the trail signs stopped and the light was going",
+        "the dog's hackles went up at the {room} door and he wouldn't cross it",
+        "the crack in the windshield grew an inch on the motorway",
+    ],
+    "gratitude": [
+        "the cafe kept my laptop safe behind the counter all weekend",
+        "{person} co-signed when no bank would even take the meeting",
+        "the night nurse brought my mother an extra blanket before anyone asked",
+        "the couple behind us quietly paid for our anniversary dinner",
+        "my professor reopened the submission portal at midnight just for me",
+        "the crew stayed late to load the truck so i could make the ferry",
+        "{person} lent me the {object} for the whole season and refused a deposit",
+        "the lost and found held my ring for a year, with a note in the box",
+    ],
+    "grief": [
+        "the piano tuner came yesterday, mom's appointment, made in spring",
+        "his reading glasses are in every room and none of us gather them up",
+        "the barber asks after him every month and every month i can't say it",
+        "her recipe box is in my kitchen now and i can't open the lid yet",
+        "we finally harvested the tomatoes he staked in june",
+        "the club gave his locker a season of silence before reassigning it",
+        "i kept his number on the plan and pay the line fee every month",
+        "mom's knitting stayed on the needles, half a sleeve, and none of us will finish it",
+    ],
+    "joy": [
+        "the visa came through and the kids are learning the word for grandmother",
+        "the test strip showed two lines and we sat on the bathroom floor laughing",
+        "the shelter called, the old dog nobody wanted is ours",
+        "the choir hit the high note together for the first time and the room rang",
+        "the power came back after the storm and the whole block cheered from the porches",
+        "she said yes on the ferris wheel and the whole fair heard",
+        "the harvest filled both barns for the first time since we took over",
+        "the cast came off and he ran the length of the yard before breakfast",
+    ],
+    "love": [
+        "he learned sign language in secret the month her hearing began to go",
+        "she warms his side of the bed with the hot water bottle before his night shift ends",
+        "our song came on in the supermarket and we danced by the freezers anyway",
+        "he keeps every ticket stub from every train we ever took together",
+        "she still laughs at the joke i told her the day we met",
+        "he planted her favorite flowers under the window the first week we moved in",
+        "the phone is full of photos of me asleep and i can't even be mad",
+        "forty minutes into goodbye on the porch and neither of us has moved",
+    ],
+    "nervousness": [
+        "the loading bar on the application portal froze at ninety nine",
+        "they called the candidate before me in early and she hasn't come out",
+        "the coach posted squad news for tomorrow and my phone won't load it",
+        "my palms keep leaving prints on the steering wheel outside the test center",
+        "the notary keeps rereading page three and i keep watching her pen",
+        "the vet said wait in room two and took the x rays somewhere else",
+        "i have checked the departure board so often the staff nod at me now",
+        "the director said we'll announce after lunch and lunch is running long",
+    ],
+    "optimism": [
+        "the counts are up at the feeder, the winter wasn't as hard as feared",
+        "the new tenant paid early and planted herbs on the sill, good sign",
+        "the apprenticeship has three spots this year instead of one",
+        "the cough is finally moving down and out, you can hear it",
+        "the bridge reopens in spring and the shop fronts are getting painted already",
+        "two new families joined the school run this term, the street is coming back",
+        "the early figures say the festival broke even in year one, next year pays",
+        "the river ran clear after the cleanup for the first time i can remember",
+    ],
+    "pride": [
+        "the quilt took four winters and it hangs in the entry where everyone sees it",
+        "my student's bread won against bakers twice her age",
+        "the sign above the shop has our family name and i repaint it every spring",
+        "i rewired the whole barn myself and it passed inspection first visit",
+        "the recipe i invented is on the menu with my name in brackets",
+        "our garage band's song played on the local station while we sat in the car",
+        "i kept every plant in the greenhouse alive through the blackout winter",
+        "the team i coach lifted the cup i never won as a player",
+    ],
+    "realization": [
+        "the remote needed batteries, not the television a repairman",
+        "the squeak was the chair all along, we oiled every door in the house",
+        "the diet worked the month the bakery was closed, do the math",
+        "he wasn't short with me, he just reads messages without his glasses",
+        "the plants thrived the week we left, the problem was the watering",
+        "the lock was never stiff, the key was a copy of a copy",
+        "the shortcut saves two minutes and loses twenty at the one traffic light",
+        "she kept winning because she counts the cards, it finally added up",
+    ],
+    "relief": [
+        "the scan that was rushed to the specialist came back ordinary",
+        "the strange noise was a loose mudflap, not the transmission",
+        "the email i sent in a rage had sat in drafts all along",
+        "the wallet i left on the train rode the loop and came back to the same platform",
+        "the allergy panel cleared the dog, he stays",
+        "the storm surge stopped two sandbags short of the door",
+        "{person} answered on the fourth ring, it was just a dead battery",
+        "the fine print says the deposit is refundable after all",
+    ],
+    "remorse": [
+        "i gave away the {object} she stored with me and she asked for it back this week",
+        "i kept the joke going after his face had changed",
+        "i told them the shortcut was safe without checking the bridge myself",
+        "i copied the homework once and the teacher praised my improvement for a month",
+        "i ate the lunch with someone else's name on it and said nothing for a week",
+        "i bargained the price down hard and then saw the listing was his late wife's things",
+        "i rolled my eyes before i understood what she was actually asking",
+        "i left the gate open the day the rabbits found the lettuce",
+    ],
+    "sadness": [
+        "the pond we skated on gets drained for the development this fall",
+        "the house sold to people who will take down the treehouse",
+        "the last ferry of the night leaves earlier every year",
+        "my daughter stopped asking for the bedtime story this spring",
+        "the arcade by the pier is an insurance office now",
+        "they shortened the carnival to one day and half the stalls stayed home",
+        "the old projector plays our wedding film too fast now and nobody repairs them",
+        "the neighborhood kids don't cut through our yard anymore",
+    ],
+    "surprise": [
+        "the wrong number i consoled at midnight turned out to be my dentist",
+        "the scratch ticket from the birthday card covered the whole dinner",
+        "the shy kid from physics class is headlining the arena tour",
+        "the wall we planned to demolish had a window behind the plaster",
+        "my grandmother's ring appeared in the vacuum bag after nine years",
+        "the office plant flowered for the first time in anyone's memory",
+        "the landlord knocked to return money, he had overcharged us for a year",
+        "the stray that adopted our porch has a show pedigree and a worried owner",
+    ],
+    "neutral": [
+        "the bus timetable changes on public holidays",
+        "the warranty card is inside the {object} box",
+        "the thermostat defaults to auto after a power cut",
+        "the garage code resets on the first of the month",
+        "the conference room seats twelve with the divider open",
+        "the ferry takes cars on the lower deck only",
+        "the paint store mixes custom colors until four",
+        "the elevator inspection certificate is posted by the door",
+    ],
+}
+
+
+def situation_banks() -> dict[str, list[str]]:
+    """label -> situation templates (no feeling words; see _SITUATIONS)."""
+    assert set(_SITUATIONS) == set(ID2LABEL.values())
+    assert set(_SITUATIONS2) == set(ID2LABEL.values())
+    return {k: _SITUATIONS[k] + _SITUATIONS2[k] for k in _SITUATIONS}
+
+
+def _fill_situation(tmpl: str, rng: random.Random) -> str:
+    """Fill every slot the template uses from the shared vocabularies."""
+    return tmpl.format(**{k: rng.choice(v) for k, v in _SIT_SLOTS.items()})
+
+
 def _variants(kw: str) -> list[str]:
     """Cheap morphological variants for single alphabetic words."""
     out = [kw]
@@ -1186,6 +1865,28 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         train_y.append(nid)
         train_cues.append("")
 
+    # Situation rows (round 3): scenario templates whose label rides the
+    # SITUATION, not a cue word. Cue supervision passes the WHOLE sentence
+    # as the span — every token may carry the label, so the max-pool
+    # suppression penalty (which would otherwise push all tokens of a
+    # cue-less sentence toward neutral) exempts these rows. Two templates
+    # per label are held out to `eval_situations`.
+    n_sit = n_per_label // 2
+    sit_eval_x, sit_eval_y = [], []
+    for label, temps in situation_banks().items():
+        temps = temps[:]
+        rng.shuffle(temps)
+        eval_temps, train_temps_s = temps[:3], temps[3:]
+        lid = label2id[label]
+        for _ in range(n_sit):
+            text = _fill_situation(rng.choice(train_temps_s), rng)
+            train_x.append(text)
+            train_y.append(lid)
+            train_cues.append(text)
+        for _ in range(max(4, n_sit // 8)):
+            sit_eval_x.append(_fill_situation(rng.choice(eval_temps), rng))
+            sit_eval_y.append(lid)
+
     # bare-keyword templates ("{kw}") and neutral full-sentence banks can
     # reproduce a train text verbatim in eval; drop those pairs so the eval
     # splits measure strictly unseen text
@@ -1201,10 +1902,14 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
     ood_full = OOD_EVAL + OOD_EVAL_CUE
     ood_x = [t for t, _ in ood_full]
     ood_y = [label2id[l] for _, l in ood_full]
+    sit_pairs = [(x, y) for x, y in zip(sit_eval_x, sit_eval_y)
+                 if x not in seen]
     return {"train": (train_x, train_y),
             "train_cues": train_cues,
             "eval": (list(eval_x), list(eval_y)),
             "eval_unseen_forms": (list(uf_x), list(uf_y)),
+            "eval_situations": ([x for x, _ in sit_pairs],
+                                [y for _, y in sit_pairs]),
             "ood": (ood_x, ood_y),
             "ood_implicit": ([t for t, _ in OOD_IMPLICIT],
                              [label2id[l] for _, l in OOD_IMPLICIT])}
