@@ -60,9 +60,14 @@ class Pipeline:
                  full_gm: bool = False, render_audio: bool = True,
                  scheme: str = "a", scheme_b=None, use_cache: bool = True,
                  coalesce: bool = False,
-                 coalesce_opts: dict | None = None):
+                 coalesce_opts: dict | None = None,
+                 medusa_heads: dict | None = None):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
+        # Medusa heads (tools.medusa.load_medusa_heads) enable the
+        # medusa=true request option: multi-token sampled decode, measured
+        # 1.38-1.52x batch-1 (DESIGN.md §3.9). None = option rejected.
+        self.medusa_heads = medusa_heads
         self.full_gm = full_gm
         self.render_audio = render_audio
         # use_cache=False serves through the uncached O(T^2) re-encode path
@@ -124,22 +129,34 @@ class Pipeline:
                             top_p: float = 1.0, min_p: float = 0.0,
                             penalties: tuple | None = None,
                             no_repeat_ngram: int = 0,
-                            grammar: bool = False, lookup: bool = False):
+                            grammar: bool = False, lookup: bool = False,
+                            medusa: bool = False):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation.
 
         lookup=True decodes via draft-free prompt-lookup speculation
         (Generator.generate_ids_lookup): exact output distribution, lower
-        batch-1 latency on self-repetitive streams. Solo decode only (the
-        engine's ragged rows don't speculate) and incompatible with the
-        history-dependent transforms (penalties/ngram/grammar)."""
-        if lookup and (penalties is not None or no_repeat_ngram
-                       or grammar):
+        batch-1 latency on self-repetitive streams. medusa=True decodes
+        via the checkpoint's trained Medusa heads (Pipeline medusa_heads;
+        Generator.generate_ids_medusa): exact output distribution, 1.4-1.5x
+        lower batch-1 sampled latency (DESIGN.md §3.9). Both are solo
+        decodes (the engine's ragged rows don't speculate) and incompatible
+        with the history-dependent transforms (penalties/ngram/grammar)."""
+        if (lookup or medusa) and (penalties is not None or no_repeat_ngram
+                                   or grammar):
             raise ValueError(
-                "lookup does not compose with penalties, n-gram bans or "
-                "grammar constraints (history-dependent distributions "
+                "lookup/medusa do not compose with penalties, n-gram bans "
+                "or grammar constraints (history-dependent distributions "
                 "break the proposal/target acceptance math)")
+        if lookup and medusa:
+            raise ValueError("lookup and medusa are mutually exclusive "
+                             "speculation modes")
+        if medusa and self.medusa_heads is None:
+            raise ValueError(
+                "this serving checkpoint ships no Medusa heads "
+                "(train them with `cli train-medusa` and place "
+                "medusa_heads.pkl next to the checkpoint)")
         dropped = []
         gram = self.grammar() if grammar else None
         if self.scheme == "b3":
@@ -150,6 +167,11 @@ class Pipeline:
                 ids = self.generator.generate_ids_lookup(
                     prompt_ids, temperature=temperature, top_k=top_k,
                     seed=run_seed, top_p=top_p, min_p=min_p)[0]
+            elif medusa:
+                ids = self.generator.generate_ids_medusa(
+                    self.medusa_heads, prompt_ids, temperature=temperature,
+                    top_k=top_k, seed=run_seed, top_p=top_p,
+                    min_p=min_p)[0]
             else:
                 ids = self.generator.generate_ids(
                     prompt_ids, temperature=temperature, top_k=top_k,
@@ -171,6 +193,13 @@ class Pipeline:
         if lookup:
             ids = self.generator.generate_ids_lookup(
                 self.generator.vocab.encode(gen_prompt),
+                temperature=temperature, top_k=top_k, seed=run_seed,
+                top_p=top_p, min_p=min_p)[0]
+            tokens = self.generator.trim_at_eos(ids)
+            return gen_prompt, tokens, tokens_to_song(tokens), dropped
+        if medusa:
+            ids = self.generator.generate_ids_medusa(
+                self.medusa_heads, self.generator.vocab.encode(gen_prompt),
                 temperature=temperature, top_k=top_k, seed=run_seed,
                 top_p=top_p, min_p=min_p)[0]
             tokens = self.generator.trim_at_eos(ids)
@@ -211,7 +240,8 @@ class Pipeline:
                  penalties: tuple | None = None,
                  no_repeat_ngram: int = 0,
                  grammar: bool = False,
-                 lookup: bool = False) -> GenerationResult:
+                 lookup: bool = False,
+                 medusa: bool = False) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -228,7 +258,7 @@ class Pipeline:
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
             mapping, temperature, top_k, run_seed, top_p, min_p,
-            penalties, no_repeat_ngram, grammar, lookup)
+            penalties, no_repeat_ngram, grammar, lookup, medusa)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -261,7 +291,8 @@ class Pipeline:
                           penalties: tuple | None = None,
                           no_repeat_ngram: int = 0,
                           grammar: bool = False,
-                          lookup: bool = False) -> GenerationResult:
+                          lookup: bool = False,
+                          medusa: bool = False) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -279,7 +310,8 @@ class Pipeline:
                                  render_audio=render_audio, top_p=top_p,
                                  min_p=min_p, penalties=penalties,
                                  no_repeat_ngram=no_repeat_ngram,
-                                 grammar=grammar, lookup=lookup)
+                                 grammar=grammar, lookup=lookup,
+                                 medusa=medusa)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -297,7 +329,7 @@ class Pipeline:
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
                 mapping, temperature, top_k, run_seed, top_p, min_p,
-                penalties, no_repeat_ngram, grammar, lookup)
+                penalties, no_repeat_ngram, grammar, lookup, medusa)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)
@@ -508,6 +540,8 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     {params, vocab, cfg} but no scheme tag — reference layout,
     train/train_large2.py:100-110), so Scheme-A text-token models and
     Scheme-B3 control-token models both serve through POST /generate."""
+    import os
+
     from ..tokenizer import SchemeB3, Vocab, detect_scheme
     from ..utils.orbax_io import load_any_checkpoint
 
@@ -519,15 +553,25 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
             f"Scheme-{scheme.upper()} checkpoints have no control tokens "
             "to condition on; serve a b3 (train_no_inst) or Scheme-A "
             "checkpoint")
+    # Medusa heads auto-discover: a medusa_heads.pkl next to the
+    # checkpoint (written by `cli train-medusa --out <dir>/medusa_heads
+    # .pkl`) enables the medusa=true request option; absent = rejected.
+    heads = None
+    heads_path = os.path.join(path, "medusa_heads.pkl")
+    if os.path.isfile(heads_path) and ckpt["cfg"].causal:
+        from ..tools.medusa import load_medusa_heads
+
+        heads = load_medusa_heads(heads_path)
     if scheme == "b3":
         gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
                         eos_token="[END_SEQ]")
         return Pipeline(gen, classifier, scheme="b3",
                         scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
-                        coalesce=coalesce, coalesce_opts=coalesce_opts)
+                        coalesce=coalesce, coalesce_opts=coalesce_opts,
+                        medusa_heads=heads)
     gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
     return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
-                    coalesce_opts=coalesce_opts)
+                    coalesce_opts=coalesce_opts, medusa_heads=heads)
 
 
 def packaged_demo_checkpoints() -> dict:

@@ -311,9 +311,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
                 return
             lookup = fields.get("lookup", "").lower() in ("1", "true",
                                                           "yes")
-            if lookup and stream:
-                self._json(422, {"error": "lookup does not stream yet "
-                                          "(whole-block speculation)"})
+            medusa = fields.get("medusa", "").lower() in ("1", "true",
+                                                          "yes")
+            if (lookup or medusa) and stream:
+                self._json(422, {"error": "lookup/medusa do not stream "
+                                          "yet (whole-block speculation)"})
                 return
             if stream:
                 self._stream_generate(prompt, sampling, fmt, sections,
@@ -324,10 +326,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
             try:
                 result = gen_fn(
                     prompt, render_audio=fmt == "wav", lookup=lookup,
-                    **sampling)
+                    medusa=medusa, **sampling)
             except ValueError as exc:
-                # invalid request composition (e.g. lookup + grammar, or
-                # lookup on a reference-quirk checkpoint)
+                # invalid request composition (e.g. lookup + grammar,
+                # medusa without shipped heads, or speculation on a
+                # reference-quirk checkpoint)
                 self._json(422, {"error": str(exc)})
                 return
             self.stats.observe(_time.perf_counter() - t_start,

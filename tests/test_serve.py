@@ -522,3 +522,91 @@ def test_http_lookup_corrected_pipeline():
             assert e.code == 422
     finally:
         srv.shutdown()
+
+
+def test_http_medusa_field(server):
+    """medusa form field on a pipeline WITHOUT shipped heads: 422 with a
+    clear message (not 500); medusa + grammar composes to 422 too."""
+    for extra in ({}, {"grammar": "true"}):
+        try:
+            _post_form(f"{server}/generate?format=midi",
+                       {"prompt": "so happy", "seed": "1",
+                        "medusa": "1", **extra})
+            assert False, "expected HTTP 422"
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+
+
+def test_http_medusa_with_heads():
+    """A corrected pipeline with trained-or-zero-init Medusa heads serves
+    medusa=1 requests: valid MIDI, seed-deterministic, stream rejected,
+    mutually exclusive with lookup. Zero-init heads make the output
+    distribution EXACTLY the plain sampler's by construction (acceptance
+    math), so this covers the serving contract without a trained
+    artifact."""
+    from eamg_tpu.decode.medusa import init_medusa_heads
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True)
+    pipe.medusa_heads = init_medusa_heads(
+        None, pipe.generator.cfg, 4)
+    srv = make_server(pipe, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        a = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy", "seed": "3",
+                        "medusa": "true"}).read()
+        b = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy", "seed": "3",
+                        "medusa": "true"}).read()
+        assert a[:4] == b"MThd"
+        assert a == b
+        # sections compose with medusa (each section decodes solo)
+        c = _post_form(f"{base}/generate?format=midi",
+                       {"prompt": "I am happy. Then I was sad.",
+                        "seed": "3", "medusa": "1",
+                        "sections": "true"}).read()
+        assert c[:4] == b"MThd"
+        for bad in ({"stream": None}, {"lookup": "1"}):
+            try:
+                if "stream" in bad:
+                    _post_form(f"{base}/generate?stream=1",
+                               {"prompt": "I am happy", "medusa": "1"})
+                else:
+                    _post_form(f"{base}/generate?format=midi",
+                               {"prompt": "I am happy", "medusa": "1",
+                                **bad})
+                assert False, "expected HTTP 422"
+            except urllib.error.HTTPError as e:
+                assert e.code == 422
+    finally:
+        srv.shutdown()
+
+
+def test_packaged_demo_medusa_heads_discovered():
+    """pipeline_from_checkpoint auto-discovers the shipped
+    medusa_heads.pkl next to each demo checkpoint (skip when the demo
+    checkpoints are not shipped)."""
+    import os
+
+    import pytest
+
+    from eamg_tpu.serve.pipeline import (packaged_demo_checkpoints,
+                                         pipeline_from_checkpoint)
+
+    demos = packaged_demo_checkpoints()
+    with_heads = {s: d for s, d in demos.items()
+                  if os.path.isfile(os.path.join(d, "medusa_heads.pkl"))}
+    if not with_heads:
+        pytest.skip("no demo checkpoints with shipped heads")
+    for scheme, d in with_heads.items():
+        from eamg_tpu.emotion import EmotionClassifier
+
+        pipe = pipeline_from_checkpoint(
+            d, classifier=EmotionClassifier(backend="lexicon"))
+        assert pipe.medusa_heads is not None, scheme
+        assert len(pipe.medusa_heads["blocks"]) >= 1
+        res = pipe.generate("a happy tune", seed=5, render_audio=False,
+                            medusa=True)
+        assert res.midi_bytes[:4] == b"MThd"
