@@ -944,7 +944,7 @@ OOD_EVAL_CUE = [
 # template-distilled model scored 0.098 on (BENCHMARKS.md implicit tier).
 # Slot vocabularies are SHARED across all labels, so slot words are
 # label-neutral by construction (the same trick as the context-word
-# substitution pool); the schema words carry the label. Two templates per
+# substitution pool); the schema words carry the label. Three templates per
 # label are held out to an `eval_situations` split; the hand-written
 # OOD_IMPLICIT tier above stays untouched as the final exam. These banks
 # teach the situation->emotion MAPPING; the eval sentences themselves
@@ -1869,10 +1869,10 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
     # SITUATION, not a cue word. Cue supervision passes the WHOLE sentence
     # as the span — every token may carry the label, so the max-pool
     # suppression penalty (which would otherwise push all tokens of a
-    # cue-less sentence toward neutral) exempts these rows. Two templates
+    # cue-less sentence toward neutral) exempts these rows. Three templates
     # per label are held out to `eval_situations`.
     n_sit = n_per_label // 2
-    sit_eval_x, sit_eval_y = [], []
+    sit_eval, sit_seen = [], set()
     for label, temps in situation_banks().items():
         temps = temps[:]
         rng.shuffle(temps)
@@ -1883,9 +1883,13 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
             train_x.append(text)
             train_y.append(lid)
             train_cues.append(text)
+        # deduplicated: slot-less held-out templates yield one row each
+        # (duplicates would overweight them ~4x in the accuracy)
         for _ in range(max(4, n_sit // 8)):
-            sit_eval_x.append(_fill_situation(rng.choice(eval_temps), rng))
-            sit_eval_y.append(lid)
+            text = _fill_situation(rng.choice(eval_temps), rng)
+            if text not in sit_seen:
+                sit_seen.add(text)
+                sit_eval.append((text, lid))
 
     # bare-keyword templates ("{kw}") and neutral full-sentence banks can
     # reproduce a train text verbatim in eval; drop those pairs so the eval
@@ -1902,8 +1906,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
     ood_full = OOD_EVAL + OOD_EVAL_CUE
     ood_x = [t for t, _ in ood_full]
     ood_y = [label2id[l] for _, l in ood_full]
-    sit_pairs = [(x, y) for x, y in zip(sit_eval_x, sit_eval_y)
-                 if x not in seen]
+    sit_pairs = [(x, y) for x, y in sit_eval if x not in seen]
     return {"train": (train_x, train_y),
             "train_cues": train_cues,
             "eval": (list(eval_x), list(eval_y)),
@@ -1923,8 +1926,20 @@ def tokenizer_corpus(train_texts: list[str]) -> list[str]:
     from decomposing into character soup (a pure tokenization confound);
     held-out keyword FORMS stay out of the vocab, so the unseen-forms
     split still measures subword generalization."""
+    import re
+
     ctx = [t.replace("{kw}", " ") for t in _TEMPLATES + _PHRASE_TEMPLATES]
-    return list(train_texts) + ctx
+    # situation templates too (slots stripped), for the same reason: the
+    # held-out-template eval_situations split must measure schema
+    # generalization, not unseen-wordpiece decomposition (measured: eval
+    # situation sentences fragmented at 1.50 pieces/word vs 1.05 for the
+    # standard eval split before this line). Labels aren't leaked — the
+    # tokenizer is deployment-scoped vocabulary, not supervision.
+    sit = [re.sub(r"\{[a-z]+\}", " ", t)
+           for temps in _SITUATIONS.values() for t in temps]
+    sit += [re.sub(r"\{[a-z]+\}", " ", t)
+            for temps in _SITUATIONS2.values() for t in temps]
+    return list(train_texts) + ctx + sit
 
 
 def build_wordpiece_vocab(texts: list[str],

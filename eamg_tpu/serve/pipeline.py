@@ -153,25 +153,30 @@ class Pipeline:
             raise ValueError("lookup and medusa are mutually exclusive "
                              "speculation modes")
         if medusa and self.medusa_heads is None:
-            raise ValueError(
+            raise ValueError(getattr(self, "medusa_unavailable", None) or (
                 "this serving checkpoint ships no Medusa heads "
                 "(train them with `cli train-medusa` and place "
-                "medusa_heads.pkl next to the checkpoint)")
+                "medusa_heads.pkl next to the checkpoint)"))
         dropped = []
         gram = self.grammar() if grammar else None
+        # the solo speculation modes share one call signature; bind the
+        # heads here so both scheme paths stay single-branch
+        spec_fn = None
+        if lookup:
+            spec_fn = self.generator.generate_ids_lookup
+        elif medusa:
+            from functools import partial
+
+            spec_fn = partial(self.generator.generate_ids_medusa,
+                              self.medusa_heads)
         if self.scheme == "b3":
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
             gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
-            if lookup:
-                ids = self.generator.generate_ids_lookup(
-                    prompt_ids, temperature=temperature, top_k=top_k,
-                    seed=run_seed, top_p=top_p, min_p=min_p)[0]
-            elif medusa:
-                ids = self.generator.generate_ids_medusa(
-                    self.medusa_heads, prompt_ids, temperature=temperature,
-                    top_k=top_k, seed=run_seed, top_p=top_p,
-                    min_p=min_p)[0]
+            if spec_fn is not None:
+                ids = spec_fn(prompt_ids, temperature=temperature,
+                              top_k=top_k, seed=run_seed, top_p=top_p,
+                              min_p=min_p)[0]
             else:
                 ids = self.generator.generate_ids(
                     prompt_ids, temperature=temperature, top_k=top_k,
@@ -190,18 +195,10 @@ class Pipeline:
         known = [t for t in gen_prompt if t in self.generator.vocab]
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
-        if lookup:
-            ids = self.generator.generate_ids_lookup(
-                self.generator.vocab.encode(gen_prompt),
-                temperature=temperature, top_k=top_k, seed=run_seed,
-                top_p=top_p, min_p=min_p)[0]
-            tokens = self.generator.trim_at_eos(ids)
-            return gen_prompt, tokens, tokens_to_song(tokens), dropped
-        if medusa:
-            ids = self.generator.generate_ids_medusa(
-                self.medusa_heads, self.generator.vocab.encode(gen_prompt),
-                temperature=temperature, top_k=top_k, seed=run_seed,
-                top_p=top_p, min_p=min_p)[0]
+        if spec_fn is not None:
+            ids = spec_fn(self.generator.vocab.encode(gen_prompt),
+                          temperature=temperature, top_k=top_k,
+                          seed=run_seed, top_p=top_p, min_p=min_p)[0]
             tokens = self.generator.trim_at_eos(ids)
             return gen_prompt, tokens, tokens_to_song(tokens), dropped
         use_batcher = self.batcher is not None and getattr(
@@ -556,22 +553,44 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     # Medusa heads auto-discover: a medusa_heads.pkl next to the
     # checkpoint (written by `cli train-medusa --out <dir>/medusa_heads
     # .pkl`) enables the medusa=true request option; absent = rejected.
+    # Mismatches fail HERE at startup with the real cause, not as a 500
+    # inside the first medusa request's jitted einsum.
     heads = None
+    medusa_unavailable = None
     heads_path = os.path.join(path, "medusa_heads.pkl")
-    if os.path.isfile(heads_path) and ckpt["cfg"].causal:
-        from ..tools.medusa import load_medusa_heads
+    if os.path.isfile(heads_path):
+        if not ckpt["cfg"].causal:
+            medusa_unavailable = (
+                "this checkpoint ships Medusa heads but has the reference "
+                "bidirectional/pos quirks; medusa requires a corrected "
+                "causal checkpoint (train --corrected)")
+        else:
+            from ..tools.medusa import load_medusa_heads
 
-        heads = load_medusa_heads(heads_path)
+            heads = load_medusa_heads(heads_path)
+            D = ckpt["cfg"].d_model
+            w0 = heads["blocks"][0]["w"]
+            if tuple(w0.shape) != (D, D):
+                medusa_unavailable = (
+                    f"the shipped medusa_heads.pkl was trained for "
+                    f"d_model={w0.shape[0]}, this checkpoint is "
+                    f"d_model={D}; retrain with `cli train-medusa`")
+                heads = None
+    if medusa_unavailable:
+        print(f"[serve] medusa disabled: {medusa_unavailable}")
     if scheme == "b3":
         gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
                         eos_token="[END_SEQ]")
-        return Pipeline(gen, classifier, scheme="b3",
+        pipe = Pipeline(gen, classifier, scheme="b3",
                         scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
                         coalesce=coalesce, coalesce_opts=coalesce_opts,
                         medusa_heads=heads)
-    gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
-    return Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
-                    coalesce_opts=coalesce_opts, medusa_heads=heads)
+    else:
+        gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
+        pipe = Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
+                        coalesce_opts=coalesce_opts, medusa_heads=heads)
+    pipe.medusa_unavailable = medusa_unavailable
+    return pipe
 
 
 def packaged_demo_checkpoints() -> dict:

@@ -584,6 +584,57 @@ def test_http_medusa_with_heads():
         srv.shutdown()
 
 
+def test_medusa_heads_mismatch_disabled_at_startup(tmp_path):
+    """Mismatched or quirk-blocked heads disable medusa AT STARTUP with
+    the real cause in the 422 message — not a 500 inside the first
+    request's jitted einsum."""
+    import pickle
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from eamg_tpu.decode.medusa import init_medusa_heads
+    from eamg_tpu.emotion import EmotionClassifier
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.serve.pipeline import pipeline_from_checkpoint
+    from eamg_tpu.tokenizer import SchemeB3
+    from eamg_tpu.utils.checkpoint import save_checkpoint
+
+    b3 = SchemeB3(seq_len=48)
+    lex = EmotionClassifier(backend="lexicon")
+
+    def ckpt_with_heads(name, causal, heads_d):
+        cfg = GPTConfig(vocab_size=len(b3.vocab), seq_len=48, d_model=32,
+                        n_head=2, n_layer=1, pos_rows=48, causal=causal)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        d = tmp_path / name
+        save_checkpoint(str(d), params, b3.vocab.tok2id, cfg)
+        hcfg = GPTConfig(vocab_size=8, seq_len=8, d_model=heads_d,
+                         n_head=2, n_layer=1, pos_rows=8, causal=True)
+        heads = init_medusa_heads(None, hcfg, 2)
+        with open(d / "medusa_heads.pkl", "wb") as f:
+            pickle.dump({"blocks": [
+                {"w": np.zeros((heads_d, heads_d), np.float32),
+                 "b": np.zeros((heads_d,), np.float32)}
+                for _ in heads["blocks"]]}, f)
+        return str(d)
+
+    # wrong d_model: heads rejected with the shape cause
+    pipe = pipeline_from_checkpoint(ckpt_with_heads("mismatch", True, 64),
+                                    classifier=lex)
+    assert pipe.medusa_heads is None
+    with pytest.raises(ValueError, match="d_model=64"):
+        pipe.generate("happy", seed=1, render_audio=False, medusa=True)
+
+    # reference-quirk architecture: heads present but medusa impossible
+    pipe = pipeline_from_checkpoint(ckpt_with_heads("quirky", False, 32),
+                                    classifier=lex)
+    assert pipe.medusa_heads is None
+    with pytest.raises(ValueError, match="corrected causal"):
+        pipe.generate("happy", seed=1, render_audio=False, medusa=True)
+
+
 def test_packaged_demo_medusa_heads_discovered():
     """pipeline_from_checkpoint auto-discovers the shipped
     medusa_heads.pkl next to each demo checkpoint (skip when the demo
