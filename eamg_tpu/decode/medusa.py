@@ -93,9 +93,34 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
     assert B == 1, "medusa decoding is a batch-1 latency optimization"
     assert cfg.n_pos >= max_len + gamma, \
         "pos table too small for the speculative block overshoot"
-    V = cfg.vocab_size
     slack = max_len + gamma + 1
 
+    state = _medusa_init(params, prompt, prompt_len, rng, cfg, slack,
+                         temperature, top_k, greedy, top_p, min_p, eos_id,
+                         pad_id)
+    hw, hb = _stack_heads(heads)  # stacked ONCE, outside the loop body
+    body = _make_medusa_body(params, hw, hb, cfg, gamma, temperature,
+                             top_k, greedy, top_p, min_p, eos_id, pad_id)
+
+    def cond(state):
+        buf, pos, last, h_last, done, rng, cache, n_steps = state
+        return jnp.logical_and(pos < max_len, ~done)
+
+    buf, pos, _, _, _, _, _, n_steps = jax.lax.while_loop(
+        cond, body, state)
+    pos = jnp.minimum(pos, max_len)
+    idx = jnp.arange(slack)[None]
+    buf = jnp.where(idx < pos, buf, pad_id)
+    return buf[:, :max_len], pos, n_steps
+
+
+def _medusa_init(params: dict, prompt: jax.Array, prompt_len,
+                 rng: jax.Array, cfg: GPTConfig, slack: int,
+                 temperature, top_k: int, greedy: bool, top_p, min_p,
+                 eos_id: int, pad_id: int):
+    """Prefill + first token -> the loop-carried medusa state
+    (buf, pos, last, h_last, done, rng, cache, n_steps)."""
+    B, P = prompt.shape
     cache = init_kv_cache(cfg, 1, slack)
     logits0, cache = prefill(params, prompt, cfg, cache,
                              prompt_len=prompt_len)
@@ -119,12 +144,19 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
     # loop's bookkeeping; a zero h makes round-1 proposals the zero-init
     # base distribution — acceptance math keeps the output exact either way
     h0 = jnp.zeros((cfg.d_model,), cfg.jnp_dtype)
+    return (buf, jnp.asarray(pos0, jnp.int32), first, h0, done0, rng,
+            cache, jnp.asarray(0, jnp.int32))
 
-    hw, hb = _stack_heads(heads)  # stacked ONCE, outside the loop body
 
-    def cond(state):
-        buf, pos, last, h_last, done, rng, cache, n_steps = state
-        return jnp.logical_and(pos < max_len, ~done)
+def _make_medusa_body(params: dict, hw: jax.Array, hb: jax.Array,
+                      cfg: GPTConfig, gamma: int, temperature,
+                      top_k: int, greedy: bool, top_p, min_p,
+                      eos_id: int, pad_id: int):
+    """One verify iteration over the medusa state — shared by the
+    one-shot while_loop (generate_medusa) and the bounded streaming
+    chunk (medusa_stream_chunk), so streams are BIT-IDENTICAL to the
+    one-shot for any sampling mode (rng flows through the state)."""
+    V = cfg.vocab_size
 
     def body(state):
         buf, pos, last, h_last, done, rng, cache, n_steps = state
@@ -208,10 +240,113 @@ def generate_medusa(params: dict, heads: dict, prompt: jax.Array,
               "length": jnp.asarray(new_pos - 1, jnp.int32)}
         return buf, new_pos, new_last, h_new, done, rng, ct, n_steps + 1
 
-    buf, pos, _, _, _, _, _, n_steps = jax.lax.while_loop(
-        cond, body, (buf, jnp.asarray(pos0, jnp.int32), first, h0, done0,
-                     rng, cache, jnp.asarray(0, jnp.int32)))
-    pos = jnp.minimum(pos, max_len)
-    idx = jnp.arange(slack)[None]
-    buf = jnp.where(idx < pos, buf, pad_id)
-    return buf[:, :max_len], pos, n_steps
+    return body
+
+
+@partial(jax.jit, static_argnames=("cfg", "slack", "top_k", "greedy",
+                                   "top_p", "min_p"))
+def medusa_stream_start(params: dict, prompt: jax.Array, prompt_len,
+                        rng: jax.Array, cfg: GPTConfig, slack: int,
+                        temperature: float = 1.0, top_k: int = 50,
+                        eos_id: int = -1, pad_id: int = 0,
+                        greedy: bool = False, top_p: float = 1.0,
+                        min_p: float = 0.0):
+    """Compiled stream prelude: prefill + first token -> medusa state."""
+    return _medusa_init(params, prompt, prompt_len, rng, cfg, slack,
+                        temperature, top_k, greedy, top_p, min_p, eos_id,
+                        pad_id)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "k_verifies",
+                                   "gamma", "top_k", "greedy", "top_p",
+                                   "min_p"))
+def medusa_stream_chunk(params: dict, hw: jax.Array, hb: jax.Array,
+                        state, cfg: GPTConfig, max_len: int,
+                        k_verifies: int, gamma: int,
+                        temperature: float = 1.0, top_k: int = 50,
+                        eos_id: int = -1, pad_id: int = 0,
+                        greedy: bool = False, top_p: float = 1.0,
+                        min_p: float = 0.0):
+    """Up to ``k_verifies`` verify iterations (early exit on EOS or
+    max_len) — the streaming twin of generate_medusa's loop. The same
+    body runs with the same state, so the accepted-token stream is
+    bit-identical to the one-shot program's output."""
+    body = _make_medusa_body(params, hw, hb, cfg, gamma, temperature,
+                             top_k, greedy, top_p, min_p, eos_id, pad_id)
+
+    def cond_i(carry):
+        i, state = carry
+        buf, pos, last, h_last, done, rng, cache, n_steps = state
+        return (i < k_verifies) & (pos < max_len) & ~done
+
+    def body_i(carry):
+        i, state = carry
+        return i + 1, body(state)
+
+    _, state = jax.lax.while_loop(
+        cond_i, body_i, (jnp.asarray(0, jnp.int32), state))
+    # packed host view [slack + 2]: buf row, pos, done — ONE transfer per
+    # chunk (each fetch costs a fixed ~25 ms RPC on the axon tunnel;
+    # three separate fetches tripled the streaming overhead, measured)
+    buf, pos, last, h_last, done, rng, cache, n_steps = state
+    packed = jnp.concatenate(
+        [buf[0], jnp.stack([pos, done.astype(jnp.int32)])])
+    return state, packed
+
+
+def stream_tokens_medusa(params: dict, heads: dict, cfg: GPTConfig,
+                         prompt_ids: list[int], max_len: int,
+                         k_verifies: int = 16, gamma: int = 4,
+                         temperature: float = 1.0, top_k: int = 50,
+                         eos_id: int = -1, pad_id: int = 0,
+                         greedy: bool = False, seed: int = 0,
+                         bucket: int = 64, top_p: float = 1.0,
+                         min_p: float = 0.0):
+    """Python generator yielding token ids one at a time (batch 1) —
+    the medusa twin of decode.stream.stream_tokens: accepted tokens
+    reach the host every ``k_verifies`` verify blocks, and the stream
+    is bit-identical to generate_medusa's one-shot output (same body,
+    same state, rng carried through).
+    """
+    import numpy as np
+
+    assert cfg.causal and not cfg.pos_broadcast_bug
+    gamma = min(gamma, len(heads["blocks"]))
+    assert gamma >= 1
+    heads = {"blocks": heads["blocks"][:gamma]}
+    max_len = min(max_len, cfg.n_pos - gamma)
+    p = len(prompt_ids)
+    if p >= max_len:
+        return
+    width = max(bucket, 1)
+    while width < p:
+        width *= 2
+    width = min(width, max_len)
+    prompt = np.full((1, width), pad_id, np.int32)
+    prompt[0, :p] = prompt_ids
+    slack = max_len + gamma + 1
+    hw, hb = _stack_heads(heads)
+    state = medusa_stream_start(
+        params, jnp.asarray(prompt), p, jax.random.PRNGKey(seed), cfg,
+        slack, temperature=temperature, top_k=top_k, eos_id=eos_id,
+        pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
+    first = int(np.asarray(state[2]))
+    yield first
+    if first == eos_id:
+        return
+    emitted = p + 1
+    done = False
+    while emitted < max_len and not done:
+        state, packed = medusa_stream_chunk(
+            params, hw, hb, state, cfg, max_len, k_verifies, gamma,
+            temperature=temperature, top_k=top_k, eos_id=eos_id,
+            pad_id=pad_id, greedy=greedy, top_p=top_p, min_p=min_p)
+        arr = np.asarray(packed)          # one RPC: buf row + pos + done
+        pos = min(int(arr[-2]), max_len)
+        done = bool(arr[-1])
+        if pos > emitted:
+            for t in arr[emitted:pos]:
+                yield int(t)
+                if int(t) == eos_id:
+                    return
+            emitted = pos

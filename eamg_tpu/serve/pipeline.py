@@ -363,13 +363,43 @@ class Pipeline:
                        top_k: int, run_seed: int, chunk: int = 32,
                        top_p: float = 1.0, min_p: float = 0.0,
                        penalties: tuple | None = None,
-                       no_repeat_ngram: int = 0, grammar: bool = False):
+                       no_repeat_ngram: int = 0, grammar: bool = False,
+                       medusa: bool = False):
         """Yield lists of newly generated token ids: through the continuous
         engine when one is running and accepts the sampling params (the row
         joins the shared RUNNING decode), else a solo chunked stream
-        (decode/stream.py)."""
+        (decode/stream.py), or the medusa chunked stream when asked
+        (decode/medusa.py: accepted tokens arrive per verify-block chunk,
+        bit-identical to the one-shot medusa program)."""
         from .continuous import ContinuousBatcher
 
+        gen = self.generator
+        if medusa:
+            if penalties is not None or no_repeat_ngram or grammar:
+                raise ValueError(
+                    "medusa does not compose with penalties, n-gram bans "
+                    "or grammar constraints (history-dependent "
+                    "distributions break the acceptance math)")
+            if self.medusa_heads is None:
+                raise ValueError(getattr(self, "medusa_unavailable", None)
+                                 or "this serving checkpoint ships no "
+                                    "Medusa heads")
+            from ..decode.medusa import stream_tokens_medusa
+
+            delta = []
+            for tok in stream_tokens_medusa(
+                    gen.params, self.medusa_heads, gen.cfg,
+                    list(prompt_ids), gen.max_supported_len(),
+                    temperature=temperature, top_k=top_k,
+                    eos_id=gen.eos_id, pad_id=gen.pad_id, seed=run_seed,
+                    top_p=top_p, min_p=min_p):
+                delta.append(tok)
+                if len(delta) >= chunk:
+                    yield delta
+                    delta = []
+            if delta:
+                yield delta
+            return
         if isinstance(self.batcher, ContinuousBatcher) \
                 and self.batcher.accepts(top_k=top_k, top_p=top_p,
                                          min_p=min_p, penalties=penalties,
@@ -383,7 +413,6 @@ class Pipeline:
             return
         from ..decode.stream import stream_tokens
 
-        gen = self.generator
         delta = []
         for tok in stream_tokens(gen.params, gen.cfg, list(prompt_ids),
                                  gen.max_supported_len(), chunk=chunk,
@@ -408,7 +437,8 @@ class Pipeline:
                         gap_s: float = 0.5, top_p: float = 1.0,
                         min_p: float = 0.0,
                         penalties: tuple | None = None,
-                        no_repeat_ngram: int = 0, grammar: bool = False):
+                        no_repeat_ngram: int = 0, grammar: bool = False,
+                        medusa: bool = False):
         """Incremental twin of :meth:`generate` / :meth:`generate_sections`:
         a Python generator of JSON-able event dicts for SSE serving.
 
@@ -473,7 +503,7 @@ class Pipeline:
                                          top_p=top_p, min_p=min_p,
                                          penalties=penalties,
                                          no_repeat_ngram=no_repeat_ngram,
-                                         grammar=grammar)
+                                         grammar=grammar, medusa=medusa)
             try:
                 for delta in deltas:
                     out = []

@@ -313,13 +313,27 @@ class EAMGHandler(BaseHTTPRequestHandler):
                                                           "yes")
             medusa = fields.get("medusa", "").lower() in ("1", "true",
                                                           "yes")
-            if (lookup or medusa) and stream:
-                self._json(422, {"error": "lookup/medusa do not stream "
-                                          "yet (whole-block speculation)"})
+            if lookup and stream:
+                self._json(422, {"error": "lookup does not stream yet "
+                                          "(whole-block speculation)"})
                 return
             if stream:
+                if medusa and (sampling["penalties"] is not None
+                               or sampling["no_repeat_ngram"]
+                               or sampling["grammar"]):
+                    # fail before committing the 200 event-stream header
+                    self._json(422, {"error": "medusa does not compose "
+                                              "with penalties, n-gram "
+                                              "bans or grammar"})
+                    return
+                if medusa and self.pipeline.medusa_heads is None:
+                    self._json(422, {"error": getattr(
+                        self.pipeline, "medusa_unavailable", None)
+                        or "this serving checkpoint ships no Medusa "
+                           "heads"})
+                    return
                 self._stream_generate(prompt, sampling, fmt, sections,
-                                      t_start)
+                                      t_start, medusa=medusa)
                 return
             gen_fn = (self.pipeline.generate_sections if sections
                       else self.pipeline.generate)
@@ -359,7 +373,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
         except Exception as exc:  # pragma: no cover - defensive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-    def _stream_generate(self, prompt, sampling, fmt, sections, t_start):
+    def _stream_generate(self, prompt, sampling, fmt, sections, t_start,
+                         medusa: bool = False):
         """``POST /generate?stream=1`` -> Server-Sent Events: meta /
         token-delta events as compiled chunks complete, then a final done
         event with the MIDI (and WAV) as base64 (pipeline.generate_stream).
@@ -400,7 +415,7 @@ class EAMGHandler(BaseHTTPRequestHandler):
         label = ""
         stream = self.pipeline.generate_stream(
             prompt, render_audio=fmt == "wav", sections=sections,
-            **sampling)
+            medusa=medusa, **sampling)
         try:
             for ev in stream:
                 if ev["event"] == "done":

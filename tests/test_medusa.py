@@ -106,6 +106,52 @@ def test_sampled_distribution_preserved():
     assert tv < 0.25, f"sampled marginals diverge: TV={tv:.3f}"
 
 
+@pytest.mark.parametrize("greedy", [True, False])
+@pytest.mark.parametrize("k_verifies", [1, 3, 8])
+def test_stream_bit_matches_one_shot(greedy, k_verifies):
+    """stream_tokens_medusa shares the one-shot program's loop body and
+    carries rng/cache through its state, so the accepted-token stream is
+    BIT-IDENTICAL to generate_medusa for any chunk size, greedy or
+    sampled — the property that lets medusa ride SSE serving."""
+    from eamg_tpu.decode.medusa import stream_tokens_medusa
+
+    params, cfg = model(seed=4)
+    heads = random_heads(cfg, 3, seed=11)
+    prompt = np.zeros((1, 4), np.int32)
+    prompt[0, :3] = [1, 2, 3]
+    one, pos, _ = generate_medusa(
+        params, heads, jnp.asarray(prompt), 3, jax.random.PRNGKey(7),
+        cfg, 40, gamma=3, greedy=greedy, top_k=8, eos_id=-1, pad_id=0)
+    ref = np.asarray(one)[0, 3:int(pos)].tolist()
+    got = list(stream_tokens_medusa(
+        params, heads, cfg, [1, 2, 3], 40, k_verifies=k_verifies,
+        gamma=3, greedy=greedy, top_k=8, eos_id=-1, pad_id=0, seed=7))
+    assert got == ref
+
+
+def test_stream_eos_stops():
+    """The streamed sequence ends exactly at the first EOS token."""
+    from eamg_tpu.decode.medusa import stream_tokens_medusa
+
+    params, cfg = model(seed=2)
+    heads = init_medusa_heads(jax.random.PRNGKey(0), cfg, 3)
+    ref, ref_pos = generate_kv(params, jnp.asarray(
+        np.asarray([[4, 5, 6, 0]], np.int32)), 3, jax.random.PRNGKey(0),
+        cfg, 40, greedy=True, eos_id=-1, pad_id=0,
+        refeed_last_prompt=False)
+    eos = int(np.asarray(ref)[0, 10])
+    got = list(stream_tokens_medusa(
+        params, heads, cfg, [4, 5, 6], 40, gamma=3, greedy=True,
+        eos_id=eos, pad_id=0, seed=0))
+    assert got[-1] == eos
+    assert eos not in got[:-1]
+    # the stream equals the eos-free reference up to its FIRST eos
+    # occurrence (the eos token may appear before the position we
+    # sampled it from)
+    row = np.asarray(ref)[0, 3:].tolist()
+    assert got == row[:row.index(eos) + 1]
+
+
 def test_trained_heads_accept_multiple_tokens(tmp_path):
     """End-to-end: train a tiny model on a deterministic cyclic corpus,
     train heads on the frozen base, and the trained heads must clear >1.5

@@ -568,18 +568,35 @@ def test_http_medusa_with_heads():
                         "seed": "3", "medusa": "1",
                         "sections": "true"}).read()
         assert c[:4] == b"MThd"
-        for bad in ({"stream": None}, {"lookup": "1"}):
+        # medusa STREAMS (per verify block) — SSE events arrive and the
+        # done event's token ids match the non-streamed request's decode
+        # (bit-identical stream property, decode-level test in
+        # test_medusa.py)
+        resp = _post_form(f"{base}/generate?stream=1",
+                          {"prompt": "I am happy", "seed": "3",
+                           "medusa": "1"})
+        events = [json.loads(line[6:]) for line in
+                  resp.read().decode().splitlines()
+                  if line.startswith("data: ")]
+        kinds = [e["event"] for e in events]
+        assert kinds[0] == "meta" and kinds[-1] == "done"
+        assert any(k == "tokens" for k in kinds)
+        # invalid compositions still 422 before the stream commits
+        for bad in ({"lookup": "1"}, {"grammar": "true"}):
             try:
-                if "stream" in bad:
-                    _post_form(f"{base}/generate?stream=1",
-                               {"prompt": "I am happy", "medusa": "1"})
-                else:
-                    _post_form(f"{base}/generate?format=midi",
-                               {"prompt": "I am happy", "medusa": "1",
-                                **bad})
+                _post_form(f"{base}/generate?format=midi",
+                           {"prompt": "I am happy", "medusa": "1",
+                            **bad})
                 assert False, "expected HTTP 422"
             except urllib.error.HTTPError as e:
                 assert e.code == 422
+        try:
+            _post_form(f"{base}/generate?stream=1",
+                       {"prompt": "hi", "medusa": "1",
+                        "grammar": "true"})
+            assert False, "expected HTTP 422"
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
     finally:
         srv.shutdown()
 
