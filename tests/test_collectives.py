@@ -249,16 +249,18 @@ def test_three_axis_dp_pp_tp_composed_step():
 
 
 @pytest.mark.slow
-def test_dryrun_16_virtual_devices(tmp_path):
-    """The flagship DP x TP train step compiles and runs on a 16-device
-    mesh (the driver's dryrun covers 8; VERDICT r2 #6 asks for 16/32).
-    Subprocess: the pytest process's backend is pinned to 8 devices."""
+@pytest.mark.parametrize("n_dev,dp,tp_shards", [(16, 8, 2), (32, 8, 4)])
+def test_dryrun_16_32_virtual_devices(tmp_path, n_dev, dp, tp_shards):
+    """The flagship DP x TP train step compiles and runs on 16- AND
+    32-device meshes (the driver's dryrun covers 8; VERDICT r2 #6 asks
+    for 16/32). Subprocess: the pytest process's backend is pinned to 8
+    devices."""
     import subprocess
     import sys
 
-    script = r"""
+    script = rf"""
 import os
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={n_dev}"
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
@@ -269,18 +271,19 @@ from eamg_tpu.train import TrainConfig, Trainer
 
 vocab = SchemeB2().vocab
 cfg = preset("large2", vocab_size=len(vocab))
-mesh = make_mesh(data=8, model=2)
-trainer = Trainer(cfg, TrainConfig(accum_steps=2, micro_batch=16,
+mesh = make_mesh(data={dp}, model={tp_shards})
+trainer = Trainer(cfg, TrainConfig(accum_steps=2, micro_batch={dp * 2},
                                    tp=True),
                   init_params(jax.random.PRNGKey(0), cfg), mesh=mesh)
 r = np.random.default_rng(0)
-x = r.integers(1, len(vocab), (2, 16, 31)).astype(np.int32)
+x = r.integers(1, len(vocab), (2, {dp * 2}, 31)).astype(np.int32)
 m = trainer.train_step(x, x)
 assert np.isfinite(m["loss"]), m
-print("DRYRUN16_OK", m["loss"])
+print("DRYRUN_OK", m["loss"])
 """
     p = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=900, env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        timeout=900, env={"PYTHONPATH": "/root/repo",
+                          "PATH": "/usr/bin:/bin:/usr/local/bin"},
         cwd="/root/repo")
-    assert "DRYRUN16_OK" in p.stdout, (p.stdout[-2000:], p.stderr[-2000:])
+    assert "DRYRUN_OK" in p.stdout, (p.stdout[-2000:], p.stderr[-2000:])

@@ -601,6 +601,25 @@ def test_http_medusa_with_heads():
         srv.shutdown()
 
 
+def test_medusa_bypasses_running_engine():
+    """With a continuous engine running, medusa=True requests decode solo
+    (speculation doesn't ride ragged rows) while plain requests keep
+    riding the engine — both succeed from the same pipeline."""
+    from eamg_tpu.decode.medusa import init_medusa_heads
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True, coalesce="continuous")
+    pipe.medusa_heads = init_medusa_heads(None, pipe.generator.cfg, 3)
+    try:
+        r1 = pipe.generate("so happy", seed=2, render_audio=False,
+                           medusa=True)
+        assert r1.midi_bytes[:4] == b"MThd"
+        r2 = pipe.generate("so happy", seed=2, render_audio=False)
+        assert r2.midi_bytes[:4] == b"MThd"
+    finally:
+        pipe.batcher.close()
+
+
 def test_medusa_heads_mismatch_disabled_at_startup(tmp_path):
     """Mismatched or quirk-blocked heads disable medusa AT STARTUP with
     the real cause in the 422 message — not a 500 inside the first
