@@ -1880,6 +1880,10 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         lid = label2id[label]
         for _ in range(n_sit):
             text = _fill_situation(rng.choice(train_temps_s), rng)
+            # light word dropout on a third of situation rows: no single
+            # surface word should be load-bearing for the schema
+            if rng.random() < 0.35:
+                text = _word_dropout(text, rng)
             train_x.append(text)
             train_y.append(lid)
             train_cues.append(text)

@@ -130,22 +130,23 @@ class TestPackagedCheckpoint:
             m["unseen_forms_acc_lexicon"]
         assert m["ood_acc_distilbert"] > m["ood_acc_lexicon"]
         # round-3 floors (VERDICT r2 #2): >= 0.70 on the round-2 56-
-        # sentence OOD metric, >= 0.60 top-1 / >= 0.85 top-3 on the grown
+        # sentence OOD metric, >= 0.65 top-1 / >= 0.85 top-3 on the grown
         # 168-sentence cue-bearing tier (maxpool cue-detector head +
-        # cue-span suppression; shipped = 0.750 / 0.690 / 0.917)
+        # cue-span suppression + situation banks with word dropout;
+        # shipped = 0.804 / 0.738 / 0.923)
         assert m["ood_acc_56_r2_metric"] >= 0.70, m
-        assert m["ood_acc_distilbert"] >= 0.60, m
+        assert m["ood_acc_distilbert"] >= 0.65, m
         assert m["ood_top3_distilbert"] >= 0.85, m
         assert m["unseen_forms_acc_distilbert"] >= 0.60, m
         # situation-bank floors (round 3): the implicit tier — situation-
-        # only sentences with zero feeling words — moved 0.098 -> ~0.24
-        # once the corpus taught situation->emotion schemas; pin it above
-        # the pre-situation-bank level so it can't silently regress.
-        # eval_situations (held-out templates, deduplicated) is honestly
-        # weak — shipped 0.089 vs 0.036 chance — floor just above chance
-        assert m["ood_implicit_acc"] >= 0.18, m
-        assert m["ood_implicit_top3"] >= 0.33, m
-        assert m["eval_situations_acc"] >= 0.06, m
+        # only sentences with zero feeling words — moved 0.098 -> 0.252
+        # once the corpus taught situation->emotion schemas (+ word
+        # dropout); pin it above the pre-situation-bank level so it
+        # can't silently regress. eval_situations (held-out templates,
+        # deduplicated) is honestly weak — shipped 0.133 vs 0.036 chance
+        assert m["ood_implicit_acc"] >= 0.20, m
+        assert m["ood_implicit_top3"] >= 0.36, m
+        assert m["eval_situations_acc"] >= 0.08, m
 
     def test_sanity_predictions(self):
         from eamg_tpu.emotion.infer import EmotionClassifier
