@@ -1854,7 +1854,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         text = rng.choice(train_templates).format(kw=filler)
         # two-clause cue-free sentences: keep "comma + two clauses" itself
         # label-neutral (the emotional train split composes clauses too)
-        if rng.random() < 0.35:
+        if rng.random() < 0.6:
             filler2 = (_gibberish(rng) if rng.random() < 0.2
                        else rng.choice(pool))
             text = text + ", " + rng.choice(train_templates).format(
@@ -1882,7 +1882,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
             text = _fill_situation(rng.choice(train_temps_s), rng)
             # light word dropout on a third of situation rows: no single
             # surface word should be load-bearing for the schema
-            if rng.random() < 0.35:
+            if rng.random() < 0.6:
                 text = _word_dropout(text, rng)
             train_x.append(text)
             train_y.append(lid)
