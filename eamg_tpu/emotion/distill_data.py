@@ -1603,11 +1603,299 @@ _SITUATIONS2: dict[str, list[str]] = {
 }
 
 
+# Third batch: dropout + diversity both measured as levers (implicit
+# 0.224 -> 0.245 -> 0.266 over batches/sweeps), so more new schemas.
+_SITUATIONS3: dict[str, list[str]] = {
+    "admiration": [
+        "the substitute conductor led the whole symphony without a score",
+        "grandma shelled the entire harvest by hand before lunch, like every year",
+        "{person} calmed the spooked horse with three words and an open palm",
+        "the line cook plated forty covers solo and never looked rushed",
+        "she threaded the trailer through the narrow gate on the first reverse",
+        "the old typesetter still sets a page faster than the machine",
+        "he took the hardest route up the cliff face and made it look slow and easy",
+        "the translator kept pace with three speakers at once for two hours",
+    ],
+    "amusement": [
+        "the cat filed a formal complaint by sitting on the keyboard mid demo",
+        "my uncle narrated the entire nature documentary in the penguin's voice",
+        "the bouncy castle deflated slowly with the headmaster still waving from it",
+        "the baby's first word was the dog's name, said to the dog's face, twice",
+        "the karaoke machine shuffled to opera and {person} committed fully",
+        "the donkey photobombed every single wedding photo, perfectly centered",
+        "dad's fitness tracker logged mowing the lawn as a marathon and he printed the certificate",
+        "the toddler applauded the dishwasher when it finished, so now we all do",
+    ],
+    "anger": [
+        "they repossessed the wrong car and told me to prove it was mine",
+        "the clinic billed me for the appointment they cancelled",
+        "my landlord showed the flat to strangers while i was in the shower",
+        "the referee waved play on after the elbow everyone in the stadium saw",
+        "the course sold out and reopened the next day at triple the price",
+        "{person} wiped the whiteboard with a month of my work on it, on purpose",
+        "the scalpers bought the block of seats the school had saved for the kids",
+        "customer service closed my complaint as resolved without answering it",
+    ],
+    "annoyance": [
+        "the hotel wifi needs a new login for every room, lobby, and elevator",
+        "my monitor updates itself at nine oh one every monday, during standup",
+        "the vending machine takes exact change and gives no change",
+        "the car dings about the seatbelt that is already buckled",
+        "{person} schedules meetings at four fifty five on fridays",
+        "the door that says open at eight opens at eight fifteen, daily",
+        "the playlist shuffles straight back to the same three songs",
+        "every form in that office wants a different spelling of my own name",
+    ],
+    "approval": [
+        "free swim lessons for the river town kids is exactly where the grant belonged",
+        "the chef sourcing from the street market keeps the money on our block, well done",
+        "they finally let the night shift pick the radio station, about time and fair",
+        "the city turning the old rail line into a path was the right call",
+        "posting the kitchen inspection scores on the door keeps everyone honest",
+        "the league moving kickoff past the heat of the day was sensible",
+        "giving the apprentices real tools instead of scrap was the right investment",
+        "the museum's pay what you can tuesday is how it should work",
+    ],
+    "caring": [
+        "i salted the neighbor's steps before the school run",
+        "i sewed the name tags in so the camp laundry can't lose his socks",
+        "{person} drives the long loop home to drop the intern at the door",
+        "i keep the porch light on until the last bus has passed",
+        "i cut the grapes in half until she's bigger, every single grape",
+        "the barber keeps a booster seat and a patience reserve for the little ones",
+        "i packed two lunches, one for him and one for whoever forgets theirs",
+        "text the group when you're home, we all wait up",
+    ],
+    "confusion": [
+        "the warranty is valid only with a receipt the store says it never prints",
+        "the gate agent sent me to desk four, and desk four is a plant",
+        "my tax form wants line twelve of a schedule that ends at line nine",
+        "the elevator goes down when i press up, but only on thursdays",
+        "the recipe's metric half still uses cups",
+        "the meeting notes assign the task to someone none of us have met",
+        "the parking sign permits what the sign below it forbids",
+        "{person} says the password never changed and the system says it expired twice",
+    ],
+    "curiosity": [
+        "the antique clock chimes thirteen once a month and i'm charting it",
+        "someone waters the flowers on the roundabout at night and nobody knows who",
+        "the secondhand jacket came with a ticket stub from a country i can't place",
+        "the basement of the library is colder than the freezer and i want to know why",
+        "the same song plays from the empty bandstand every equinox",
+        "how the bakery gets the layers that thin is my current obsession",
+        "the neighbor's chimney smokes only when it rains",
+        "i found a brick in the garden wall stamped with a name and lost my afternoon to the archives",
+    ],
+    "desire": [
+        "the sold sign went up on my favorite house and i still slow down past it",
+        "i keep the conservatory's audition requirements printed in my bag",
+        "the chef's knife in the catalog has survived five of my budgets",
+        "i walk the marina the long way to pass the blue sailboat",
+        "the atlas falls open to the same island every time",
+        "i've priced the piano three times this month and the room already has a corner for it",
+        "the apprenticeship posting closes friday and i reread it at every break",
+        "one shelf of my own books in my own shop, that's all i'm working toward",
+    ],
+    "disappointment": [
+        "the legendary night market was six stalls and a generator",
+        "my painting hung in the show for an hour before they moved it behind the door",
+        "the grand reopening had the same menu with higher prices",
+        "the mentor the program promised met me once, by video, late",
+        "the eclipse was total everywhere except over our field",
+        "the limited edition turned out to be a sticker on the same box",
+        "i made the shortlist and the shortlist was everyone",
+        "the beach house photos were taken from the one angle without the highway",
+    ],
+    "disapproval": [
+        "billing the volunteers for their own thank you dinner is beyond poor taste",
+        "the quiet car sold ad space on its windows, of all places",
+        "they replaced the school nurse with a poster about wellness",
+        "the committee gave itself the award it administers",
+        "running the raffle with prizes nobody audited is asking for trouble",
+        "the new lease counts the hallway as part of the square meters",
+        "cutting the last bus and calling it a walking initiative takes nerve",
+        "the paper ran the rumor on page one and the retraction under the crossword",
+    ],
+    "disgust": [
+        "the ketchup packet in the glovebox had become something else entirely",
+        "he tasted the soup with the serving spoon and put it back",
+        "the gym towel bin and the clean towel bin share a bin",
+        "something is living in the office kettle and it has opinions",
+        "the spin class seats were still warm and wet from the last class",
+        "the hotdog water smell follows that cart for a block in every direction",
+        "the communal butter has toast crumbs from three breakfasts ago",
+        "the drain cover came off and i saw what the city keeps under there",
+    ],
+    "embarrassment": [
+        "i introduced myself to the same person three times at one party",
+        "my boss watched me lose an argument with the parking barrier",
+        "i said you too when the waiter told me to enjoy my meal",
+        "the yoga teacher said breathe naturally and mine chose that moment to whistle",
+        "i presented the quarterly numbers with a croissant flake beard the whole time",
+        "my chair broke mid interview and i finished it from the floor",
+        "i mouthed the wrong lyrics on the stadium screen for eight full seconds",
+        "i handed the cashier my library card and argued when it declined",
+    ],
+    "excitement": [
+        "the charts posted and our little song entered at forty",
+        "the snow report says half a meter overnight and the lifts open at eight",
+        "my number came up for the marathon i've watched from the sidewalk for years",
+        "the container with the workshop tools clears customs tomorrow",
+        "she texted three words, we got it, and i've read them fifty times",
+        "the beta invite landed and i took tomorrow off",
+        "the band teased the hometown date with our skyline",
+        "the last exam is friday morning and the road trip starts friday noon",
+    ],
+    "fear": [
+        "the tide filled our footprints before we found the path off the flats",
+        "the intercom clicked on at two and nobody spoke",
+        "the mechanic went quiet, rolled back under the car, and asked who drove this last",
+        "the baby monitor picked up a lullaby we don't own",
+        "the smoke over the ridge turned and started moving with the wind toward us",
+        "the deck boards flexed where the inspector said they wouldn't",
+        "the captain asked if anyone on board was a doctor",
+        "the elevator stopped between floors and the lights flickered twice",
+    ],
+    "gratitude": [
+        "the plow driver looped back to clear our dead end, he didn't have to",
+        "{person} spotted me the entry fee and refused to let me log it",
+        "the librarian held the rare book aside a week past the rules for me",
+        "the stranger walked me the whole way when i asked for directions",
+        "the ferry crew carried grandma's chair up both decks without being asked",
+        "the landlord replaced the boiler in one day when he heard about the baby",
+        "my old crew showed up with ladders the weekend the roof came due",
+        "the teacher lent me her own calculator for the exam when mine died",
+    ],
+    "grief": [
+        "the hardware store still asks how dad's shed is coming along",
+        "we renewed her library card, nobody could say don't",
+        "the team retired his bib number at the spring race",
+        "i finally changed the emergency contact line and sat in the car a while",
+        "the last jar of her plum jam is in the cupboard and we're not opening it",
+        "the orchard he planted gave its first fruit the autumn after",
+        "we still set the chessboard on sundays, both sides",
+        "mom's voice is still the outgoing message and nobody will rerecord it",
+    ],
+    "joy": [
+        "the citizenship letter came and we hung the flag next to grandpa's",
+        "the whole team made the podium and the anthem played to our row",
+        "the garden's first tomato went four ways at dinner, ceremonially",
+        "the lights came on in the new shop and we just stood on the pavement a while",
+        "the baby slept through and so did we, the whole night, all of us",
+        "the choir master said the solo is mine and i ran the whole way home",
+        "the well came in clean on the first test and the village filled the square",
+        "our song hit the radio while the whole family was in the car",
+    ],
+    "love": [
+        "he learned to cook her mother's recipes from her mother, in secret",
+        "she answers on the first ring at any hour, forty years now",
+        "we still take the table where the heater rattles, it's ours",
+        "he carries her reading glasses in his breast pocket, just in case",
+        "neither of us oils the gate hinge, it has announced every visit for years",
+        "she cuts my hair in the kitchen like the first year, and i'd choose it over any shop",
+        "she hums the song from our first dance while she waters the plants",
+        "he walks on the traffic side of the pavement without thinking about it",
+    ],
+    "nervousness": [
+        "the tattoo artist said ready and my yes took three tries",
+        "the inspector is in the kitchen and i can hear pages turning",
+        "my thesis defense is the first slot after lunch and lunch is not happening",
+        "the penalty is mine to take and the keeper is stretching slowly",
+        "the call sheet says my scene is next and my lines just left",
+        "the bank said the decision prints at the counter, and the queue is nine deep",
+        "the hill start is the last part of the test and we are stopped on a hill",
+        "the email says we'd like to discuss your submission, and the meeting is monday",
+    ],
+    "optimism": [
+        "the lake rose past the old mark, the mill can run all summer",
+        "three of the chicks fledged, the nest box works",
+        "the night class filled in a day, we're adding a second",
+        "her grades climbed two terms straight, the tutoring is landing",
+        "the landlord repainted the empty shops, someone's moving in",
+        "the x rays show the bone knitting ahead of the chart",
+        "the seed swap doubled this spring, the gardens are coming back",
+        "first frost came late again, the figs might actually ripen this year",
+    ],
+    "pride": [
+        "the bridge i welded on carries the school bus every morning",
+        "my sourdough starter has outlived three ovens and feeds half the street",
+        "the kid who couldn't float swam the bay crossing today, i taught her",
+        "our tiny league sent two players to the nationals this year",
+        "the patent finally posted with all four of our names on it",
+        "i drew the plans for the porch on a napkin and the porch has held for a decade",
+        "the night school diploma hangs above the register where everyone can see it",
+        "the rose i grafted took first at the show against the greenhouse entries",
+    ],
+    "realization": [
+        "the printer wasn't broken, the cable has two ends",
+        "the mystery bill was my own gym membership under my old name",
+        "the hive wasn't angry, the mower was too close on wednesdays",
+        "she wasn't avoiding me, her bus route changed in the spring",
+        "the car pulled left because of the roof box, not the alignment",
+        "the coffee wasn't stronger, the cups are smaller at the new place",
+        "the compass wasn't wrong, it lived next to the speaker magnet",
+        "the dog barked at five daily because the mail van idles at the corner",
+    ],
+    "relief": [
+        "the vet called before nine, it's just a seed husk in his ear",
+        "the crack was in the tile, not the foundation, and the engineer laughed",
+        "the overdue ferry radioed in, they'd sheltered behind the island",
+        "my thesis file opened on the third backup",
+        "the spots on the x ray were buttons in my coat pocket",
+        "the bear prints in the yard were the neighbor's mastiff in the mud",
+        "the alarm was the toaster, and the fire brigade stayed for coffee",
+        "the contract's scary clause turned out to apply to the other party",
+    ],
+    "remorse": [
+        "i corrected her grammar at her own retirement toast",
+        "i forgot to mention the orchids and let the plant sitter take the blame",
+        "i read the last chapter first and spoiled it at book club",
+        "i haggled the kid's lemonade stand down to half",
+        "i kept the borrowed ladder so long they bought another",
+        "i said the quiet part about the gift in front of the giver",
+        "i skipped his last game because i assumed there'd be more",
+        "i used her story at the dinner party and watched her hear it told wrong",
+    ],
+    "sadness": [
+        "the school bell rings for someone else's kids now",
+        "the plot next to ours went to gravel this year",
+        "the ice rink closes at the end of the season, for good this time",
+        "my daughter's handprints got painted over in the hallway refresh",
+        "the village shop stopped stocking the paper, nobody asks for it now",
+        "the band's farewell tour skipped our town entirely",
+        "the tree from our wedding photos came down in the storm",
+        "the summer league folded and the trophies went to a box in the clubhouse attic",
+    ],
+    "surprise": [
+        "the rug we beat every spring covered a trapdoor the whole time",
+        "my blind date and my new boss walked in as the same person",
+        "the number one song that summer was recorded in our garage, we just learned",
+        "the ugly vase from the flea market appraised at a year's salary",
+        "the crossword setter we've fought with for years lives next door",
+        "the office raffle grand prize was a llama, a real llama",
+        "the demolition crew found a river under the parking lot",
+        "the house we bought came with a beehive in the deeds",
+    ],
+    "neutral": [
+        "the pool lane ropes go in at nine on weekdays",
+        "the invoice numbers reset each fiscal year",
+        "the side door locks automatically after dark",
+        "the forms are printed on both sides to save paper",
+        "the kiln takes a full day to cool before unloading",
+        "the market stalls are assigned by lottery each season",
+        "the archive requests take two business days",
+        "the spare projector bulb is in the cabinet by the stage door",
+    ],
+}
+
+
 def situation_banks() -> dict[str, list[str]]:
     """label -> situation templates (no feeling words; see _SITUATIONS)."""
     assert set(_SITUATIONS) == set(ID2LABEL.values())
     assert set(_SITUATIONS2) == set(ID2LABEL.values())
-    return {k: _SITUATIONS[k] + _SITUATIONS2[k] for k in _SITUATIONS}
+    assert set(_SITUATIONS3) == set(ID2LABEL.values())
+    return {k: _SITUATIONS[k] + _SITUATIONS2[k] + _SITUATIONS3[k]
+            for k in _SITUATIONS}
 
 
 def _fill_situation(tmpl: str, rng: random.Random) -> str:
@@ -1940,9 +2228,7 @@ def tokenizer_corpus(train_texts: list[str]) -> list[str]:
     # standard eval split before this line). Labels aren't leaked — the
     # tokenizer is deployment-scoped vocabulary, not supervision.
     sit = [re.sub(r"\{[a-z]+\}", " ", t)
-           for temps in _SITUATIONS.values() for t in temps]
-    sit += [re.sub(r"\{[a-z]+\}", " ", t)
-            for temps in _SITUATIONS2.values() for t in temps]
+           for temps in situation_banks().values() for t in temps]
     return list(train_texts) + ctx + sit
 
 

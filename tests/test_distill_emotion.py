@@ -139,14 +139,17 @@ class TestPackagedCheckpoint:
         assert m["ood_top3_distilbert"] >= 0.85, m
         assert m["unseen_forms_acc_distilbert"] >= 0.60, m
         # situation-bank floors (round 3): the implicit tier — situation-
-        # only sentences with zero feeling words — moved 0.098 -> 0.252
+        # only sentences with zero feeling words — moved 0.098 -> 0.245
         # once the corpus taught situation->emotion schemas (+ word
         # dropout); pin it above the pre-situation-bank level so it
         # can't silently regress. eval_situations (held-out templates,
-        # deduplicated) is honestly weak — shipped 0.133 vs 0.036 chance
+        # deduplicated) doubled with the third situation bank
+        # (0.186 -> 0.367 at seed 1234; seed variance is large — 0.107
+        # at seed 2026 — so the floor pins the SHIPPED artifact, not
+        # the retrain distribution)
         assert m["ood_implicit_acc"] >= 0.20, m
         assert m["ood_implicit_top3"] >= 0.36, m
-        assert m["eval_situations_acc"] >= 0.08, m
+        assert m["eval_situations_acc"] >= 0.30, m
 
     def test_sanity_predictions(self):
         from eamg_tpu.emotion.infer import EmotionClassifier
