@@ -365,7 +365,8 @@ def cmd_distill_emotion(args):
     spec = ScratchSpec(dim=args.dim, n_layers=args.n_layers,
                        hidden_dim=3 * args.dim, epochs=args.epochs,
                        seed=args.seed, n_per_label=args.n_per_label,
-                       pool=args.pool, cue_suppress=args.cue_suppress)
+                       pool=args.pool, cue_suppress=args.cue_suppress,
+                       pretrain_epochs=args.pretrain_epochs)
     metrics = distill_classifier(args.out, spec=spec)
     print(json.dumps(metrics))
 
@@ -668,6 +669,10 @@ def main(argv=None):
     di.add_argument("--cue-suppress", type=float, default=0.3,
                     help="span-supervision weight on non-cue tokens' "
                          "non-neutral logits (pool=max only)")
+    di.add_argument("--pretrain-epochs", type=int, default=0,
+                    help="MLM-pretrain the trunk on the train split for "
+                         "N epochs before classification (VERDICT r2 #2 "
+                         "lever (a); 0 = off)")
     di.set_defaults(fn=cmd_distill_emotion)
 
     f = sub.add_parser("finetune-emotion",

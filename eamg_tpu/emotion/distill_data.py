@@ -1889,13 +1889,300 @@ _SITUATIONS3: dict[str, list[str]] = {
 }
 
 
+# Fourth batch: bank 3 doubled held-out schema abstraction (situation
+# templates 0.186 -> 0.367) with cue tiers up — the schema-count lever is
+# still unsaturated, so another 8 scenarios/label in fresh domains
+# (seafaring, officiating, archives, aviation, orchards, night shifts).
+_SITUATIONS4: dict[str, list[str]] = {
+    "admiration": [
+        "the ranger talked the lost hikers down the scree in the dark, by radio alone",
+        "{person} filleted the whole catch before the ice even started to melt",
+        "the apprentice drew the cathedral from memory, buttress by buttress",
+        "she landed the glider in a crosswind the instructors wouldn't fly in",
+        "the stonemason matched the two hundred year old wall so closely you cannot find the repair",
+        "he solved the crossword in pen, on the train, between two stops",
+        "the debate team's youngest member carried the final round alone",
+        "the tugboat captain threaded the tanker through the drawbridge with a meter to spare",
+    ],
+    "amusement": [
+        "the goat climbed onto the mayor's car during the ribbon cutting and stayed for the speeches",
+        "the weather reporter's umbrella turned inside out on the word breezy",
+        "grandpa entered the baby photo contest with his own baby photo and won",
+        "the school play's donkey costume sneezed its head off into the front row",
+        "the gps said you have arrived in the middle of a cow field, and the cows agreed",
+        "{person} tried to pay the parking meter with a button for a full minute",
+        "the robot vacuum trapped itself in the bathroom and filed six error reports by morning",
+        "the parrot does the dial tone now, nobody's phone is safe",
+    ],
+    "anger": [
+        "the movers quoted one price at pickup and a different one with my couch on the truck",
+        "the airline rebooked me through two extra cities and called it an upgrade",
+        "the contractor cashed the deposit and stopped answering in the same week",
+        "they towed my car from the spot i pay for monthly, for the third time",
+        "the pharmacy swapped my prescription for a different one without telling anyone",
+        "{person} read my journal and brought it up at dinner like a talking point",
+        "the umpire called the game for darkness with the floodlights working",
+        "the bank froze my account over a deposit they could have verified with one call",
+    ],
+    "annoyance": [
+        "the printer is out of cyan and refuses to print a black and white page",
+        "the neighbor's wind chimes have one note and the wind has found it",
+        "every app on my phone picked this week to redesign its buttons",
+        "the meeting to shorten meetings ran long",
+        "the shopping cart pulls left and the store knows it",
+        "the tv remote needs line of sight and the dog's favorite spot is that line",
+        "{person} leaves one sip in the juice carton and puts it back",
+        "the parking app charges a convenience fee larger than the parking",
+    ],
+    "approval": [
+        "the ferry adding a dawn run for the hospital shift was long overdue and exactly right",
+        "the league made the visors mandatory after one season of close calls, sensible",
+        "letting the kids design the new playground themselves was the correct call",
+        "the landlord put the rent increase toward the elevator fix first, as it should be",
+        "the festival hired the cleanup crew from the shelter program, that's how you do it",
+        "the school bus route now loops past the farm kids first, fair at last",
+        "the clinic keeping one walk in slot every hour is policy done right",
+        "putting the defibrillator by the pitch instead of in the office was the smart move",
+    ],
+    "caring": [
+        "i labeled the leftovers in big letters so grandpa doesn't need his glasses",
+        "i walk {person} to the bus stop when the fog comes in off the bay",
+        "we moved the recital earlier so the little ones aren't out past bedtime",
+        "i keep a spare inhaler in my bag on field trip days",
+        "the bus driver waits until the old man is through his gate before pulling away",
+        "i taped the stair edge bright yellow before the grandkids visit",
+        "she reads the menu aloud to her husband like it's just conversation",
+        "i warm the towels on the radiator when the swimmers come in",
+    ],
+    "confusion": [
+        "the form asks for my arrival date in a country i've never been to",
+        "the train announcement apologized for a delay on a line that isn't running today",
+        "the light switch in the {room} controls something, we've never found what",
+        "my car key opens the neighbor's car and the dealer says that's impossible",
+        "the map's legend lists a symbol that appears nowhere on the map",
+        "the answer key numbers skip from eleven to thirteen and the teacher says nothing is missing",
+        "the hotel's third floor button needs a key card the front desk has never heard of",
+        "the recipe says remove the bay leaf and never says to add one",
+    ],
+    "curiosity": [
+        "the lighthouse keeper's log ends mid sentence and i've requested the archive box",
+        "every house on the street has the same brick missing, second row, third from the door",
+        "the church bell rings eleven at noon on the first tuesday and the vicar just smiles",
+        "the {object} hums for exactly one minute after the kettle boils, i've been timing it",
+        "there's a door in the subway tiled over from the inside",
+        "the crossword setter has used my street name three weeks running",
+        "a chess game is being played on the park table, one move a day, and i've never seen either player",
+        "the old photo shows our house with a porch nobody in the family remembers",
+    ],
+    "desire": [
+        "the woodworking course posts its waitlist every term and i check it before coffee",
+        "i've memorized the train fare to the coast town down to the off peak discount",
+        "the camper van two doors down goes up for sale every spring and i do the math every spring",
+        "my folder of greenhouse sketches is thicker than my actual garden",
+        "i try the accordion in the pawn shop every friday and leave it there",
+        "the tide charts for the island are pinned above my desk, unused",
+        "i know which window of the music school lights up for the evening class i keep not joining",
+        "i've drafted the email asking about the bakery lease four times",
+    ],
+    "disappointment": [
+        "the cooking class was a video of the chef we thought would be teaching",
+        "the famous viewpoint has a fence, a fee, and a vending machine",
+        "the prize was a certificate of participation, printed landscape on regular paper",
+        "the signed first edition arrived signed by the illustrator's assistant",
+        "we drove four hours for the lavender fields a week after the harvest",
+        "the job came with a window seat facing a wall",
+        "the time capsule from our school year held a soggy newsletter and one marble",
+        "the sequel moved the whole story to a city and left the dragons out",
+    ],
+    "disapproval": [
+        "scheduling the budget vote for the night of the school concert was no accident",
+        "the museum put the gift shop before the exhibit and the exit through another gift shop",
+        "they painted over the kids' mural for an advertisement, of all things",
+        "the team bus left the substitutes at the service station to save time",
+        "renaming the layoffs a talent realignment fooled exactly no one",
+        "the charity gala spent more on ice sculptures than it raised",
+        "putting parking meters at the trailhead changes what the woods are for",
+        "the landlord counts the window boxes as garden access in the listing",
+    ],
+    "disgust": [
+        "the hot tub foam had a color the manual doesn't list",
+        "someone microwaved fish in the maternity ward kitchen, twice",
+        "the sample spoon went from his mouth back into the tub of gelato",
+        "the drain cover lifted during the flood and everything it had been keeping came up",
+        "the {room} carpet squelches near the window when it rains",
+        "he sorted the recycling with his fork, mid meal",
+        "the food truck's wash bucket and the lemonade bucket were the same bucket",
+        "the breadbasket came back out to a different table, same rolls",
+    ],
+    "embarrassment": [
+        "i gave a full wave to someone waving at the person behind me, then turned it into a stretch",
+        "my card declined at the charity table with the whole queue watching",
+        "i rehearsed my toast with the microphone already live",
+        "i asked about the due date and there was no due date",
+        "my chair rolled away mid interview and the panel watched me chase it",
+        "i pushed the museum's emergency exit instead of the door beside it and met the alarm",
+        "i clapped at the pause in the symphony, alone, from the front row",
+        "my video froze on a mid sneeze frame for the length of the meeting",
+    ],
+    "excitement": [
+        "the band added a hometown date and presale starts at ten tomorrow",
+        "the acceptance packet has a campus map and i've already highlighted it",
+        "the orchard says the first cherries come in friday and the ladder is in the truck already",
+        "the aurora forecast hit the top band for tonight and the sky is clear",
+        "my name moved from waitlist to confirmed for the night dive",
+        "the puzzle convention is in our town this year, walking distance",
+        "the seeds from the seed swap sprouted overnight, all twelve pots",
+        "the captain announced dolphins off the port side and the whole deck moved at once",
+    ],
+    "fear": [
+        "the canoe swung sideways at the lip of the weir before the rope caught",
+        "the carbon monoxide alarm went off at three and the detector is brand new",
+        "the trail markers stopped and the light had one hour left",
+        "a wasp walked out of the vent while we were doing highway speed",
+        "the ladder's top rung flexed with my weight two stories up",
+        "the baby monitor picked up a voice that wasn't either of ours",
+        "the brakes went long at the bottom of the hill with the school crossing ahead",
+        "the ice made a sound like a door opening, under all of us at once",
+    ],
+    "gratitude": [
+        "the tow truck driver waited with me until my dad arrived, off the clock",
+        "my neighbors mowed our lawn the whole month of the hospital visits",
+        "the teacher spent her lunch hours on my applications, all eleven of them",
+        "the stranger at the gate swapped boarding groups so we could sit with the baby",
+        "{person} covered my shift on christmas eve without being asked twice",
+        "the bike shop fixed the brake on the spot and waved off the charge",
+        "the landlady left the heating on for us the whole cold snap at her own cost",
+        "the search party showed up at dawn, half the village, thermoses and all",
+    ],
+    "grief": [
+        "his boots are still by the door and nobody moves them to vacuum",
+        "the orchard he planted gave its first full crop this year",
+        "mom's number is still second on speed dial and it stays there",
+        "we set his place at the holiday table one more year, nobody discussed it",
+        "the dog still waits at the window at six for a car that isn't coming",
+        "her garden came up by itself this spring, tulips in her spacing",
+        "the choir left the second alto chair empty through the whole season",
+        "i finished the crossword alone and had no one to read the long clue to",
+    ],
+    "joy": [
+        "the twins took their first steps the same afternoon, toward each other",
+        "the power came back after the storm and the whole block cheered from their porches",
+        "the results page loaded and her name was at the top of the pass list",
+        "the rescue swallow we fed all spring came back and landed on the washing line",
+        "the landlord said yes to the dog, and the dog knows, somehow",
+        "the baby laughed for the first time and we spent the evening trying to earn it again",
+        "the deed came back stamped, the orchard is ours",
+        "the band struck up and grandma was first onto the floor at ninety",
+    ],
+    "love": [
+        "he still carries her photo from the harvest dance, behind his bus pass",
+        "she learned the night sky so his telescope stories would have company",
+        "they split the last dumpling down the middle without a word, every time",
+        "he hums through the thin wall until she falls back asleep",
+        "forty winters and he still warms the car first and scrapes her side before his",
+        "she saves his rambling voicemails about nothing and replays them on her commute",
+        "he plants a row of her favorite dahlias every spring and claims the garden decided",
+        "their initials are on three trees, one for each town they've called home",
+    ],
+    "nervousness": [
+        "the driving examiner is in the passenger seat writing before we've left the lot",
+        "my bishop is hanging and my opponent has seen it, the clock is on me",
+        "results day, and the envelope is thicker than everyone said it would be",
+        "the vet took the x ray to the back room and has been gone a while",
+        "i can see the teleprompter from the wings and it's scrolling the wrong speech",
+        "the turbulence isn't the problem, it's that the crew sat down",
+        "my sourdough for the competition refuses to rise and judging is at nine",
+        "the landlord is walking the flat with a clipboard and the deposit in the balance",
+    ],
+    "optimism": [
+        "the first swallows are back two weeks early, it'll be a long warm season",
+        "the shop's first week covered the rent, and word of mouth hasn't even started",
+        "the cast comes off friday and the physio is already talking about the autumn race",
+        "the seedlings doubled over the weekend, the south bed was the right call",
+        "three publishers asked for the full manuscript, someone will say yes",
+        "the river came up clear after years of running brown, the cleanup is taking",
+        "the night course waitlist means they'll run two sections next year for sure",
+        "the new coach has the juniors passing like seniors, give this team two seasons",
+    ],
+    "pride": [
+        "the recipe with my name on it is on the diner's permanent menu now",
+        "every beam in that barn went up with these two hands and it hasn't shifted in twenty years",
+        "my daughter's design won and the city is actually printing it on the buses",
+        "the night class certificate hangs where the whole shop can see it",
+        "the rescue dog i trained passed his therapy exam on the first attempt",
+        "the mural took all summer and now the school photos are taken in front of it",
+        "i laid the stone path myself and the frost hasn't lifted a single slab",
+        "three generations in, the stall still opens at five sharp and the bread still sells out",
+    ],
+    "realization": [
+        "the stray wasn't stray, the collar was under all that winter coat",
+        "the door only sticks in july, it's the humidity, not the hinges",
+        "the static was my own jacket the whole commute",
+        "the coupon code never worked because the zero was the letter o",
+        "we kept missing each other because my watch never left daylight saving",
+        "the plant on the fridge was plastic, i watered it for a year",
+        "the shortcut is longer, i finally timed both ways",
+        "the smell was the bird's nest in the chimney, not the wiring, the electrician found feathers",
+    ],
+    "relief": [
+        "the passport was in the coat at the back of the closet, flight's still four hours out",
+        "the lump was a cyst, the doctor said it before we even sat down",
+        "the storm took the fence but the greenhouse held",
+        "the brakes were just pads, not the rotors, fixed by lunch",
+        "the headcount at the muster point matched the register, all forty",
+        "the missing envelope was in the outbox, never sent, still sealed",
+        "my thesis file opened on the backup drive on the first try",
+        "the bridge reopened an hour before the wedding convoy",
+    ],
+    "remorse": [
+        "i sold his comic collection at yard sale pricing, it paid for parking",
+        "i skipped her recital for a meeting that got cancelled anyway",
+        "i repeated the secret at cards and it made it back to her by friday",
+        "i promised the kids the beach and booked the ferry for the wrong sunday",
+        "i teased him about the accent he spent years trying to keep",
+        "i threw out the shoebox of letters in the move, she asked about them this christmas",
+        "i took the last spot in the class my friend told me about, she's still waitlisted",
+        "i returned the borrowed mower with an empty tank and a new rattle and said nothing",
+    ],
+    "sadness": [
+        "the band room is a storage closet now, the music program ended in june",
+        "the orchard went in a week, stumps and sawdust where the ladder rows were",
+        "my daughter stopped asking me to read aloud this year",
+        "the letters slowed to holidays only, then to a card, then the card stopped",
+        "the lake didn't freeze this winter either, the kids don't ask anymore",
+        "the market stall two down from ours closed after forty years, just a note taped up",
+        "the reunion chat went quiet before we ever picked a date",
+        "the swing set went to the dump the weekend after the youngest left for college",
+    ],
+    "surprise": [
+        "the wall we opened for wiring had a window in it, curtains and all",
+        "my commuter seatmate of six years turned out to be the author of the book i was reading",
+        "the office raffle's grand prize was a llama, an actual llama",
+        "the substitute teacher was my mother, nobody warned me",
+        "the house next door sold overnight to my own cousin",
+        "the violin from the attic came back from appraisal with an armed escort",
+        "the marathon route turned down our tiny street, ten thousand people past the kitchen window",
+        "i bit into the birthday cake and found the ring, he hadn't planned to ask until spring",
+    ],
+    "neutral": [
+        "the library prints cost ten cents a page from the front desk",
+        "recycling goes out on alternate thursdays",
+        "the {room} window opens inward for cleaning",
+        "the spare key is with the building manager during business hours",
+        "the timetable shows the express skipping the two smallest stations",
+        "the paint needs two coats with four hours between",
+        "the meeting moved from the annex to the main hall, same time",
+        "the kettle switches itself off at the boil",
+    ],
+}
+
+
 def situation_banks() -> dict[str, list[str]]:
     """label -> situation templates (no feeling words; see _SITUATIONS)."""
-    assert set(_SITUATIONS) == set(ID2LABEL.values())
-    assert set(_SITUATIONS2) == set(ID2LABEL.values())
-    assert set(_SITUATIONS3) == set(ID2LABEL.values())
+    for bank in (_SITUATIONS, _SITUATIONS2, _SITUATIONS3, _SITUATIONS4):
+        assert set(bank) == set(ID2LABEL.values())
     return {k: _SITUATIONS[k] + _SITUATIONS2[k] + _SITUATIONS3[k]
-            for k in _SITUATIONS}
+            + _SITUATIONS4[k] for k in _SITUATIONS}
 
 
 def _fill_situation(tmpl: str, rng: random.Random) -> str:

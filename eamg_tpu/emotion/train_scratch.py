@@ -55,6 +55,14 @@ class ScratchSpec:
     # longer spike a spurious label through the max — the top remaining
     # OOD failure mode of the plain max-pool model. 0 disables.
     cue_suppress: float = 0.0
+    # Self-supervised MLM pretraining of the trunk before classification
+    # (VERDICT r2 #2 lever (a): the mechanism behind the reference's
+    # pretrained-DistilBERT advantage, emotion_analysis/modeling.py:15-18).
+    # Pretrains on the classification TRAIN split only — held-out
+    # templates/forms/situations stay unseen, so the eval splits are not
+    # contaminated. 0 disables (the shipped default; see BENCHMARKS.md).
+    pretrain_epochs: int = 0
+    mask_prob: float = 0.15
 
 
 def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0,
@@ -90,6 +98,74 @@ def _lexicon_accuracy(texts, labels):
                for t, l in zip(texts, labels)) / max(len(texts), 1)
 
 
+def mlm_pretrain(params, cfg, tok, texts, spec: ScratchSpec,
+                 log_fn=print):
+    """BERT-style masked-language-model pretraining of the trunk.
+
+    Masks ``spec.mask_prob`` of real tokens per sentence (80% -> [MASK],
+    10% -> random id, 10% kept), predicts them through the tied embedding
+    (hidden @ word_emb.T — no extra head params, so the returned tree has
+    the same structure the classifier trainer expects). Corruption is
+    drawn host-side per epoch, like the encoder's piece dropout."""
+    import random as _random
+
+    mask_id = tok.vocab["[MASK]"]
+    special = np.zeros(cfg.vocab_size, bool)
+    for t in ("[PAD]", "[CLS]", "[SEP]", "[MASK]", "[UNK]"):
+        special[tok.vocab[t]] = True
+
+    total_steps = max(spec.pretrain_epochs * (len(texts) // spec.batch), 2)
+    optimizer = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            0.0, spec.lr, warmup_steps=max(1, min(200, total_steps // 10)),
+            decay_steps=total_steps),
+        weight_decay=spec.weight_decay)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, mask, targets, loss_mask):
+        def loss_fn(p):
+            h = db.forward_hidden(p, ids, mask, cfg)       # [B, T, D]
+            logits = h @ p["word_emb"].T                   # [B, T, V] tied
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * loss_mask) / jnp.maximum(
+                jnp.sum(loss_mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(spec.seed + 7)
+    enc_rng = _random.Random(spec.seed + 8)
+    n = len(texts)
+    loss = 0.0
+    for epoch in range(spec.pretrain_epochs):
+        ids_all, mask_all = _encode_all(
+            tok, texts, spec.max_length, rng=enc_rng,
+            piece_dropout=spec.piece_dropout)
+        maskable = (mask_all > 0) & ~special[ids_all]
+        u = rng.random(ids_all.shape)
+        chosen = maskable & (u < spec.mask_prob)
+        v = rng.random(ids_all.shape)
+        corrupted = np.where(
+            chosen & (v < 0.8), mask_id,
+            np.where(chosen & (v >= 0.9),
+                     rng.integers(0, cfg.vocab_size, ids_all.shape),
+                     ids_all)).astype(np.int32)
+        order = rng.permutation(n)
+        for s in range(0, n - spec.batch + 1, spec.batch):
+            sel = order[s:s + spec.batch]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(corrupted[sel]),
+                jnp.asarray(mask_all[sel]), jnp.asarray(ids_all[sel]),
+                jnp.asarray(chosen[sel].astype(np.float32)))
+        log_fn(f"[mlm] epoch {epoch + 1}/{spec.pretrain_epochs}: "
+               f"masked_nll={float(loss):.4f}")
+    return params
+
+
 def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
                        log_fn=print) -> dict:
     """Generate corpus, train, evaluate vs the lexicon, save checkpoint dir
@@ -109,6 +185,9 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
            f"model d{cfg.dim} L{cfg.n_layers}")
 
     params = db.init_params(jax.random.PRNGKey(spec.seed), cfg)
+    if spec.pretrain_epochs > 0:
+        params = mlm_pretrain(params, cfg, tok, train_x, spec,
+                              log_fn=log_fn)
     steps_per_epoch = max(len(train_x) // spec.batch, 1)
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, spec.lr, warmup_steps=steps_per_epoch,
@@ -220,6 +299,7 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
             params, cfg, tok, *data["ood_implicit"], spec.max_length,
             top_k=3),
         "n_train": n, "vocab_size": len(vocab),
+        "pretrain_epochs": spec.pretrain_epochs,
         "params": int(sum(np.prod(x.shape)
                           for x in jax.tree.leaves(params))),
     }

@@ -87,8 +87,16 @@ def forward_token_logits(params: dict, ids: jax.Array,
                          token_logits=True)
 
 
-def _forward_impl(params, ids, attention_mask, cfg, lora=None,
-                  lora_scale=2.0, token_logits=False):
+def forward_hidden(params: dict, ids: jax.Array, attention_mask: jax.Array,
+                   cfg: DistilBertConfig) -> jax.Array:
+    """[B, T] ids + mask -> [B, T, dim] final-layer hidden states (the
+    trunk without any classifier head). The MLM pretrainer
+    (emotion/train_scratch.py) ties these back to ``word_emb`` for its
+    masked-token logits. NOT jitted — call inside your own jit."""
+    return _trunk(params, ids, attention_mask, cfg, None, 2.0)
+
+
+def _trunk(params, ids, attention_mask, cfg, lora=None, lora_scale=2.0):
     B, T = ids.shape
     x = (params["word_emb"][ids]
          + params["pos_emb"][jnp.arange(T)][None])
@@ -119,6 +127,12 @@ def _forward_impl(params, ids, attention_mask, cfg, lora=None,
         h = jax.nn.gelu(_lin(x, p["lin1"]), approximate=False)
         x = _ln(x + _lin(h, p["lin2"]), p["out_ln"]["g"], p["out_ln"]["b"],
                 cfg.ln_eps)
+    return x
+
+
+def _forward_impl(params, ids, attention_mask, cfg, lora=None,
+                  lora_scale=2.0, token_logits=False):
+    x = _trunk(params, ids, attention_mask, cfg, lora, lora_scale)
 
     if cfg.pool == "max":
         # cue-detector head: per-token label logits, masked max over

@@ -159,3 +159,38 @@ class TestPackagedCheckpoint:
         assert clf.predict("i am grateful, thank you") == "gratitude"
         assert clf.predict("thank you so much") == "gratitude"
         assert clf.predict("i am furious and full of rage") == "anger"
+
+
+def test_mlm_pretrain_reduces_masked_nll_and_keeps_tree():
+    """MLM trunk pretraining (VERDICT r2 #2 lever (a)): masked-token NLL
+    must fall over epochs, the returned tree must keep the classifier
+    trainer's exact structure (tied head — no extra params), and
+    forward_hidden must expose the [B, T, D] trunk."""
+    import jax
+
+    from eamg_tpu.models import distilbert as db
+    from eamg_tpu.emotion.train_scratch import ScratchSpec, mlm_pretrain
+
+    texts = ["the kettle switches itself off at the boil",
+             "the spare key is with the building manager",
+             "the ferry takes cars on the lower deck only",
+             "the paint needs two coats with four hours between"] * 16
+    vocab = build_wordpiece_vocab(texts)
+    tok = db.WordPieceTokenizer(vocab)
+    cfg = db.DistilBertConfig(
+        vocab_size=len(vocab), max_position_embeddings=32, dim=64,
+        n_layers=2, n_heads=2, hidden_dim=128, num_labels=len(ID2LABEL),
+        pool="max")
+    spec = ScratchSpec(dim=64, n_layers=2, hidden_dim=128, max_length=32,
+                       batch=16, pretrain_epochs=6, seed=0)
+    params = db.init_params(jax.random.PRNGKey(0), cfg)
+    nlls = []
+    out = mlm_pretrain(
+        params, cfg, tok, texts, spec,
+        log_fn=lambda s: nlls.append(float(s.rsplit("=", 1)[1])))
+    assert len(nlls) == 6
+    assert nlls[-1] < nlls[0] - 0.05, nlls
+    assert jax.tree.structure(out) == jax.tree.structure(params)
+    ids = np.zeros((2, 32), np.int32)
+    mask = np.ones((2, 32), np.int32)
+    assert db.forward_hidden(out, ids, mask, cfg).shape == (2, 32, 64)
