@@ -2177,12 +2177,302 @@ _SITUATIONS4: dict[str, list[str]] = {
 }
 
 
+# Fifth batch: bank 4 lifted cue-tier OOD 0.738 -> 0.827 and the implicit
+# tier 0.245 -> 0.357 — the schema-count lever was still unsaturated at
+# the end of the bank-4 session. Eight more scenarios/label in fresh
+# domains (auctions, harbors, clinics, aviation checks, hatcheries,
+# heirloom trades, village institutions).
+_SITUATIONS5: dict[str, list[str]] = {
+    "admiration": [
+        "the vet sutured the hawk's wing with the bird calm in her other hand",
+        "{person} parallel parked the bus in one motion with a meter to spare",
+        "the archivist dated the manuscript by its watermark in under a minute",
+        "the sommelier named the vineyard and the year from one sip, blind",
+        "the signalman ran the whole junction by hand through the outage and no train waited",
+        "grandad split the winter log pile in an afternoon at eighty and stacked it to the rafters",
+        "the intern spotted the error in the ledger that three audits had walked past",
+        "she free dove to the anchor and cleared the fouled rope like it was a pool drill",
+    ],
+    "amusement": [
+        "the ring bearer ate the cake decorations during the toast, in order of size",
+        "the pony at the petting zoo learned to unzip backpacks and has a system",
+        "the museum's motion alarm kept tripping, it was a moth on the sensor, the guards named it",
+        "my grandmother beat the whole arcade at the racing game in her church shoes",
+        "the office chair race ended with the regional manager in the recycling bins",
+        "the duck walked into the bank again and waited in line like a regular",
+        "the school hamster escaped during assembly and the bleachers did the wave as it ran",
+        "the town's holiday lights spell a word now and nobody will fix it",
+    ],
+    "anger": [
+        "the auction house sold my lot early and says the hammer price is final",
+        "the daycare charged the late fee while their own bus ran forty minutes behind",
+        "{person} presented my slides with his name on the title page, to my face",
+        "the scrapyard crushed the car i was told i had until friday to clear out",
+        "the league fined me for the fight the video shows me breaking up",
+        "the utility dug up our new driveway without notice and left a cone in the hole",
+        "the dry cleaner shrank the dress and pointed at a sign that wasn't there last week",
+        "the neighbor's contractor drilled through our wall and their insurer calls it wear",
+    ],
+    "annoyance": [
+        "the captcha wants me to find the bicycles and there are never any bicycles",
+        "the {object} warranty expired the week before it broke, to the day",
+        "my umbrella flips at the same corner every single morning",
+        "the bluetooth connects to the neighbor's speaker before mine, every time",
+        "the office fruit bowl is decorative, we found out the hard way",
+        "the crossing signal gives four seconds and the truck turns on five",
+        "the new stapler is bolted to a desk nobody sits at",
+        "the podcast puts the answer after the second ad break, always",
+    ],
+    "approval": [
+        "refunding the season pass holders before anyone asked set the right tone",
+        "the harbor master giving the fishing boats the early window is how it should run",
+        "the school banning homework over the holidays was the right line to draw",
+        "paying the snow crews by the storm instead of the hour was the fair fix",
+        "the theater keeping one preview night at old prices is the right instinct",
+        "letting the night bakers take the unsold loaves home is policy done right",
+        "the council printing the ballot in all three local languages was overdue and correct",
+        "the race giving the wheelchair division the first start was exactly right",
+    ],
+    "caring": [
+        "i ride the slow elevator with him so he doesn't have to ask",
+        "i keep the grandkids' allergy list taped inside the picnic basket",
+        "i warm the stethoscope in my palm before every little patient",
+        "we seat grandpa with his good ear to the band",
+        "i practice the fire drill with the new kids until the bell stops startling them",
+        "i swapped chores so she isn't on ladders while the vertigo lasts",
+        "i drive behind the learner truck our son is in, two cars back where he can't see me",
+        "i mute my calls during her nap and take the phone to the stairwell",
+    ],
+    "confusion": [
+        "the hotel keycard opens the gym but not my room, reception finds this normal",
+        "the bus stop moved across the street but the timetable stayed behind",
+        "my boarding pass has two seat numbers and the crew scanned it anyway",
+        "the instructions say repeat step five and there is no step five",
+        "the pharmacy filled half the prescription and stapled a note in shorthand",
+        "the scoreboard says overtime and both teams are shaking hands",
+        "the package tracking shows delivered tomorrow, signed by me",
+        "the {event} invite names a couple neither family recognizes",
+    ],
+    "curiosity": [
+        "the lighthouse beam skips one window of the hotel every sweep and i've started asking around",
+        "someone leaves a single chess piece on the war memorial every armistice day",
+        "the thrift store globe has a country painted out and i've been to three libraries about it",
+        "the attic floor has one board newer than the rest, dead center of the room",
+        "the cafe's old photo shows a canal where the high street is and i keep zooming in",
+        "the same seagull lands on the same bollard at the same hour, i've tested this for a week",
+        "the organ has one pipe painted red and the tuner changed the subject",
+        "the last page of the parish register is glued to the cover and the vicar doesn't know by whom",
+    ],
+    "desire": [
+        "the boatyard lists the same wooden sloop each spring and i know her draft by heart",
+        "i keep the letterpress studio's open day flyer above the desk, third year now",
+        "the cabin with the wood stove shows up in my searches even when i'm not looking",
+        "i've budgeted for the telescope twice and both times the car needed tires",
+        "the overnight train to the border has a window seat i think of as mine",
+        "i know the beekeeping course schedule better than my own",
+        "the corner unit with the roller door would fit the lathe, i've measured it from the street",
+        "i keep a tab open for the island cottage and the rent i can't pay yet",
+    ],
+    "disappointment": [
+        "the northern lights tour delivered two hours of cloud and a certificate",
+        "my loaf for the fair came out of the oven flat as the bench",
+        "the famous hot springs were closed for filming the week we came",
+        "the scholarship covered tuition for a program that then moved online",
+        "the heirloom seeds came up as ordinary marrows, all three rows",
+        "the big game got moved to a channel we don't get, announced at kickoff",
+        "the auction caught me at work and my dream lot went for the opening bid",
+        "the apprenticeship wrote back warmly, to the wrong name, with a no",
+    ],
+    "disapproval": [
+        "selling naming rights to the village green crosses a line",
+        "the hospital valet costs more than the bus that used to stop there",
+        "they moved the food bank to the edge of town where the buses don't go",
+        "the stadium dropped the volunteer stewards the week before the cup run",
+        "auctioning the lifeguard tower for beach club seating says it all",
+        "the ferry charges foot passengers for luggage now, on an island route",
+        "the quiz night's charity cut quietly fell from half to a tenth",
+        "the developer's wildflower meadow is a banner photo and a locked gate",
+    ],
+    "disgust": [
+        "the juice press at the smoothie bar gets rinsed in the mop sink, i watched it happen",
+        "the motel pillow crunched, i didn't look, we drove on",
+        "the market's free sample toothpicks go back in the same cup",
+        "the ball pit at the play center released a smell when the kids jumped in",
+        "he blew his nose into the cloth napkin and folded it back on the table",
+        "the water cooler's tap grew a green collar and facilities called it mineral",
+        "the taxi's floor mat stuck to my shoes both ways",
+        "the bakery fan blows straight off the loading dock bins and over the open trays",
+    ],
+    "embarrassment": [
+        "i gave my drink order to the statue at the theme park, it was not in costume",
+        "the pharmacist announced my cream's purpose at counter volume, twice",
+        "i tripped on the carpet at my cousin's wedding and took down the welcome sign",
+        "my phone read the private text aloud to the whole car, names and all",
+        "i returned the wave of the cyclist who was signaling a turn",
+        "i walked out of the restroom mid ceremony with my mic still live",
+        "i bowed at the end of someone else's recital row and the lights found me",
+        "the teacher asked for my homework and i handed her my grocery list, she read it",
+    ],
+    "excitement": [
+        "the ultrasound is tomorrow morning and the name list is already two pages",
+        "the ship to the research station leaves monday and my gear bag is by the door",
+        "the bakery said my cake design goes in the window saturday",
+        "the telescope arrives thursday and the forecast says clear all weekend",
+        "our demo got picked for the main stage slot, first after the doors",
+        "the hatching eggs started rocking this morning and the class hasn't sat down since",
+        "the permit cleared, the mural wall is ours from monday",
+        "the draw put us against the champions, at home, under the lights",
+    ],
+    "fear": [
+        "the rope bridge planks were wet and the third one moved",
+        "the lifeguard stood up and the whistle went twice, toward our kids' end",
+        "the gas smell got stronger at the cellar door and the switch is inside",
+        "the car seat was empty beside the open gate when i turned around",
+        "the avalanche flag went up while we were still above the tree line",
+        "the night security log shows my own badge entering at four and i was home",
+        "the surgeon came out early, still in his cap, looking for our row",
+        "the ferry listed hard in the crossing and the crew stopped joking",
+    ],
+    "gratitude": [
+        "the harvest crew from the next farm came over unpaid the week dad's back went",
+        "the bus company's mechanic fixed my bike chain in the depot rain bay",
+        "the couple ahead in the visa line translated every form for us, two hours of their day",
+        "the lighthouse keeper radioed ahead so someone met our crippled boat at the dock",
+        "the hotel kept the kitchen open past midnight when our train got in late",
+        "my roommate drove my forgotten portfolio across the city on her day off",
+        "the surgeon's office squeezed dad in before the holidays when a slot opened at dawn",
+        "the whole street's lights were on for us the night we brought the baby home",
+    ],
+    "grief": [
+        "his fishing spot on the pier stays empty on saturdays and the regulars keep it that way",
+        "the tailor finished taking in her winter coat and called us to collect it",
+        "i wear his watch wound to the minute though mine keeps better time",
+        "the bakery still bags two almond croissants before i can say one",
+        "the hospice returned her slippers and the bag sits unopened in the hall",
+        "we drove his truck to the coast one last time before the sale, windows down, his station on",
+        "the quiz team still writes his name on the answer sheet header",
+        "the calendar in the hall is still on april in her handwriting",
+    ],
+    "joy": [
+        "the donor match came through and the ward let us ring the little bell",
+        "she read her first full sentence aloud tonight and then read six more",
+        "the river came up to the dock and the whole camp jumped in together at dusk",
+        "the final whistle went and the whole village ran onto the pitch in the rain",
+        "the letter said full scholarship and mom read it out loud three times",
+        "the lost cat walked in at breakfast like no year had passed and breakfast was abandoned",
+        "the midwife said both of them are perfect and the waiting room erupted",
+        "we paid the last installment and burned the loan letter in the fire pit with the neighbors over",
+    ],
+    "love": [
+        "he times his lunch to walk past the florist where she works and calls it the short way",
+        "she keeps his team's score on her phone though she can't stand the sport",
+        "they've shared one umbrella for thirty years and own at least six",
+        "he learned to braid hair from a video so the school runs are theirs",
+        "she mails him a postcard from every work trip, even the one night ones, even from the airport",
+        "they still hold hands through the loud parts of films they've seen a dozen times",
+        "he saves the window seat for her on every flight and takes the middle without a word",
+        "her name is still how he tests every new pen",
+    ],
+    "nervousness": [
+        "the anesthetist is running through the checklist and keeps glancing at my chart",
+        "my best friend has the ring in his jacket and the dessert is taking forever",
+        "the judges are at our stall now, three spoons, no faces",
+        "the recruiter said the panel will call between two and four and it is three fifty",
+        "my solo is two pages away and the page turner is new",
+        "the mortgage decision lands today and i've refreshed the portal through two meetings",
+        "the customs officer took my passport to the back office and the line moved on without me",
+        "the instructor just said take the controls and my hands are very aware of themselves",
+    ],
+    "optimism": [
+        "the orchard's new grafts all took, next autumn will look different",
+        "the clinic's waitlist opened two new slots this week, the funding is landing",
+        "her first week's tips covered the textbooks, the term will sort itself",
+        "the survey crew marked the flood wall route at last, next winter won't be like the last",
+        "the junior team lost by two this year instead of twenty, give them a season",
+        "the bakery's second oven arrives monday, the morning queue finally pays off",
+        "the fog lifted early three days running, the harvest window is opening",
+        "the landlord asked about a five year lease, that's a different conversation than last spring",
+    ],
+    "pride": [
+        "the harbor wall bears the plaque with our crew's names and the storm date",
+        "my apprentice's first solo weld passed the x ray on the first pass",
+        "the dictionary we compiled for the dialect went to the national library, all four copies",
+        "the marathon medal hangs over the treadmill that spent a year as a coat rack",
+        "the cheese from our three cows beat the factory entries at the national",
+        "the kids i crossed the street for twenty years invited me to cut the school's ribbon",
+        "the violin i carved sounds in a concert hall i could never afford to enter",
+        "our firehouse went the whole year with every callout answered inside four minutes",
+    ],
+    "realization": [
+        "the stairs didn't creak more, the house had just gone that quiet since the kids left",
+        "the wifi dropped every evening at eight because the microwave and the router share a shelf",
+        "the tomatoes split because of the watering schedule, not the variety",
+        "the cat wasn't picky, the bowl sat next to the dishwasher's rinse cycle",
+        "my size hadn't changed, the brand relabeled everything last year",
+        "the meeting was never about the budget, it was about who got the corner office",
+        "the knocking started every wash day, the loose brick is behind the machine",
+        "grandma seasoned by the pan's weight the whole time, the recipe card was for us",
+    ],
+    "relief": [
+        "the biopsy came back benign and the nurse said it before the doctor reached us",
+        "the auditor's findings page had one line, a rounding note",
+        "the dog that ran at the kids was running to its owner behind them",
+        "the recall list ended two serial numbers before ours",
+        "the mountain rescue called, all four walkers are in the hut, cold and fine",
+        "the power came back before the generator's fuel ran out at the clinic",
+        "the passport office found my application, it was misfiled, not lost",
+        "the test came back negative for everyone at the daycare by friday",
+    ],
+    "remorse": [
+        "i called in the noise complaint on what turned out to be his last band practice before the move",
+        "i finished the anniversary wine the tuesday before the anniversary",
+        "i forwarded the email chain without reading to the bottom, where she'd written in confidence",
+        "i let the class laugh at his question instead of answering it, i was the teacher",
+        "i pawned the cufflinks in march and the wedding invitation came in may",
+        "i let my sister take the blame for the dent through two family dinners",
+        "i skipped the airport pickup and she carried three bags through the night bus",
+        "i corrected the cashier's arithmetic in my favor and counted it as luck",
+    ],
+    "sadness": [
+        "the carousel ran its last circuit with just the operator's granddaughter riding",
+        "the house martins didn't come back to the eaves this spring, first time in memory",
+        "the model railway club is down to two members and the hall fee is due",
+        "the penpal letters from the island stopped and the post office says the route closed",
+        "the wooden slide got replaced with a plastic one and the line of initials went with it",
+        "the ice cream van's last route ended at our street, he waved the whole way down",
+        "the family table seats eight and we set three these days",
+        "the tide pool where we learned the names is under the new marina now",
+    ],
+    "surprise": [
+        "the meter reader and i compared notes, our houses were swapped on the grid for a decade",
+        "the busker by the station turned out to be the orchestra's first violin, warming up",
+        "the kid i tutored in fractions now signs my tax return",
+        "the storm washed a piano onto the beach, tuned, more or less",
+        "grandpa's old radio picked up the station again after forty years, same jingle",
+        "the crossing sweeper won the lottery, bought the corner he'd swept, and kept sweeping it",
+        "the garden turned up a marble the exact match of the one in dad's childhood story",
+        "the understudy stepped out for one night and the critics flew in by the weekend",
+    ],
+    "neutral": [
+        "the car park height limit is two meters at the entrance ramp",
+        "the clinic takes walk ins before ten on weekdays",
+        "the compost bins get turned on the first saturday of the month",
+        "the exam hall opens fifteen minutes before the start time",
+        "the hotel serves breakfast until half past nine",
+        "the software update installs overnight by default",
+        "the allotment water gets switched off from november",
+        "the choir rehearses in the side hall when the main hall is booked",
+    ],
+}
+
+
 def situation_banks() -> dict[str, list[str]]:
     """label -> situation templates (no feeling words; see _SITUATIONS)."""
-    for bank in (_SITUATIONS, _SITUATIONS2, _SITUATIONS3, _SITUATIONS4):
+    for bank in (_SITUATIONS, _SITUATIONS2, _SITUATIONS3, _SITUATIONS4,
+                 _SITUATIONS5):
         assert set(bank) == set(ID2LABEL.values())
     return {k: _SITUATIONS[k] + _SITUATIONS2[k] + _SITUATIONS3[k]
-            + _SITUATIONS4[k] for k in _SITUATIONS}
+            + _SITUATIONS4[k] + _SITUATIONS5[k] for k in _SITUATIONS}
 
 
 def _fill_situation(tmpl: str, rng: random.Random) -> str:
