@@ -2224,14 +2224,14 @@ _SITUATIONS5: dict[str, list[str]] = {
         "the podcast puts the answer after the second ad break, always",
     ],
     "approval": [
-        "refunding the season pass holders before anyone asked set the right tone",
+        "refunding the season pass holders before anyone asked is the standard every venue should copy",
         "the harbor master giving the fishing boats the early window is how it should run",
-        "the school banning homework over the holidays was the right line to draw",
+        "the school banning homework over the holidays drew the line where it belonged",
         "paying the snow crews by the storm instead of the hour was the fair fix",
-        "the theater keeping one preview night at old prices is the right instinct",
-        "letting the night bakers take the unsold loaves home is policy done right",
-        "the council printing the ballot in all three local languages was overdue and correct",
-        "the race giving the wheelchair division the first start was exactly right",
+        "the theater keeping one preview night at old prices is a policy worth protecting",
+        "letting the night bakers take the unsold loaves home is how a bakery ought to be run",
+        "the council printing the ballot in all three local languages was overdue and proper",
+        "the race giving the wheelchair division the first start is how every course should open",
     ],
     "caring": [
         "i ride the slow elevator with him so he doesn't have to ask",
@@ -2249,7 +2249,7 @@ _SITUATIONS5: dict[str, list[str]] = {
         "my boarding pass has two seat numbers and the crew scanned it anyway",
         "the instructions say repeat step five and there is no step five",
         "the pharmacy filled half the prescription and stapled a note in shorthand",
-        "the scoreboard says overtime and both teams are shaking hands",
+        "the scoreboard says overtime and both teams are already lined up to swap jerseys",
         "the package tracking shows delivered tomorrow, signed by me",
         "the {event} invite names a couple neither family recognizes",
     ],
@@ -2331,7 +2331,7 @@ _SITUATIONS5: dict[str, list[str]] = {
         "the avalanche flag went up while we were still above the tree line",
         "the night security log shows my own badge entering at four and i was home",
         "the surgeon came out early, still in his cap, looking for our row",
-        "the ferry listed hard in the crossing and the crew stopped joking",
+        "the ferry listed hard in the crossing and the crew went quiet mid-sentence",
     ],
     "gratitude": [
         "the harvest crew from the next farm came over unpaid the week dad's back went",
@@ -2359,7 +2359,7 @@ _SITUATIONS5: dict[str, list[str]] = {
         "the river came up to the dock and the whole camp jumped in together at dusk",
         "the final whistle went and the whole village ran onto the pitch in the rain",
         "the letter said full scholarship and mom read it out loud three times",
-        "the lost cat walked in at breakfast like no year had passed and breakfast was abandoned",
+        "the cat we'd given up on walked in at breakfast like no year had passed and breakfast was abandoned",
         "the midwife said both of them are perfect and the waiting room erupted",
         "we paid the last installment and burned the loan letter in the fire pit with the neighbors over",
     ],
@@ -2388,7 +2388,7 @@ _SITUATIONS5: dict[str, list[str]] = {
         "the clinic's waitlist opened two new slots this week, the funding is landing",
         "her first week's tips covered the textbooks, the term will sort itself",
         "the survey crew marked the flood wall route at last, next winter won't be like the last",
-        "the junior team lost by two this year instead of twenty, give them a season",
+        "the junior team went down by two this year instead of twenty, give them a season",
         "the bakery's second oven arrives monday, the morning queue finally pays off",
         "the fog lifted early three days running, the harvest window is opening",
         "the landlord asked about a five year lease, that's a different conversation than last spring",
@@ -2420,14 +2420,14 @@ _SITUATIONS5: dict[str, list[str]] = {
         "the recall list ended two serial numbers before ours",
         "the mountain rescue called, all four walkers are in the hut, cold and fine",
         "the power came back before the generator's fuel ran out at the clinic",
-        "the passport office found my application, it was misfiled, not lost",
+        "the passport office found my application, it had been misfiled all along",
         "the test came back negative for everyone at the daycare by friday",
     ],
     "remorse": [
         "i called in the noise complaint on what turned out to be his last band practice before the move",
         "i finished the anniversary wine the tuesday before the anniversary",
         "i forwarded the email chain without reading to the bottom, where she'd written in confidence",
-        "i let the class laugh at his question instead of answering it, i was the teacher",
+        "i let the class pile onto his question instead of answering it, i was the teacher",
         "i pawned the cufflinks in march and the wedding invitation came in may",
         "i let my sister take the blame for the dent through two family dinners",
         "i skipped the airport pickup and she carried three bags through the night bus",
@@ -2510,6 +2510,40 @@ def label_banks() -> dict[str, list[str]]:
     dupes = {f for f, c in counts.items() if c > 1}
     return {label: [f for f in forms if f not in dupes]
             for label, forms in banks.items()}
+
+
+def situation_crosstalk() -> list[tuple[str, str, str, str]]:
+    """Lint (ADVICE r3 #2): situation sentences containing a DIFFERENT
+    label's keyword-bank form. Situation rows pass the whole sentence as
+    the cue span, so every token is supervised toward the situation label;
+    a token that is also another label's cue form is mild label noise.
+    Returns (situation_label, sentence, other_label, offending_form).
+    Kept as a reported lint (not a hard filter) so the training corpus
+    stays reproducible; tests pin the rate."""
+    import re
+
+    banks = label_banks()
+    word_forms = {label: {f for f in forms if " " not in f and f.isalpha()}
+                  for label, forms in banks.items()}
+    phrase_forms = {label: [f for f in forms if " " in f]
+                    for label, forms in banks.items()}
+    hits = []
+    for sit_label, temps in situation_banks().items():
+        for tmpl in temps:
+            text = re.sub(r"\{[a-z]+\}", " ", tmpl)
+            words = set(re.findall(r"[a-z']+", text))
+            for other, forms in word_forms.items():
+                if other == sit_label:
+                    continue
+                for w in words & forms:
+                    hits.append((sit_label, tmpl, other, w))
+            for other, phrases in phrase_forms.items():
+                if other == sit_label:
+                    continue
+                for p in phrases:
+                    if re.search(r"\b" + re.escape(p) + r"\b", text):
+                        hits.append((sit_label, tmpl, other, p))
+    return hits
 
 
 def _word_dropout(text: str, rng: random.Random, p: float = 0.12,
