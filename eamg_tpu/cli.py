@@ -18,6 +18,7 @@ Covers every entry point the reference exposed as loose scripts:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -351,10 +352,18 @@ def cmd_export_emotion_hf(args):
 
 
 def cmd_train_demo_a(args):
-    from .tools.demo_a import DemoASpec, train_demo_a
+    from .tools.demo_a import DemoASpec, flagship_spec, train_demo_a
 
-    spec = DemoASpec(rows=args.rows, heldout_rows=args.heldout_rows,
-                     epochs=args.epochs, seed=args.seed)
+    if args.geometry == "flagship":
+        spec = flagship_spec(seed=args.seed)
+        over = {k: v for k, v in
+                [("epochs", args.epochs), ("rows", args.rows),
+                 ("heldout_rows", args.heldout_rows)] if v is not None}
+        spec = dataclasses.replace(spec, **over)
+    else:
+        spec = DemoASpec(rows=args.rows or 12000,
+                         heldout_rows=args.heldout_rows or 400,
+                         epochs=args.epochs or 8, seed=args.seed)
     metrics = train_demo_a(args.out, spec=spec)
     print(json.dumps(metrics))
 
@@ -366,7 +375,8 @@ def cmd_distill_emotion(args):
                        hidden_dim=3 * args.dim, epochs=args.epochs,
                        seed=args.seed, n_per_label=args.n_per_label,
                        pool=args.pool, cue_suppress=args.cue_suppress,
-                       pretrain_epochs=args.pretrain_epochs)
+                       pretrain_epochs=args.pretrain_epochs,
+                       gen_per_label=args.gen_per_label)
     metrics = distill_classifier(args.out, spec=spec)
     print(json.dumps(metrics))
 
@@ -647,10 +657,17 @@ def main(argv=None):
                              "(generalization metrics in "
                              "train_metrics.json)")
     da.add_argument("--out", default="eamg_tpu/serve/demo_ckpt_a")
-    da.add_argument("--rows", type=int, default=12000)
-    da.add_argument("--heldout-rows", type=int, default=400)
-    da.add_argument("--epochs", type=int, default=8)
+    da.add_argument("--rows", type=int, default=None,
+                    help="default: 12000 compact / 24000 flagship")
+    da.add_argument("--heldout-rows", type=int, default=None)
+    da.add_argument("--epochs", type=int, default=None,
+                    help="default: 8 compact / 24 flagship")
     da.add_argument("--seed", type=int, default=0)
+    da.add_argument("--geometry", choices=["compact", "flagship"],
+                    default="compact",
+                    help="flagship = the reference product geometry "
+                         "(d512 h8 L6 seq512, api_cache.py:36 + paper "
+                         "Table 5) on ~480-token grid songs")
     da.set_defaults(fn=cmd_train_demo_a)
 
     di = sub.add_parser("distill-emotion",
@@ -669,6 +686,10 @@ def main(argv=None):
     di.add_argument("--cue-suppress", type=float, default=0.3,
                     help="span-supervision weight on non-cue tokens' "
                          "non-neutral logits (pool=max only)")
+    di.add_argument("--gen-per-label", type=int, default=None,
+                    help="compositional situation-generator rows per "
+                         "label (situation_gen); default n_per_label/2, "
+                         "0 disables")
     di.add_argument("--pretrain-epochs", type=int, default=0,
                     help="MLM-pretrain the trunk on the train split for "
                          "N epochs before classification (VERDICT r2 #2 "

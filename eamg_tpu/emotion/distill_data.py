@@ -2656,7 +2656,8 @@ def _word_substitute(text: str, rng: random.Random, pool: list[str],
 
 
 def make_corpus(n_per_label: int = 220, seed: int = 0,
-                eval_frac: float = 0.2) -> dict:
+                eval_frac: float = 0.2,
+                gen_per_label: int | None = None) -> dict:
     """-> {"train", "eval", "eval_unseen_forms", "ood"}: (texts, labels)
     with label ids in config ID2LABEL order.
 
@@ -2794,6 +2795,33 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
                 sit_seen.add(text)
                 sit_eval.append((text, lid))
 
+    # Compositional generator rows (round 4): situation_gen composes
+    # event x consequence x intro schemas per label — hundreds of schema
+    # combinations instead of a static bank. Same cue treatment as hand
+    # situation rows (whole sentence is the span). The eval tail of every
+    # label's frame lists never trains (situation_gen.split_schemas), so
+    # eval_gen_schemas / the frozen exam compose an unseen event frame
+    # with an unseen consequence clause.
+    gen_eval = []
+    if gen_per_label is None:
+        gen_per_label = n_per_label // 2
+    if gen_per_label:
+        from .situation_gen import generate
+
+        for label in banks:
+            lid = label2id[label]
+            for text in generate(label, rng, gen_per_label,
+                                 split="train"):
+                if rng.random() < 0.6:
+                    text = _word_dropout(text, rng)
+                train_x.append(text)
+                train_y.append(lid)
+                train_cues.append(text)
+            for text in dict.fromkeys(generate(
+                    label, rng, max(4, gen_per_label // 8),
+                    split="eval")):
+                gen_eval.append((text, lid))
+
     # bare-keyword templates ("{kw}") and neutral full-sentence banks can
     # reproduce a train text verbatim in eval; drop those pairs so the eval
     # splits measure strictly unseen text
@@ -2810,12 +2838,24 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
     ood_x = [t for t, _ in ood_full]
     ood_y = [label2id[l] for _, l in ood_full]
     sit_pairs = [(x, y) for x, y in sit_eval if x not in seen]
+    gen_pairs = [(x, y) for x, y in gen_eval if x not in seen]
+    # the committed frozen exam (situation_gen.frozen_exam): cut once
+    # from the eval schema split, hash-pinned — the longitudinally
+    # comparable number eval_situations cannot provide (its split
+    # re-randomizes as banks grow)
+    from .situation_gen import frozen_exam
+
+    exam = frozen_exam()
     return {"train": (train_x, train_y),
             "train_cues": train_cues,
             "eval": (list(eval_x), list(eval_y)),
             "eval_unseen_forms": (list(uf_x), list(uf_y)),
             "eval_situations": ([x for x, _ in sit_pairs],
                                 [y for _, y in sit_pairs]),
+            "eval_gen_schemas": ([x for x, _ in gen_pairs],
+                                 [y for _, y in gen_pairs]),
+            "frozen_exam": ([t for t, _ in exam],
+                            [label2id[l] for _, l in exam]),
             "ood": (ood_x, ood_y),
             "ood_implicit": ([t for t, _ in OOD_IMPLICIT],
                              [label2id[l] for _, l in OOD_IMPLICIT])}
@@ -2840,7 +2880,14 @@ def tokenizer_corpus(train_texts: list[str]) -> list[str]:
     # tokenizer is deployment-scoped vocabulary, not supervision.
     sit = [re.sub(r"\{[a-z]+\}", " ", t)
            for temps in situation_banks().values() for t in temps]
-    return list(train_texts) + ctx + sit
+    # generator event/consequence/intro templates, eval tail included,
+    # same rationale (vocabulary is deployment-scoped, not supervision)
+    from .situation_gen import INTROS, SCHEMAS
+
+    gen = [re.sub(r"\{[a-z]+\}", " ", t) for spec in SCHEMAS.values()
+           for t in spec["events"] + spec["consequences"]]
+    gen += [re.sub(r"\{[a-z]+\}", " ", t) for t in INTROS]
+    return list(train_texts) + ctx + sit + gen
 
 
 def build_wordpiece_vocab(texts: list[str],

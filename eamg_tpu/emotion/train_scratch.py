@@ -63,6 +63,10 @@ class ScratchSpec:
     # contaminated. 0 disables (the shipped default; see BENCHMARKS.md).
     pretrain_epochs: int = 0
     mask_prob: float = 0.15
+    # Compositional situation-generator rows per label (situation_gen;
+    # VERDICT r3 #2). None = n_per_label // 2 (match the hand-bank
+    # situation row count); 0 disables (the saturation-curve baseline).
+    gen_per_label: int | None = None
 
 
 def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0,
@@ -171,7 +175,8 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
     """Generate corpus, train, evaluate vs the lexicon, save checkpoint dir
     ({params.pkl (f16), config.pkl, vocab.txt, metrics.json})."""
     t_start = time.time()
-    data = make_corpus(n_per_label=spec.n_per_label, seed=spec.seed)
+    data = make_corpus(n_per_label=spec.n_per_label, seed=spec.seed,
+                       gen_per_label=spec.gen_per_label)
     train_x, train_y = data["train"]
     vocab = build_wordpiece_vocab(tokenizer_corpus(train_x))
     tok = db.WordPieceTokenizer(vocab)
@@ -291,6 +296,20 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
             params, cfg, tok, *data["eval_situations"], spec.max_length),
         "eval_situations_lexicon": _lexicon_accuracy(
             *data["eval_situations"]),
+        # held-out GENERATOR schemas (unseen event frame x unseen
+        # consequence clause; situation_gen.split_schemas) — fresh draw
+        # per seed, the regenerable cousin of the frozen exam
+        "eval_gen_schemas_acc": _accuracy(
+            params, cfg, tok, *data["eval_gen_schemas"],
+            spec.max_length),
+        # the committed 168-sentence frozen exam (hash-pinned): the
+        # longitudinally comparable schema-abstraction number
+        "frozen_exam_acc": _accuracy(
+            params, cfg, tok, *data["frozen_exam"], spec.max_length),
+        "frozen_exam_top3": _accuracy(
+            params, cfg, tok, *data["frozen_exam"], spec.max_length,
+            top_k=3),
+        "frozen_exam_lexicon": _lexicon_accuracy(*data["frozen_exam"]),
         # situation-only sentences, no feeling words: the pretrained-LM
         # frontier (distill_data.OOD_IMPLICIT) — honest separate metric
         "ood_implicit_acc": _accuracy(

@@ -53,6 +53,27 @@ class DemoASpec:
     lr: float = 3e-4
     gen_batch: int = 4
     max_gen: int = 48
+    # corpus shape (train/data.py grid_song): n_chains=(lo, hi) grows
+    # songs to flagship length by stacking instrument chains that each
+    # restart at t=0, keeping the note-string vocabulary compact
+    max_units: int = 28
+    n_chains: tuple[int, int] | None = None
+    # time-chunked CE (TrainConfig.loss_chunk) — the measured-fastest
+    # train step at the flagship geometry (CLAUDE.md: 46% MFU)
+    loss_chunk: int | None = None
+
+
+def flagship_spec(epochs: int = 24, rows: int = 24000,
+                  seed: int = 0) -> DemoASpec:
+    """The reference product geometry: d512 h8 L6 over a 512-token
+    context (api_cache.py:36 SEQ_LEN=512 with d_model 512, n_layers
+    inferred 6 — paper Table 5). Songs average ~480 tokens (28-34
+    instrument chains over the shared motif library), so the full
+    context carries content. loss_chunk=73 exactly tiles T=511."""
+    return DemoASpec(rows=rows, seed=seed, d_model=512, n_head=8,
+                     n_layer=6, seq_len=512, epochs=epochs,
+                     micro_batch=16, gen_batch=4, max_gen=160,
+                     n_chains=(28, 34), loss_chunk=73)
 
 
 def _grid_obedience(tokens: list[str], bpm: float, key: str,
@@ -83,10 +104,12 @@ def _grid_obedience(tokens: list[str], bpm: float, key: str,
 def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
                  log_fn=print) -> dict:
     t0 = time.time()
-    train_rows = [json.loads(r) for r in grid_corpus(spec.rows,
-                                                     seed=spec.seed)]
+    train_rows = [json.loads(r) for r in grid_corpus(
+        spec.rows, seed=spec.seed, max_units=spec.max_units,
+        n_chains=spec.n_chains)]
     held_rows = [json.loads(r) for r in grid_corpus(
-        spec.heldout_rows, seed=spec.heldout_seed)]
+        spec.heldout_rows, seed=spec.heldout_seed,
+        max_units=spec.max_units, n_chains=spec.n_chains)]
 
     vocab = Vocab.from_sequences(train_rows, pad_last=True)  # mini dialect
     encoded = [vocab.encode(s[:spec.seq_len]) for s in train_rows]
@@ -111,7 +134,8 @@ def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
                        epochs=spec.epochs, pad_id=vocab.pad_id,
                        schedule="warmup_cosine",
                        warmup_steps=steps_per_epoch // 2,
-                       total_steps=spec.epochs * steps_per_epoch)
+                       total_steps=spec.epochs * steps_per_epoch,
+                       loss_chunk=spec.loss_chunk)
     params = init_params(jax.random.PRNGKey(spec.seed), cfg)
     trainer = Trainer(cfg, tcfg, params)
 
@@ -121,6 +145,11 @@ def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
                          for s in in_vocab_songs], spec.seq_len,
                         vocab.pad_id)
     loss = float("nan")
+    # ship the held-out-BEST epoch, not the last: at flagship scale the
+    # model overfits the finite motif corpus past a knee (measured:
+    # held-out PPL 3.12 @ epoch 13 -> 3.76 @ epoch 18 on the 24k-row
+    # d512 run), and the artifact's contract is generalization
+    best = {"ppl": float("inf"), "params": None, "epoch": 0}
     for epoch in range(spec.epochs):
         for x, y in batches(encoded, cfg.seq_len, vocab.pad_id,
                             tcfg.micro_batch, drop_last=False,
@@ -129,8 +158,16 @@ def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
         loss = float(m["loss"])
         held_ppl = perplexity(trainer.params, cfg, held_ids,
                               pad_id=vocab.pad_id)
+        if held_ppl < best["ppl"]:
+            best = {"ppl": held_ppl, "epoch": epoch + 1,
+                    "params": jax.tree.map(np.asarray, trainer.params)}
         log_fn(f"[demo-a] epoch {epoch + 1}/{spec.epochs}: "
                f"loss={loss:.4f} held_out_ppl={held_ppl:.3f}")
+    if best["params"] is not None and best["ppl"] < held_ppl:
+        log_fn(f"[demo-a] restoring held-out-best epoch {best['epoch']} "
+               f"(ppl {best['ppl']:.3f} vs final {held_ppl:.3f})")
+        trainer.params = jax.device_put(best["params"])
+        held_ppl = best["ppl"]
 
     train_ppl = perplexity(
         trainer.params, cfg,

@@ -291,18 +291,33 @@ def motif_library(n_motifs: int = 40, seed: int = 7) -> list[list[tuple]]:
 
 def grid_song(rng: random.Random, lib: list[list[tuple]],
               key: str | None = None, bpm: float | None = None,
-              max_units: int = 28) -> list[str]:
+              max_units: int = 28,
+              n_chains: tuple[int, int] | None = None) -> list[str]:
     """One Scheme-A song on the quantized grid: header + per-instrument
     motif chains. Onsets/durations are half-beat integers scaled by the
     BPM's beat length and rounded to 3 dp (the midi_extract.py:22-27
     convention), so identical (pitch, slot, duration, bpm) draws produce
-    byte-identical note strings across songs."""
+    byte-identical note strings across songs.
+
+    ``n_chains=(lo, hi)`` draws that many instrument chains WITH
+    replacement (several tracks of one GM program is normal in real
+    Lakh MIDI — pretty_midi keeps them separate instruments,
+    midi_extract.py:16). Each chain restarts its clock at t=0, so the
+    onset vocabulary stays the compact max_units grid no matter how
+    long the song gets — the flagship 512-token corpus reuses the
+    exact note-string vocabulary of the compact demo. None keeps the
+    original 1-2 distinct-instrument draw (and its RNG stream)."""
     bpm = bpm if bpm is not None else rng.choice(_GRID_BPMS)
     key = key or rng.choice(_KEYS)
     pitches = key_scale_pitches(key)
     half_beat = 60.0 / bpm / 2.0
     toks = ["[START_SEQUENCE]", f"[BPM] {bpm}", f"[KEY_SIGNATURE] {key}"]
-    for inst in rng.sample(_INSTRUMENTS, rng.randint(1, 2)):
+    if n_chains is None:
+        chains = rng.sample(_INSTRUMENTS, rng.randint(1, 2))
+    else:
+        chains = [rng.choice(_INSTRUMENTS)
+                  for _ in range(rng.randint(*n_chains))]
+    for inst in chains:
         toks.append(f"[INSTRUMENT] {inst}")
         t_units = 0
         while t_units < max_units:
@@ -323,16 +338,19 @@ def grid_song(rng: random.Random, lib: list[list[tuple]],
 
 
 def grid_corpus(n_rows: int, seed: int = 0, n_motifs: int = 40,
-                motif_seed: int = 7) -> list[str]:
+                motif_seed: int = 7, max_units: int = 28,
+                n_chains: tuple[int, int] | None = None) -> list[str]:
     """JSON-encoded grid songs (lmd CSV 'tokens' column shape). Different
     ``seed`` values give disjoint song COMPOSITIONS over the same motif
     library — the held-out split for the generalization metric. The first
     len(_KEYS) rows cycle every key so a vocab built from any prefix of
-    the corpus can encode any EATS mapping."""
+    the corpus can encode any EATS mapping. ``n_chains`` grows songs to
+    flagship length (see grid_song) without growing the vocabulary."""
     rng = random.Random(seed)
     lib = motif_library(n_motifs, seed=motif_seed)
     return [json.dumps(grid_song(
-        rng, lib, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None))
+        rng, lib, key=_KEYS[i % len(_KEYS)] if i < len(_KEYS) else None,
+        max_units=max_units, n_chains=n_chains))
         for i in range(n_rows)]
 
 
