@@ -57,6 +57,21 @@ def load_native():
             d, d, d, d, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        cd = ctypes.c_double
+        lib.eamg_vel2att_gain.restype = cd
+        lib.eamg_vel2att_gain.argtypes = [cd, cd]
+        lib.eamg_vel2fc_hz.restype = cd
+        lib.eamg_vel2fc_hz.argtypes = [cd, cd, cd]
+        lib.eamg_sf2_voice.restype = ctypes.c_int
+        # (bank, bank_len, pos0, end, loop_s, loop_e, loops[int],
+        #  ratio, t_start, dur, gain, delay, attack, hold, decay,
+        #  sustain, release, vib_cents, vib_hz, vib_delay,
+        #  n_total, d_samples, out)
+        lib.eamg_sf2_voice.argtypes = (
+            [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            + [cd] * 4 + [ctypes.c_int] + [cd] * 13
+            + [ctypes.c_int, ctypes.c_int,
+               ctypes.POINTER(ctypes.c_float)])
         _lib = lib
         return _lib
 
@@ -110,4 +125,40 @@ def render_song_native(song: MidiSong, tail: float = 0.5,
     peak = float(np.abs(out).max())
     if peak > 1.0:
         out = out / peak * 0.97
+    return out
+
+
+def vel2att_gain_native(vel: float, amount_cb: float) -> float:
+    """C++ twin of sf2.vel_to_atten_cb composed with _cb_to_gain."""
+    return float(load_native().eamg_vel2att_gain(float(vel),
+                                                 float(amount_cb)))
+
+
+def vel2fc_hz_native(fc_cents: float, vel: float,
+                     amount_cents: float) -> float:
+    """C++ twin of sf2.vel_to_fc_cents folded into the Hz conversion."""
+    return float(load_native().eamg_vel2fc_hz(
+        float(fc_cents), float(vel), float(amount_cents)))
+
+
+def sf2_voice_native(bank: np.ndarray, row, n_total: int,
+                     d_samples: int) -> np.ndarray:
+    """C++ twin of one sampler.py voice (unfiltered path). ``row`` is the
+    sampler's 20-field tuple; fields 15/16 (fc_hz, q_cb) are ignored —
+    the zero-phase rfft filter is device-only (see eamg_synth.cpp)."""
+    lib = load_native()
+    bank = np.ascontiguousarray(np.asarray(bank, np.float32))
+    out = np.zeros(int(n_total), np.float32)
+    (start, end, loop_s, loop_e, loops, ratio, t_start, dur, gain,
+     delay, attack, hold, decay, sustain, release, _fc, _q,
+     vib_cents, vib_hz, vib_delay) = [float(x) for x in row]
+    rc = lib.eamg_sf2_voice(
+        bank.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(bank.shape[0]), start, end, loop_s, loop_e,
+        int(loops > 0.5), ratio, t_start, dur, gain, delay, attack,
+        hold, decay, sustain, release, vib_cents, vib_hz, vib_delay,
+        int(n_total), int(d_samples),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise RuntimeError(f"eamg_sf2_voice failed: {rc}")
     return out

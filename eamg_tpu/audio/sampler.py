@@ -138,12 +138,29 @@ class Sf2Renderer:
     def _voices_for(self, song: MidiSong):
         """(matched [per-voice param rows], [unmatched notes' Instrument
         clones]) — host-side preset/zone resolution."""
+        from .sf2 import (_abs_cents_to_hz, _cb_to_gain, vel_to_atten_cb,
+                          vel_to_fc_cents)
+
         rows = []
         leftovers: list[Instrument] = []
         for inst in song.instruments:
             bank_n = 128 if inst.is_drum else 0
             missing = None
+            # §8.4.3 pitch-wheel -> pitch at the GM default ±2-semitone
+            # range, applied statically per note (the bend value in
+            # effect at note onset; the render path has no mid-note CC
+            # stream). No bends (the detokenizer never emits them) = 0.
+            bends = sorted((b.time, b.pitch)
+                           for b in getattr(inst, "pitch_bends", []))
+            b_times = [t for t, _ in bends]
             for n in inst.notes:
+                bend_semis = 0.0
+                if bends:
+                    import bisect
+
+                    k = bisect.bisect_right(b_times, n.start) - 1
+                    if k >= 0:
+                        bend_semis = bends[k][1] / 8192.0 * 2.0
                 vs = self.sf.lookup(bank_n, int(inst.program),
                                     int(n.pitch), int(n.velocity))
                 if not vs:
@@ -159,10 +176,20 @@ class Sf2Renderer:
                     dur = MAX_NOTE_SECONDS if inst.is_drum else min(
                         n.duration, MAX_NOTE_SECONDS)
                     semis = (int(n.pitch) - v.root_key) \
-                        * (v.scale_tuning / 100.0)
+                        * (v.scale_tuning / 100.0) + bend_semis
                     ratio = (2.0 ** (semis / 12.0 + v.tune_cents / 1200.0)
                              * v.src_rate / SAMPLE_RATE)
-                    vel_gain = (n.velocity / 127.0) ** 2
+                    # §8.4.1: velocity through the concave curve to
+                    # attenuation (the font's amount; 960 cB default is
+                    # exactly the old (vel/127)**2 gain)
+                    vel_gain = _cb_to_gain(
+                        vel_to_atten_cb(n.velocity, v.vel2att_cb))
+                    # §8.4.2: velocity closes the low-pass — quiet notes
+                    # lose brightness (the FluidR3 velocity dynamic)
+                    fc_hz = min(_abs_cents_to_hz(
+                        v.fc_cents
+                        + vel_to_fc_cents(n.velocity, v.vel2fc_cents)),
+                        20000.0)
                     rows.append((
                         float(v.start), float(v.end), float(v.loop_start),
                         float(v.loop_end), float(v.loops), float(ratio),
@@ -171,7 +198,7 @@ class Sf2Renderer:
                         float(v.delay), float(min(v.attack, 4.0)),
                         float(min(v.hold, 4.0)), float(min(v.decay, 8.0)),
                         float(v.sustain), float(min(v.release, 4.0)),
-                        float(v.fc_hz), float(v.filter_q_cb),
+                        float(fc_hz), float(v.filter_q_cb),
                         float(v.vib_cents), float(v.vib_hz),
                         float(v.vib_delay)))
         return rows, leftovers

@@ -18,9 +18,18 @@ subset of the SF2.04 spec that determines which PCM gets played and how:
   Preset-level generators are ADDITIVE offsets to instrument-level
   values (spec 9.4), plus the timbre generators: initialFilterFc/Q
   (per-voice low-pass with resonance) and the vibrato LFO triple
-  (vibLfoToPitch / freqVibLFO / delayVibLFO). Modulator CHUNKS
-  (pmod/imod) are still skipped — FluidR3's default modulators map
-  controllers we never vary (mod wheel, expression).
+  (vibLfoToPitch / freqVibLFO / delayVibLFO);
+- modulators (spec §8.4, the velocity-dynamics tier): the DEFAULT
+  modulator set relevant to note playback — §8.4.1 velocity->
+  initialAttenuation (960 cB concave) and §8.4.2 velocity->
+  initialFilterFc (-2400 cents linear) — with pmod/imod records parsed
+  so a soundfont can SUPERSEDE a default's amount at instrument level
+  (same identity, spec 9.5) or offset it additively at preset level.
+  §8.4.3 pitch-wheel->pitch is realized in the renderer from the SMF
+  codec's pitch-bend events at the GM default ±2-semitone range.
+  Other modulators (mod wheel, expression, channel/key pressure CCs)
+  route controllers the render path never varies; they are counted
+  (``SoundFont.n_mods_other``) and skipped, documented here.
 
 Pure stdlib + numpy; no device code here (the renderer owns that).
 """
@@ -28,6 +37,7 @@ Pure stdlib + numpy; no device code here (the renderer owns that).
 from __future__ import annotations
 
 import dataclasses
+import math
 import struct
 
 import numpy as np
@@ -97,6 +107,31 @@ def _cb_to_gain(cb: float) -> float:
     return float(10.0 ** (-max(cb, 0.0) / 200.0))
 
 
+# default-modulator identities: (srcOper, destOper, amtSrcOper, transOper).
+# srcOper bit layout (spec 8.2): index | CC<<7 | D<<8 | P<<9 | type<<10.
+MOD_VEL_TO_ATTEN = (0x0502, G_INIT_ATTEN, 0x0, 0)   # §8.4.1: concave, neg
+MOD_VEL_TO_FC = (0x0102, G_INIT_FILTER_FC, 0x0, 0)  # §8.4.2: linear, neg
+_DEFAULT_MOD_AMOUNTS = {MOD_VEL_TO_ATTEN: 960.0, MOD_VEL_TO_FC: -2400.0}
+
+
+def vel_to_atten_cb(vel: float, amount_cb: float = 960.0) -> float:
+    """§8.4.1: note-on velocity through the negative-direction concave
+    curve to initialAttenuation, in centibels. Closed form of the spec's
+    curve (page-73 figure; FluidSynth's fluid_concave table):
+    amount * (40/96) * log10(127/vel). At the default 960 cB amount this
+    is EXACTLY linear gain = (vel/127)**2."""
+    v = min(max(float(vel), 1.0), 127.0)
+    return float(amount_cb) * (40.0 / 96.0) * math.log10(127.0 / v)
+
+
+def vel_to_fc_cents(vel: float, amount_cents: float = -2400.0) -> float:
+    """§8.4.2: velocity through the negative linear unipolar curve to
+    initialFilterFc, in relative cents: amount * (127-vel)/128 (0 at
+    full velocity, ~2 octaves of cutoff drop at vel->0 by default)."""
+    v = min(max(float(vel), 0.0), 127.0)
+    return float(amount_cents) * (127.0 - v) / 128.0
+
+
 @dataclasses.dataclass(frozen=True)
 class Voice:
     """One fully-resolved (preset x instrument) zone: everything the
@@ -131,6 +166,14 @@ class Voice:
     vib_cents: float = 0.0
     vib_hz: float = 8.176
     vib_delay: float = 0.0
+    # raw initialFilterFc in absolute cents (fc_hz is its no-velocity
+    # Hz form) — the renderer adds the §8.4.2 velocity offset in cents
+    fc_cents: float = 13500.0
+    # effective default-modulator amounts after pmod/imod supersede/add
+    # (spec 9.5): §8.4.1 velocity->attenuation (cB over the concave
+    # curve) and §8.4.2 velocity->filterFc (cents, linear negative)
+    vel2att_cb: float = 960.0
+    vel2fc_cents: float = -2400.0
 
 
 class SoundFont:
@@ -143,6 +186,10 @@ class SoundFont:
         self.samples = samples          # float32 [-1, 1], all sample data
         self.presets = presets          # (bank, program) -> [Voice]
         self.info = info
+        # pmod/imod records seen that are NOT one of the implemented
+        # default-modulator identities (controller routes the render
+        # path never varies) — parsed, counted, skipped
+        self.n_mods_other = 0
 
     def lookup(self, bank: int, program: int, key: int,
                vel: int) -> list[Voice]:
@@ -187,21 +234,39 @@ def _records(buf: bytes, fmt: str, names: tuple[str, ...]) -> list[dict]:
             for i in range(n)]
 
 
-def _zone_gens(bags, gens, bag_lo, bag_hi, terminal_oper):
+def _mod_dict(mods, lo: int, hi: int) -> dict[tuple, float]:
+    """Modulator records [lo, hi) -> {identity: amount}; identity =
+    (src, dest, amt_src, trans). Later records with the same identity
+    supersede earlier ones (spec 9.5.1)."""
+    out: dict[tuple, float] = {}
+    for mi in range(lo, min(hi, len(mods))):
+        m = mods[mi]
+        out[(m["src"], m["dst"], m["amt_src"], m["trans"])] = \
+            float(m["amount"])
+    return out
+
+
+def _zone_gens(bags, gens, bag_lo, bag_hi, terminal_oper, mods=()):
     """Expand bag records [bag_lo, bag_hi) into per-zone generator dicts.
-    Returns (global_gens, [(terminal_value, gens), ...]). A first zone
-    whose last generator is not the terminal oper is the GLOBAL zone."""
+    Returns (global_gens, [(terminal_value, gens, zone_mods), ...]). A
+    first zone whose last generator is not the terminal oper is the
+    GLOBAL zone. ``zone_mods`` is the zone's {identity: amount} dict,
+    global-zone modulators included (local identity supersedes global,
+    spec 9.5.1)."""
     glob: dict[int, int] = {}
+    glob_mods: dict[tuple, float] = {}
     zones = []
     for zi in range(bag_lo, bag_hi):
         g_lo, g_hi = bags[zi]["gen"], bags[zi + 1]["gen"]
         zg: dict[int, int] = {}
         for gi in range(g_lo, g_hi):
             zg[gens[gi]["oper"]] = gens[gi]["amount"]
+        zm = _mod_dict(mods, bags[zi]["mod"], bags[zi + 1]["mod"]) \
+            if mods else {}
         if terminal_oper in zg:
-            zones.append((zg[terminal_oper], zg))
+            zones.append((zg[terminal_oper], zg, {**glob_mods, **zm}))
         elif zi == bag_lo and not zones:
-            glob = zg
+            glob, glob_mods = zg, zm
     return glob, zones
 
 
@@ -235,26 +300,32 @@ def parse_sf2(data: bytes) -> SoundFont:
     inst = _records(chunks["inst"], "<20sH", ("name", "bag"))
     ibag = _records(chunks["ibag"], "<HH", ("gen", "mod"))
     igen = _records(chunks["igen"], "<HH", ("oper", "amount"))
+    mod_fields = ("src", "dst", "amount", "amt_src", "trans")
+    pmod = _records(chunks.get("pmod", b""), "<HHhHH", mod_fields)
+    imod = _records(chunks.get("imod", b""), "<HHhHH", mod_fields)
 
-    # pre-resolve every instrument -> [(gens-with-globals, sample_id)]
-    inst_zones: list[list[dict[int, int]]] = []
+    # pre-resolve every instrument -> [(gens-with-globals + mods)]
+    inst_zones: list[list[tuple[dict[int, int], dict[tuple, float]]]] = []
     for ii in range(len(inst) - 1):                    # last is EOI
         glob, zones = _zone_gens(ibag, igen, inst[ii]["bag"],
-                                 inst[ii + 1]["bag"], G_SAMPLE_ID)
+                                 inst[ii + 1]["bag"], G_SAMPLE_ID,
+                                 mods=imod)
         resolved = []
-        for sid, zg in zones:
+        for sid, zg, zm in zones:
             eff = dict(glob)
             eff.update(zg)
             eff[G_SAMPLE_ID] = sid
-            resolved.append(eff)
+            resolved.append((eff, zm))
         inst_zones.append(resolved)
 
+    n_mods_other = 0
     presets: dict[tuple[int, int], list[Voice]] = {}
     for pi in range(len(phdr) - 1):                    # last is EOP
         glob, zones = _zone_gens(pbag, pgen, phdr[pi]["bag"],
-                                 phdr[pi + 1]["bag"], G_INSTRUMENT)
+                                 phdr[pi + 1]["bag"], G_INSTRUMENT,
+                                 mods=pmod)
         voices: list[Voice] = []
-        for inst_id, pz in zones:
+        for inst_id, pz, pzm in zones:
             if inst_id >= len(inst_zones):
                 continue
             peff = dict(glob)
@@ -263,8 +334,12 @@ def parse_sf2(data: bytes) -> SoundFont:
                 else (0, 127)
             p_vel = _range(peff[G_VEL_RANGE]) if G_VEL_RANGE in peff \
                 else (0, 127)
-            for ieff in inst_zones[inst_id]:
-                v = _make_voice(ieff, peff, p_key, p_vel, shdr)
+            for ieff, izm in inst_zones[inst_id]:
+                n_mods_other += sum(
+                    1 for ident in (*izm, *pzm)
+                    if ident not in _DEFAULT_MOD_AMOUNTS)
+                v = _make_voice(ieff, peff, p_key, p_vel, shdr,
+                                imods=izm, pmods=pzm)
                 if v is not None:
                     voices.append(v)
         key = (phdr[pi]["bank"], phdr[pi]["preset"])
@@ -275,7 +350,9 @@ def parse_sf2(data: bytes) -> SoundFont:
         if k in chunks:
             info[k] = chunks[k].split(b"\0")[0].decode("latin1",
                                                        "replace")
-    return SoundFont(samples, presets, info)
+    sf = SoundFont(samples, presets, info)
+    sf.n_mods_other = n_mods_other
+    return sf
 
 
 def _gen(ieff: dict, peff: dict, oper: int) -> float:
@@ -288,7 +365,8 @@ def _gen(ieff: dict, peff: dict, oper: int) -> float:
     return base
 
 
-def _make_voice(ieff, peff, p_key, p_vel, shdr) -> Voice | None:
+def _make_voice(ieff, peff, p_key, p_vel, shdr,
+                imods=None, pmods=None) -> Voice | None:
     sid = ieff[G_SAMPLE_ID]
     if sid >= len(shdr):
         return None
@@ -318,6 +396,17 @@ def _make_voice(ieff, peff, p_key, p_vel, shdr) -> Voice | None:
         root = sh["root"] if sh["root"] < 128 else 60
 
     sus_cb = max(0.0, float(_gen(ieff, peff, G_SUSTAIN_ENV)))
+    # default-modulator amounts: an instrument-zone modulator with the
+    # same identity SUPERSEDES the spec default; a preset-zone one ADDS
+    # (spec 9.5). A font can thus retune or zero either velocity mod.
+    imods, pmods = imods or {}, pmods or {}
+    vel2att = (imods.get(MOD_VEL_TO_ATTEN,
+                         _DEFAULT_MOD_AMOUNTS[MOD_VEL_TO_ATTEN])
+               + pmods.get(MOD_VEL_TO_ATTEN, 0.0))
+    vel2fc = (imods.get(MOD_VEL_TO_FC,
+                        _DEFAULT_MOD_AMOUNTS[MOD_VEL_TO_FC])
+              + pmods.get(MOD_VEL_TO_FC, 0.0))
+    fc_cents = float(_gen(ieff, peff, G_INIT_FILTER_FC))
     return Voice(
         key_lo=key_lo, key_hi=key_hi, vel_lo=vel_lo, vel_hi=vel_hi,
         start=int(start), end=int(max(end, start + 1)),
@@ -333,12 +422,13 @@ def _make_voice(ieff, peff, p_key, p_vel, shdr) -> Voice | None:
         decay=_timecents_to_s(_gen(ieff, peff, G_DECAY_ENV)),
         sustain=_cb_to_gain(sus_cb),
         release=_timecents_to_s(_gen(ieff, peff, G_RELEASE_ENV)),
-        fc_hz=min(_abs_cents_to_hz(_gen(ieff, peff, G_INIT_FILTER_FC)),
-                  20000.0),
+        fc_hz=min(_abs_cents_to_hz(fc_cents), 20000.0),
         filter_q_cb=max(0.0, float(_gen(ieff, peff, G_INIT_FILTER_Q))),
         vib_cents=float(_gen(ieff, peff, G_VIB_LFO_TO_PITCH)),
         vib_hz=_abs_cents_to_hz(_gen(ieff, peff, G_FREQ_VIB_LFO)),
-        vib_delay=_timecents_to_s(_gen(ieff, peff, G_DELAY_VIB_LFO)))
+        vib_delay=_timecents_to_s(_gen(ieff, peff, G_DELAY_VIB_LFO)),
+        fc_cents=fc_cents, vel2att_cb=float(vel2att),
+        vel2fc_cents=float(vel2fc))
 
 
 def load_sf2(path: str) -> SoundFont:

@@ -45,6 +45,16 @@ class Note:
 
 
 @dataclass
+class PitchBend:
+    """A pitch-wheel event: ``pitch`` in -8192..8191 (center 0), time in
+    seconds — the pretty_midi.PitchBend shape. Consumed by the SF2
+    renderer's §8.4.3 default modulator at the GM ±2-semitone range."""
+
+    pitch: int
+    time: float
+
+
+@dataclass
 class Instrument:
     """A program (GM patch) with its note list."""
 
@@ -52,6 +62,7 @@ class Instrument:
     is_drum: bool = False
     name: str = ""
     notes: list[Note] = field(default_factory=list)
+    pitch_bends: list[PitchBend] = field(default_factory=list)
 
     def get_end_time(self) -> float:
         return max((n.end for n in self.notes), default=0.0)
@@ -249,6 +260,13 @@ class MidiSong:
                 kind, channel = st & 0xF0, st & 0x0F
                 if kind == 0xC0:
                     programs[channel] = payload[0]
+                elif kind == 0xE0:
+                    # pitch wheel: 14-bit LSB-first, center 8192 -> 0
+                    get_inst(programs.get(channel, 0),
+                             channel).pitch_bends.append(PitchBend(
+                                 pitch=(payload[0] | (payload[1] << 7))
+                                 - 8192,
+                                 time=self._tick_to_time(tick)))
                 elif kind == 0x90 and payload[1] > 0:
                     open_notes.setdefault((channel, payload[0]), []).append(
                         (tick, payload[1], programs.get(channel, 0)))
@@ -317,6 +335,11 @@ class MidiSong:
                 events.append((0, b"\xff\x03" + varlen(len(inst.name))
                                + inst.name.encode("latin1", "replace")))
             events.append((0, bytes([0xC0 | channel, inst.program & 0x7F])))
+            for pb in inst.pitch_bends:
+                raw = max(0, min(16383, pb.pitch + 8192))
+                events.append((self._time_to_tick(pb.time),
+                               bytes([0xE0 | channel, raw & 0x7F,
+                                      (raw >> 7) & 0x7F])))
             for note in inst.notes:
                 on = self._time_to_tick(note.start)
                 off = max(self._time_to_tick(note.end), on + 1)

@@ -130,4 +130,90 @@ int eamg_render(const double* freq, const double* start, const double* dur,
   return 0;
 }
 
+// ---- SF2 sampled-voice twin (eamg_tpu/audio/sampler.py) -------------
+//
+// Host twin of the device renderer's per-voice math: linear-interp PCM
+// read with loop wrap, the DAHDSS+R envelope, and the SF2 §8.4 default
+// velocity modulators' closed forms (sf2.py vel_to_atten_cb /
+// vel_to_fc_cents). The initialFilterFc low-pass is NOT twinned — the
+// device path applies it as a zero-phase rfft magnitude multiply, which
+// has no cheap streaming host equivalent; the spectral tests own that
+// tier. Parity: tests/test_native_synth.py renders the same voice both
+// ways and compares waveforms.
+
+// §8.4.1: velocity -> initialAttenuation (concave, negative), as linear
+// gain. Must match sf2.vel_to_atten_cb composed with _cb_to_gain.
+double eamg_vel2att_gain(double vel, double amount_cb) {
+  double v = vel < 1.0 ? 1.0 : (vel > 127.0 ? 127.0 : vel);
+  double cb = amount_cb * (40.0 / 96.0) * std::log10(127.0 / v);
+  if (cb < 0.0) cb = 0.0;
+  return std::pow(10.0, -cb / 200.0);
+}
+
+// §8.4.2: velocity -> initialFilterFc offset applied to the raw cents,
+// converted to Hz (8.176 Hz at 0 absolute cents), capped open at 20 kHz.
+double eamg_vel2fc_hz(double fc_cents, double vel, double amount_cents) {
+  double v = vel < 0.0 ? 0.0 : (vel > 127.0 ? 127.0 : vel);
+  double c = fc_cents + amount_cents * (127.0 - v) / 128.0;
+  double hz = 8.176 * std::pow(2.0, c / 1200.0);
+  return hz < 20000.0 ? hz : 20000.0;
+}
+
+// One voice accumulated into out[n_total] (caller-zeroed). Mirrors
+// _render_voices (sampler.py) minus the filter: sample-exact in float64
+// against the float32 device kernel within ~1e-3.
+int eamg_sf2_voice(const float* bank, int64_t bank_len, double pos0,
+                   double end, double loop_s, double loop_e, int loops,
+                   double ratio, double t_start, double dur, double gain,
+                   double delay, double attack, double hold, double decay,
+                   double sustain, double release, double vib_cents,
+                   double vib_hz, double vib_delay, int n_total,
+                   int d_samples, float* out) {
+  const double kLn2 = 0.6931471805599453;
+  double w = 2.0 * M_PI * (vib_hz > 1e-3 ? vib_hz : 1e-3);
+  double vib_amp = vib_cents * (kLn2 / 1200.0);
+  double durc = dur > 1e-3 ? dur : 1e-3;
+  double lw = loop_e - loop_s;
+  if (lw < 1.0) lw = 1.0;
+  int start_idx = (int)std::lround(t_start * kSampleRate);
+  for (int i = 0; i < d_samples; ++i) {
+    double tt = (double)i / kSampleRate;
+    double t_act = tt - vib_delay;
+    if (t_act < 0.0) t_act = 0.0;
+    double vib_pos = vib_amp * (1.0 - std::cos(w * t_act)) / w;
+    double sp = pos0 + ((double)i + vib_pos * kSampleRate) * ratio;
+    if (loops && sp >= loop_e) sp = loop_s + std::fmod(sp - loop_s, lw);
+    bool in_data = sp < end - 1.0;
+    if (sp < 0.0) sp = 0.0;
+    double maxp = (double)bank_len - 2.0;
+    if (sp > maxp) sp = maxp;
+    int64_t i0 = (int64_t)sp;
+    double frac = sp - (double)i0;
+    double pcm = bank[i0] * (1.0 - frac) + bank[i0 + 1] * frac;
+    // DAHDSS on the output clock, release after note-off
+    double t2 = delay + attack, t3 = t2 + hold;
+    double env = (tt - delay) / (attack > 1e-4 ? attack : 1e-4);
+    if (env < 0.0) env = 0.0;
+    if (env > 1.0) env = 1.0;
+    if (tt > t3) {
+      double dec = (tt - t3) / (decay > 1e-4 ? decay : 1e-4);
+      if (dec > 1.0) dec = 1.0;
+      env = 1.0 - (1.0 - sustain) * dec;
+    } else if (tt > t2) {
+      env = 1.0;
+    }
+    double rel = tt - durc;
+    if (rel < 0.0) rel = 0.0;
+    double rg = 1.0 - rel / (release > 1e-4 ? release : 1e-4);
+    if (rg < 0.0) rg = 0.0;
+    if (rg > 1.0) rg = 1.0;
+    env *= rg;
+    int idx = start_idx + i;
+    if (idx < 0) idx = 0;
+    if (idx >= n_total) idx = n_total - 1;
+    if (in_data) out[idx] += (float)(pcm * env * gain);
+  }
+  return 0;
+}
+
 }  // extern "C"

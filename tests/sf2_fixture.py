@@ -85,28 +85,46 @@ def build_test_sf2() -> bytes:
              + gen(G_VIB2PITCH, 50) + gen(G_VIBFREQ, -851)
              + gen(G_SID, 0))
 
-    igen = igen0 + igen1_glob + igen1 + igen2 + igen3
-    # ibag: zone -> first gen index (each gen record is 4 bytes)
-    ibag = b"".join(struct.pack("<HH", g, 0)
-                    for g in (0, 3, 4, 7, 11, 16))
-    # zones: inst0-z0, GLOB, inst1-z0, inst2-z0, inst3-z0, EOZ
+    # inst 4 (flat-velocity sine): an imod record with the §8.4.1
+    # identity and amount 0 SUPERSEDES the default velocity->attenuation
+    # modulator (spec 9.5) — velocity must stop affecting loudness
+    igen4 = gen(G_KEYRANGE, 0 | (127 << 8)) + gen(G_MODES, 1) + gen(G_SID, 0)
+
+    igen = igen0 + igen1_glob + igen1 + igen2 + igen3 + igen4
+    # ibag: zone -> (first gen index, first mod index); inst4's zone
+    # owns imod record 0
+    ibag = b"".join(struct.pack("<HH", g, m)
+                    for g, m in ((0, 0), (3, 0), (4, 0), (7, 0),
+                                 (11, 0), (16, 0), (19, 1)))
+    # zones: inst0-z0, GLOB, inst1-z0, inst2-z0, inst3-z0, inst4-z0, EOZ
     inst = (struct.pack("<20sH", b"sine-inst", 0)
             + struct.pack("<20sH", b"saw-inst", 1)   # bags 1..2 (GLOB+zone)
             + struct.pack("<20sH", b"filt-inst", 3)
             + struct.pack("<20sH", b"vib-inst", 4)
-            + struct.pack("<20sH", b"EOI", 5))
+            + struct.pack("<20sH", b"flat-inst", 5)
+            + struct.pack("<20sH", b"EOI", 6))
+    # imod: vel(concave, negative: 0x0502) -> initialAttenuation(48),
+    # amount 0 = disable; then the terminal record
+    imod = struct.pack("<HHhHH", 0x0502, 48, 0, 0, 0) + b"\0" * 10
 
-    # --- presets
+    # --- presets (program 44 adds a preset-level §8.4.2 offset: pmod
+    # amounts ADD to the instrument-level result, spec 9.5)
     pgen = (gen(G_INST, 0) + gen(G_INST, 1) + gen(G_INST, 2)
-            + gen(G_INST, 3))
-    pbag = b"".join(struct.pack("<HH", g, 0) for g in (0, 1, 2, 3, 4))
+            + gen(G_INST, 3) + gen(G_INST, 4) + gen(G_INST, 0))
+    pbag = b"".join(struct.pack("<HH", g, m)
+                    for g, m in ((0, 0), (1, 0), (2, 0), (3, 0),
+                                 (4, 0), (5, 0), (6, 1)))
     phdr = (struct.pack("<20sHHHIII", b"sine-preset", 0, 0, 0, 0, 0, 0)
             + struct.pack("<20sHHHIII", b"saw-preset", 40, 0, 1, 0, 0, 0)
             + struct.pack("<20sHHHIII", b"filt-preset", 41, 0, 2, 0, 0, 0)
             + struct.pack("<20sHHHIII", b"vib-preset", 42, 0, 3, 0, 0, 0)
-            + struct.pack("<20sHHHIII", b"EOP", 0, 0, 4, 0, 0, 0))
+            + struct.pack("<20sHHHIII", b"flat-preset", 43, 0, 4, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"padd-preset", 44, 0, 5, 0, 0, 0)
+            + struct.pack("<20sHHHIII", b"EOP", 0, 0, 6, 0, 0, 0))
 
-    pmod = imod = b"\0" * 10      # terminal modulator records only
+    # pmod: vel(linear, negative: 0x0102) -> initialFilterFc(8),
+    # -1200 cents ADDS to the -2400 default; then the terminal record
+    pmod = struct.pack("<HHhHH", 0x0102, 8, -1200, 0, 0) + b"\0" * 10
 
     info = (_chunk(b"ifil", struct.pack("<HH", 2, 4))
             + _chunk(b"INAM", b"eamg test font\0")
@@ -127,3 +145,18 @@ def dominant_freq(wave: np.ndarray, rate: int = RATE) -> float:
     spec = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
     spec[0] = 0.0
     return float(np.argmax(spec) * rate / len(wave))
+
+
+def fixture_song():
+    """The deterministic 4-program certification song used by the
+    FluidSynth spectral-similarity tests and the golden-WAV cutter
+    (tests/cut_golden_wav.py): one note per preset tier (plain sine,
+    slow-attack saw, filtered saw, vibrato sine)."""
+    from eamg_tpu.midi.smf import Instrument, MidiSong, Note
+
+    song = MidiSong(initial_tempo=120.0)
+    for prog, pitch in ((0, 69), (40, 60), (41, 64), (42, 72)):
+        inst = Instrument(prog)
+        inst.notes.append(Note(100, pitch, 0.1, 1.2))
+        song.instruments.append(inst)
+    return song

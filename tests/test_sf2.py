@@ -34,7 +34,8 @@ def _song(program, pitch, dur, is_drum=False, velocity=100):
 
 
 def test_parse_presets_and_voices(sf):
-    assert set(sf.presets) == {(0, 0), (0, 40), (0, 41), (0, 42)}
+    assert set(sf.presets) == {(0, 0), (0, 40), (0, 41), (0, 42),
+                               (0, 43), (0, 44)}
     (v,) = sf.lookup(0, 0, 69, 100)
     assert v.root_key == 69 and v.loops and v.src_rate == RATE
     assert (v.key_lo, v.key_hi) == (0, 127)
@@ -210,13 +211,11 @@ def test_spectral_similarity_vs_fluidsynth(tmp_path, renderer):
     import subprocess
     import wave as wavemod
 
+    from sf2_fixture import fixture_song
+
     sf2 = tmp_path / "fixture.sf2"
     sf2.write_bytes(build_test_sf2())
-    song = MidiSong(initial_tempo=120.0)
-    for prog, pitch in ((0, 69), (40, 60), (41, 64), (42, 72)):
-        inst = Instrument(prog)
-        inst.notes.append(Note(100, pitch, 0.1, 1.2))
-        song.instruments.append(inst)
+    song = fixture_song()
     mid = tmp_path / "fixture.mid"
     with open(mid, "wb") as f:
         song.write(f)
@@ -232,6 +231,118 @@ def test_spectral_similarity_vs_fluidsynth(tmp_path, renderer):
     n = min(len(ours), len(theirs))
     bands = np.geomspace(60, RATE / 2 - 1, 25)
     prof = lambda w: np.log10(np.asarray(
+        [_band_energy(w[:n], lo, hi) for lo, hi in
+         zip(bands[:-1], bands[1:])]) + 1e-12)
+    r = np.corrcoef(prof(ours), prof(theirs))[0, 1]
+    assert r > 0.7, f"band-energy correlation {r:.3f}"
+
+
+# ---- default modulators (spec §8.4; VERDICT r3 task #5) ----------------
+
+
+def test_default_modulator_amounts(sf):
+    """Zones without pmod/imod overrides carry the spec §8.4 defaults."""
+    (v,) = sf.lookup(0, 0, 69, 100)
+    assert v.vel2att_cb == 960.0
+    assert v.vel2fc_cents == -2400.0
+    # fc_cents is the raw generator value (13500 = open default here)
+    assert v.fc_cents == 13500.0
+
+
+def test_vel_to_atten_closed_form():
+    """The §8.4.1 concave curve at the default 960 cB amount is exactly
+    gain = (vel/127)**2 (the curve the renderer used ad hoc pre-r4)."""
+    from eamg_tpu.audio.sf2 import _cb_to_gain, vel_to_atten_cb
+
+    for vel in (1, 33, 64, 100, 127):
+        g = _cb_to_gain(vel_to_atten_cb(vel, 960.0))
+        assert abs(g - (vel / 127.0) ** 2) < 1e-9
+    assert vel_to_atten_cb(127, 960.0) == 0.0
+
+
+def test_imod_supersedes_vel_to_atten(sf, renderer):
+    """Program 43's instrument zone carries an imod with the §8.4.1
+    identity and amount 0: velocity must stop scaling loudness."""
+    (v,) = sf.lookup(0, 43, 69, 100)
+    assert v.vel2att_cb == 0.0
+    quiet = renderer.render_song(_song(43, 69, 0.5, velocity=30))
+    loud = renderer.render_song(_song(43, 69, 0.5, velocity=127))
+    n = min(len(quiet), len(loud))
+    rq = float(np.sqrt(np.mean(quiet[:n] ** 2)))
+    rl = float(np.sqrt(np.mean(loud[:n] ** 2)))
+    assert rl > 0.01
+    assert rq > 0.8 * rl
+
+
+def test_pmod_adds_vel_to_fc(sf):
+    """Program 44's preset zone pmod (-1200 cents, §8.4.2 identity)
+    ADDS to the -2400 default (spec 9.5)."""
+    (v,) = sf.lookup(0, 44, 69, 100)
+    assert v.vel2fc_cents == -3600.0
+    assert v.vel2att_cb == 960.0   # untouched default
+
+
+def test_velocity_closes_filter(renderer):
+    """§8.4.2 velocity dynamics: a quiet note through the filtered
+    preset (fc ~1 kHz) loses high-frequency share vs a loud one."""
+    loud = renderer.render_song(_song(41, 60, 0.8, velocity=127))
+    quiet = renderer.render_song(_song(41, 60, 0.8, velocity=40))
+
+    def hi_share(w):
+        seg = w[int(0.1 * RATE):int(0.7 * RATE)]
+        return (_band_energy(seg, 700, 4000)
+                / max(_band_energy(seg, 0, 4000), 1e-12))
+
+    assert hi_share(quiet) < 0.6 * hi_share(loud)
+
+
+def test_pitch_bend_default_modulator(renderer):
+    """§8.4.3: a pitch-wheel event before the note shifts its pitch at
+    the GM ±2-semitone range (+8191 -> ~+2 semitones)."""
+    from eamg_tpu.midi.smf import PitchBend
+
+    song = _song(0, 69, 0.8)
+    song.instruments[0].pitch_bends.append(PitchBend(pitch=8191, time=0.0))
+    wave = renderer.render_song(song)
+    seg = wave[int(0.25 * RATE):int(0.85 * RATE)]
+    expected = 440.0 * 2.0 ** (2.0 / 12.0)   # ~493.9 Hz
+    assert abs(dominant_freq(seg) - expected) < 8.0
+    # and without the bend the same note stays at 440
+    plain = renderer.render_song(_song(0, 69, 0.8))
+    assert abs(dominant_freq(plain[int(0.25 * RATE):int(0.85 * RATE)])
+               - 440.0) < 6.0
+
+
+def test_other_modulators_counted(sf):
+    """Non-default-identity records are parsed and counted, not lost."""
+    assert sf.n_mods_other == 0   # fixture carries only the two defaults
+
+
+GOLDEN_WAV = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "golden",
+    "fluidsynth_fixture.wav")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(GOLDEN_WAV),
+                    reason="no committed golden — cut it with "
+                           "tests/cut_golden_wav.py on a host that has "
+                           "the fluidsynth binary (tests/golden/README)")
+def test_spectral_similarity_vs_committed_golden(renderer):
+    """Binary-free certification: compares against the COMMITTED
+    FluidSynth golden (same deterministic font + song as the live
+    test), so the soundfont tier is certified on hosts without the
+    renderer it replaces (VERDICT r3 weak #4)."""
+    import wave as wavemod
+
+    from sf2_fixture import fixture_song
+
+    with wavemod.open(GOLDEN_WAV, "rb") as w:
+        raw = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        theirs = raw.reshape(-1, w.getnchannels()).mean(1) / 32768.0
+    ours = renderer.render_song(fixture_song())
+    n = min(len(ours), len(theirs))
+    bands = np.geomspace(60, RATE / 2 - 1, 25)
+    prof = lambda w: np.log10(np.asarray(       # noqa: E731
         [_band_energy(w[:n], lo, hi) for lo, hi in
          zip(bands[:-1], bands[1:])]) + 1e-12)
     r = np.corrcoef(prof(ours), prof(theirs))[0, 1]
