@@ -112,6 +112,58 @@ def decode_step_ragged(params: dict, last: jax.Array, cache: dict,
     return logits, {"k": tuple(ks), "v": tuple(vs), "lengths": t + 1}
 
 
+def decode_block_ragged(params: dict, block: jax.Array, cache: dict,
+                        cfg: GPTConfig):
+    """[B, W] token blocks starting at per-row positions t=lengths ->
+    ([B, W, V] logits, [B, W, D] hidden, cache with the W entries
+    written and lengths UNCHANGED — the caller commits the accepted
+    prefix by setting lengths itself (medusa rewind semantics).
+
+    The ragged twin of models.gpt.decode_block (the speculative verify
+    step): each of the W tokens attends to the row's cached prefix plus
+    the block up to itself. K/V block writes are masked one-hot (a
+    vmapped per-row dynamic_update_slice compiles 2-3x slower on the
+    remote helper — the round-2 continuous-engine lesson)."""
+    assert cfg.causal and not cfg.pos_broadcast_bug
+    B, W = block.shape
+    dt = cfg.jnp_dtype
+    t = cache["lengths"]                                   # [B]
+    max_len = cache["k"][0].shape[2]
+    pos_ids = jnp.minimum(t[:, None] + jnp.arange(W)[None],
+                          params["pos"].shape[0] - 1)      # [B, W]
+    x = (params["tok_emb"][block] + params["pos"][pos_ids]).astype(dt)
+    key_pos = jnp.arange(max_len)
+    # causal over absolute positions: key m visible to query w iff
+    # m <= t + w (full prefix + causal within the block)
+    valid = (key_pos[None, None, None, :]
+             <= pos_ids[:, None, :, None])                 # [B,1,W,M]
+    offs = key_pos[None, :] - t[:, None]                   # [B, M]
+    sel = (offs[:, :, None]
+           == jnp.arange(W)[None, None, :]).astype(dt)     # [B, M, W]
+    wmask = ((offs >= 0) & (offs < W))[:, None, :, None]   # [B,1,M,1]
+    ks, vs = list(cache["k"]), list(cache["v"])
+    for li, p in enumerate(params["layers"]):
+        attn_in = _attn_input(p, x, cfg)
+        qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
+        D, KVD = cfg.d_model, cfg.kv_dim
+        q = _heads(qkv[..., :D], cfg.n_head)               # [B,H,W,Dh]
+        k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+        v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
+        ks[li] = jnp.where(
+            wmask, jnp.einsum("bmw,bhwd->bhmd", sel, k_new), ks[li])
+        vs[li] = jnp.where(
+            wmask, jnp.einsum("bmw,bhwd->bhmd", sel, v_new), vs[li])
+        scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
+        scores = jnp.where(valid, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _linear(_unheads(_gqa_values(probs, vs[li])),
+                           p["attn"]["out_w"], p["attn"]["out_b"])
+        x = _finish_block(p, x, attn_out, cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])                  # [B, W, V]
+    return logits, x, {"k": tuple(ks), "v": tuple(vs), "lengths": t}
+
+
 def _sample_per_row(rngs, logits, temperature, top_k, mask_value, greedy,
                     top_p=1.0, use_top_p=False, min_p=0.0,
                     use_min_p=False, counts=None, rep_p=1.0, freq_p=0.0,

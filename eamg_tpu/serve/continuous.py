@@ -41,9 +41,10 @@ from ..decode.api import Generator, _bucket
 from ..decode.grammar import (Grammar, grammar_mask, grammar_step,
                               scan_prompt_state)
 from ..decode.grammar import placeholder as _grammar_placeholder
-from ..decode.ragged import (decode_step_ragged, init_ragged_cache,
-                             prefill_ragged)
-from ..decode.sampling import (apply_no_repeat_ngram, apply_penalties,
+from ..decode.ragged import (decode_block_ragged, decode_step_ragged,
+                             init_ragged_cache, prefill_ragged)
+from ..decode.sampling import (apply_min_p, apply_no_repeat_ngram,
+                               apply_penalties, apply_top_k, apply_top_p,
                                sample_token, token_counts)
 
 _split_rows = jax.vmap(lambda k: jax.random.split(k))
@@ -91,9 +92,24 @@ def _sample_rows(rngs, logits, temps, top_k, mask_value, greedy,
     )(rngs, logits, temps)
 
 
+def _medusa_dist(logits, temp, top_k, greedy, top_p, min_p,
+                 use_top_p, use_min_p):
+    """speculative._dist with TRACED filter values (static use flags):
+    bit-identical outputs to solo medusa's _dist for matching on/off
+    configuration — the engine keeps per-row temp/top_p/min_p traced so
+    every request shares one compiled chunk program."""
+    if greedy:
+        return jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1])
+    masked = apply_top_k(logits / temp, top_k)
+    masked = apply_top_p(masked, top_p, enabled=use_top_p)
+    masked = apply_min_p(masked, min_p, enabled=use_min_p)
+    return jax.nn.softmax(masked, axis=-1)
+
+
 def init_state(cfg, slots: int, max_len: int,
                per_row_sampling: bool = False,
-               no_repeat_ngram: int = 0, grammar: bool = False):
+               no_repeat_ngram: int = 0, grammar: bool = False,
+               medusa: bool = False):
     """Device-resident engine state; free slots start done with no budget.
     Per-row-sampling mode additionally carries the anti-repetition state:
     occurrence counts ([slots, V]) and per-row penalty values — gated on
@@ -123,27 +139,37 @@ def init_state(cfg, slots: int, max_len: int,
     if grammar:
         state["gstate"] = jnp.zeros((slots,), jnp.int32)
         state["gram_on"] = jnp.zeros((slots,), bool)
+    if medusa:
+        # per-row medusa mode: the last verified token's hidden state
+        # (head-proposal input; zeros at admission = solo h0 contract)
+        # and the per-row medusa bit. Keys gate the medusa chunk paths
+        # structurally (trace-time `"med_on" in state`).
+        state["h_last"] = jnp.zeros((slots, cfg.d_model), cfg.jnp_dtype)
+        state["med_on"] = jnp.zeros((slots,), bool)
     return state
 
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "greedy", "mask_value",
                                    "eos_id", "pad_id", "top_p",
                                    "per_row_sampling", "no_repeat_ngram",
-                                   "use_grammar"))
+                                   "use_grammar", "medusa_row"))
 def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
               cfg, top_k=50, greedy=False, mask_value=-1e10,
               eos_id=-1, pad_id=0, top_p=1.0, row_top_p=1.0,
               per_row_sampling=False, row_min_p=0.0,
               row_penalties=_NEUTRAL_PEN, no_repeat_ngram=0,
               row_ngram_on=False, grammar=None, use_grammar=False,
-              row_gram_on=False):
+              row_gram_on=False, medusa_row=False):
     """Prefill ONE request into slot ``slot`` of the running state.
 
     prompt: [1, P] (P = host-side power-of-two bucket, so admissions reuse
     a handful of compiled programs). Reproduces generate_kv_ragged's
     startup exactly: split key once, sample the first token from the
-    prefill logits, write it at position plen.
-    """
+    prefill logits, write it at position plen. ``medusa_row`` (static)
+    instead mirrors decode/medusa._medusa_init's startup bit-exactly:
+    the same single key split, but the first token drawn via the
+    _dist-form categorical (solo medusa's op sequence) and the row's
+    proposal hidden state zeroed (solo h0 contract)."""
     max_len = state["buf"].shape[1]
     row_cache = init_ragged_cache(cfg, 1, prompt.shape[1])
     logits0, row_cache = prefill_ragged(params, prompt, plen[None], cfg,
@@ -181,16 +207,33 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
     row_counts = token_counts(
         prompt, jnp.arange(P)[None, :] < plen,
         cfg.vocab_size) if per_row_sampling else None   # [1, V]
-    first = _sample_rows(
-        sub[None], last_logits, temp[None], top_k, mask_value, greedy,
-        top_p,
-        jnp.asarray(row_top_p, jnp.float32)[None] if per_row_sampling
-        else None,
-        jnp.asarray(row_min_p, jnp.float32)[None] if per_row_sampling
-        else None,
-        row_counts, rep_p[None] if per_row_sampling else None,
-        freq_p[None] if per_row_sampling else None,
-        pres_p[None] if per_row_sampling else None)[0]
+    if medusa_row:
+        # solo medusa's first-token ops (decode/medusa._medusa_init):
+        # _dist over the last prefill logits, then categorical on
+        # log(dist + 1e-30) — NOT sample_token's gumbel-on-logits form
+        # (different float values flip near-ties; parity demands the
+        # exact op sequence)
+        tp = (jnp.asarray(row_top_p, jnp.float32) if per_row_sampling
+              else jnp.asarray(top_p, jnp.float32))
+        mp = (jnp.asarray(row_min_p, jnp.float32) if per_row_sampling
+              else jnp.asarray(0.0, jnp.float32))
+        use_tp = True if per_row_sampling else float(top_p) < 1.0
+        first_dist = _medusa_dist(last_logits, temp, top_k, greedy,
+                                  tp, mp, use_tp, per_row_sampling)[0]
+        first = jnp.argmax(first_dist).astype(jnp.int32) if greedy else \
+            jax.random.categorical(
+                sub, jnp.log(first_dist + 1e-30)).astype(jnp.int32)
+    else:
+        first = _sample_rows(
+            sub[None], last_logits, temp[None], top_k, mask_value, greedy,
+            top_p,
+            jnp.asarray(row_top_p, jnp.float32)[None] if per_row_sampling
+            else None,
+            jnp.asarray(row_min_p, jnp.float32)[None] if per_row_sampling
+            else None,
+            row_counts, rep_p[None] if per_row_sampling else None,
+            freq_p[None] if per_row_sampling else None,
+            pres_p[None] if per_row_sampling else None)[0]
 
     # buffer row: prompt, then (when a slot remains) the first token
     active0 = plen < rmax
@@ -237,6 +280,10 @@ def admit_row(params, state, prompt, plen, slot, key, rmax, temp,
         new["gstate"] = state["gstate"].at[slot].set(gs_next)
         new["gram_on"] = state["gram_on"].at[slot].set(
             jnp.asarray(row_gram_on, bool))
+    if "med_on" in state:
+        new["h_last"] = state["h_last"].at[slot].set(
+            jnp.zeros((cfg.d_model,), cfg.jnp_dtype))
+        new["med_on"] = state["med_on"].at[slot].set(bool(medusa_row))
     return new
 
 
@@ -328,6 +375,217 @@ def ragged_chunk(params, state, cfg, chunk=64, top_k=50, greedy=False,
     if use_grammar:
         new_state["gstate"] = carry[-1]
         new_state["gram_on"] = state["gram_on"]
+    if "med_on" in state:
+        # medusa-enabled engine running a plain chunk (no live medusa
+        # rows): h_last is only read by medusa rows, which the worker
+        # never routes here — pass through untouched
+        new_state["h_last"] = state["h_last"]
+        new_state["med_on"] = state["med_on"]
+    return new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "gamma", "top_k",
+                                   "greedy", "mask_value", "eos_id",
+                                   "pad_id", "top_p", "per_row_sampling",
+                                   "no_repeat_ngram", "use_grammar"))
+def medusa_chunk(params, hw, hb, state, cfg, chunk=16, gamma=4,
+                 top_k=50, greedy=False, mask_value=-1e10, eos_id=-1,
+                 pad_id=0, top_p=1.0, per_row_sampling=False,
+                 no_repeat_ngram=0, grammar=None, use_grammar=False):
+    """Advance every live row ``chunk`` VERIFY steps with per-row medusa
+    (VERDICT r3 #3: speculation that survives concurrency).
+
+    Rows with ``med_on`` run decode/medusa._make_medusa_body's math
+    vmapped over the shared ragged cache: gamma head proposals from the
+    row's carried hidden state, one ragged block verify
+    (decode_block_ragged), per-row Leviathan acceptance, multi-token
+    masked buffer writes, and the cache-length rewind to the accepted
+    prefix. Rows WITHOUT it follow the plain chunk's exact op sequence
+    (same single key split per step, same _sample_rows call) on the
+    block's first-query logits, so plain rows keep the bit-match-solo
+    contract inside a medusa chunk; medusa rows bit-match their solo
+    generate_medusa stream (same per-row rng op sequence — one split
+    per step greedy, two sampled). The premium: every row pays the
+    (gamma+1)-query block step; the worker therefore dispatches this
+    program only while a live medusa row exists."""
+    max_len = state["buf"].shape[1]
+    cols = jnp.arange(max_len)[None, :]
+    med = state["med_on"]
+    idxw = jnp.arange(gamma + 1)[None, :]               # [1, g+1]
+    use_tp_static = True if per_row_sampling else float(top_p) < 1.0
+
+    def body(carry, _):
+        if per_row_sampling:
+            (buf, pos, last, done, rngs, cache, row_max, temps,
+             h_last, counts) = carry[:10]
+        else:
+            (buf, pos, last, done, rngs, cache, row_max, temps,
+             h_last) = carry[:9]
+            counts = None
+        gstate = carry[-1] if use_grammar else None
+        B = last.shape[0]
+        active = ~(done | (pos >= row_max))
+
+        # ---- shared first split (solo medusa's sub_d == plain's subs)
+        keys = _split_rows(rngs)
+        rng1, sub1 = keys[:, 0], keys[:, 1]
+
+        # ---- gamma head proposals from the carried hidden state ------
+        hk = h_last[:, None, :] + jax.nn.silu(
+            jnp.einsum("gde,be->bgd", hw, h_last) + hb[None])
+        head_lg = (hk.astype(jnp.float32) @ params["head"]["w"].T
+                   + params["head"]["b"])               # [B, g, V]
+        tp = state["top_ps"] if per_row_sampling else \
+            jnp.full((B,), top_p, jnp.float32)
+        mp = state["min_ps"] if per_row_sampling else \
+            jnp.zeros((B,), jnp.float32)
+        if greedy:
+            d = jnp.argmax(head_lg, -1).astype(jnp.int32)   # [B, g]
+            q = None
+        else:
+            q = jax.vmap(lambda lg, t, p_, m_: _medusa_dist(
+                lg, t, top_k, greedy, p_, m_, use_tp_static,
+                per_row_sampling))(head_lg, temps, tp, mp)  # [B, g, V]
+            d = jax.vmap(lambda k, qq: jax.random.categorical(
+                k, jnp.log(qq + 1e-30), axis=-1))(sub1, q).astype(
+                jnp.int32)
+
+        # ---- one ragged block verify over the shared cache ------------
+        block = jnp.concatenate([last[:, None], d], axis=1)  # [B, g+1]
+        logits_t, h_block, newc = decode_block_ragged(params, block,
+                                                      cache, cfg)
+
+        # ---- plain rows: the plain chunk's exact sampling path --------
+        plain_logits = logits_t[:, 0]
+        if no_repeat_ngram:
+            plain_logits = apply_no_repeat_ngram(
+                plain_logits, buf, pos, no_repeat_ngram, mask_value,
+                row_on=state["ngram_on"])
+        if use_grammar:
+            plain_logits = grammar_mask(plain_logits, gstate, grammar,
+                                        budget_left=row_max - pos,
+                                        row_on=state["gram_on"])
+        nxt_plain = _sample_rows(
+            sub1, plain_logits, temps, top_k, mask_value, greedy, top_p,
+            state["top_ps"] if per_row_sampling else None,
+            state["min_ps"] if per_row_sampling else None,
+            counts,
+            state["rep_ps"] if per_row_sampling else None,
+            state["freq_ps"] if per_row_sampling else None,
+            state["pres_ps"] if per_row_sampling else None)
+
+        # ---- medusa rows: per-row Leviathan acceptance ----------------
+        if greedy:
+            t_all = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B,g+1]
+            acc = d == t_all[:, :gamma]
+            n = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), 1)
+            t_new = jnp.sum(t_all * jax.nn.one_hot(
+                n, gamma + 1, dtype=jnp.int32), axis=1)
+            rng_med = rng1           # greedy consumes only the one split
+        else:
+            p = jax.vmap(lambda lg, t, p_, m_: _medusa_dist(
+                lg, t, top_k, greedy, p_, m_, use_tp_static,
+                per_row_sampling))(logits_t, temps, tp, mp)  # [B,g+1,V]
+            keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(rng1)
+            rng2, sub_u, sub_r = keys3[:, 0], keys3[:, 1], keys3[:, 2]
+            onehot_d = jax.nn.one_hot(d, cfg.vocab_size)
+            p_d = jnp.sum(p[:, :gamma] * onehot_d, -1)       # [B, g]
+            q_d = jnp.sum(q * onehot_d, -1)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (gamma,)))(sub_u)
+            acc = u < jnp.minimum(1.0, p_d / jnp.maximum(q_d, 1e-30))
+            n = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), 1)
+            sel_n = jax.nn.one_hot(n, gamma + 1)             # [B, g+1]
+            p_n = jnp.einsum("bw,bwv->bv", sel_n, p)
+            sel_q = jax.nn.one_hot(jnp.minimum(n, gamma - 1), gamma)
+            q_n = jnp.where((n < gamma)[:, None],
+                            jnp.einsum("bw,bwv->bv", sel_q, q), 0.0)
+            residual = jnp.maximum(p_n - q_n, 0.0)
+            rsum = jnp.sum(residual, -1, keepdims=True)
+            residual = jnp.where(rsum > 1e-12,
+                                 residual / jnp.maximum(rsum, 1e-30), p_n)
+            t_new = jax.vmap(lambda k, r: jax.random.categorical(
+                k, jnp.log(r + 1e-30)))(sub_r, residual).astype(jnp.int32)
+            rng_med = rng2
+
+        # ---- per-row window of emitted tokens -------------------------
+        d_ext = jnp.concatenate([d, d[:, -1:]], axis=1)      # [B, g+1]
+        win_med = jnp.where(
+            idxw < n[:, None], d_ext,
+            jnp.where(idxw == n[:, None], t_new[:, None],
+                      pad_id)).astype(jnp.int32)
+        big = gamma + 2
+        e = jnp.min(jnp.where((win_med == eos_id) & (idxw <= n[:, None]),
+                              idxw, big), axis=1)
+        limit_med = jnp.minimum(n + 1, e + 1)
+        window = jnp.where(med[:, None], win_med,
+                           jnp.where(idxw == 0, nxt_plain[:, None],
+                                     pad_id)).astype(jnp.int32)
+        limit = jnp.where(med, limit_med, 1)
+        done_step = jnp.where(med, e <= n, nxt_plain == eos_id)
+        limit = jnp.where(active, limit, 0)
+        # budget-clamped writes (solo clamps its output buffer instead)
+        wlimit = jnp.clip(jnp.minimum(limit, row_max - pos), 0,
+                          gamma + 1)
+
+        offs = cols - pos[:, None]                           # [B, M]
+        hit = (offs >= 0) & (offs < wlimit[:, None])
+        sel3 = offs[:, :, None] == idxw[:, None, :]          # [B, M, g+1]
+        take = jnp.sum(jnp.where(sel3, window[:, None, :], 0), -1)
+        buf = jnp.where(hit, take, buf)
+
+        lsel = jax.nn.one_hot(limit - 1, gamma + 1,
+                              dtype=jnp.int32)               # [B, g+1]
+        last_new = jnp.sum(window * lsel, axis=1)
+        h_new = jnp.einsum("bw,bwd->bd", lsel.astype(h_block.dtype),
+                           h_block)
+        new_pos = pos + wlimit
+        # wlimit = min(limit, row_max - pos), so new_pos >= row_max
+        # exactly when the unclamped pos + limit crosses the budget —
+        # the same done condition as the plain chunk and solo medusa
+        done = done | (active & done_step) | (new_pos >= row_max)
+        last = jnp.where(active, last_new, last)
+        h_last = jnp.where((active & med)[:, None], h_new, h_last)
+        rngs = jnp.where(med[:, None], rng_med, rng1)
+        cache = {"k": newc["k"], "v": newc["v"],
+                 "lengths": jnp.where(active, new_pos - 1,
+                                      cache["lengths"])}
+        pos = new_pos
+        out = (buf, pos, last, done, rngs, cache, row_max, temps, h_last)
+        if per_row_sampling:
+            counts = counts + (
+                (nxt_plain[:, None] == jnp.arange(cfg.vocab_size)[None])
+                & (active & ~med)[:, None]).astype(jnp.float32)
+            out = out + (counts,)
+        if use_grammar:
+            out = out + (grammar_step(gstate, nxt_plain, grammar,
+                                      active=active & ~med),)
+        return out, None
+
+    carry0 = (state["buf"], state["pos"], state["last"], state["done"],
+              state["rngs"], state["cache"], state["row_max"],
+              state["temps"], state["h_last"])
+    if per_row_sampling:
+        carry0 = carry0 + (state["counts"],)
+    if use_grammar:
+        carry0 = carry0 + (state["gstate"],)
+    carry, _ = jax.lax.scan(body, carry0, None, length=chunk)
+    (buf, pos, last, done, rngs, cache, row_max, temps,
+     h_last) = carry[:9]
+    new_state = {"cache": cache, "buf": buf, "pos": pos, "last": last,
+                 "done": done, "rngs": rngs, "row_max": row_max,
+                 "temps": temps, "top_ps": state["top_ps"],
+                 "min_ps": state["min_ps"], "h_last": h_last,
+                 "med_on": state["med_on"]}
+    if per_row_sampling:
+        new_state["counts"] = carry[9]
+        new_state["rep_ps"] = state["rep_ps"]
+        new_state["freq_ps"] = state["freq_ps"]
+        new_state["pres_ps"] = state["pres_ps"]
+    if no_repeat_ngram:
+        new_state["ngram_on"] = state["ngram_on"]
+    if use_grammar:
+        new_state["gstate"] = carry[-1]
+        new_state["gram_on"] = state["gram_on"]
     return new_state
 
 
@@ -356,6 +614,7 @@ class _Pending:
     penalties: tuple = _NEUTRAL_PEN   # (repetition, frequency, presence)
     ngram: int = 0               # no_repeat_ngram_size (0 = off)
     grammar: bool = False        # FSM-constrained decoding for this row
+    medusa: bool = False         # per-row multi-token medusa decoding
     admit_seq: int = -1          # chunks dispatched when the row joined
     started: float | None = None
     finished: float | None = None
@@ -384,7 +643,8 @@ class ContinuousBatcher:
                  top_k: int = 50, greedy: bool = False,
                  mask_value: float = -1e10, max_queue: int = 256,
                  top_p: float = 1.0, per_row_sampling: bool = False,
-                 no_repeat_ngram: int = 0, grammar=None):
+                 no_repeat_ngram: int = 0, grammar=None,
+                 medusa_heads: dict | None = None):
         # per_row_sampling compiles per-row top-p AND min-p filtering into
         # the chunk program; rows at the neutral values (1.0 / 0.0) are
         # exact no-ops, so unfiltered requests still bit-match solo runs
@@ -410,17 +670,38 @@ class ContinuousBatcher:
             else _grammar_placeholder()
         self.max_len = min(max_len or generator.cfg.seq_len,
                            generator.max_supported_len())
+        # per-row medusa (VERDICT r3 #3): heads stacked once; the worker
+        # dispatches the medusa chunk program only while a live medusa
+        # row exists, so pure-plain traffic never pays the block-verify
+        # premium. Medusa needs pos-table headroom for the block
+        # overshoot (solo generate_medusa's assert), so the engine
+        # budget shrinks by gamma when heads are installed.
+        self.medusa = medusa_heads is not None
+        if self.medusa:
+            from ..decode.medusa import _stack_heads
+
+            self._hw, self._hb = _stack_heads(medusa_heads)
+            self.gamma = int(self._hw.shape[0])
+            self.max_len = min(self.max_len,
+                               generator.cfg.n_pos - self.gamma)
+            # a verify step emits up to gamma+1 tokens; keep harvest
+            # cadence roughly one plain chunk's worth of tokens
+            self.chunk_med = max(4, chunk // (1 + self.gamma // 2))
         # admission control: requests queued beyond the live slots; 0 =
         # unbounded (benchmarks that deliberately flood the engine)
         self.max_queue = max_queue
         self.state = init_state(generator.cfg, slots, self.max_len,
                                 per_row_sampling=self.per_row_sampling,
                                 no_repeat_ngram=self.no_repeat_ngram,
-                                grammar=self.use_grammar)
+                                grammar=self.use_grammar,
+                                medusa=self.medusa)
         self._q: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
         self._live: dict[int, _Pending] = {}
         self._free = list(range(slots))
+        # host-side mirror of which live slots run medusa (avoids a
+        # device fetch per cycle when picking the chunk program)
+        self._med_slots: set[int] = set()
         self._busy = False   # worker between dequeue and _live insertion
         from collections import deque
 
@@ -440,7 +721,7 @@ class ContinuousBatcher:
                 min_p: float | None = None,
                 penalties: tuple | None = None,
                 no_repeat_ngram: int | None = None,
-                grammar: bool = False) -> bool:
+                grammar: bool = False, medusa: bool = False) -> bool:
         """Whether a request's sampling params match the compiled engine
         (top_k/greedy are engine-wide; top_p/min_p/penalties are
         engine-wide unless the engine runs per-row sampling mode; a
@@ -457,14 +738,29 @@ class ContinuousBatcher:
                      or tuple(float(v) for v in penalties) == _NEUTRAL_PEN)
                 and (not no_repeat_ngram
                      or int(no_repeat_ngram) == self.no_repeat_ngram)
-                and (not grammar or self.use_grammar))
+                and (not grammar or self.use_grammar)
+                and (not medusa or self.medusa))
 
     def _validate_params(self, top_k, greedy, top_p, min_p, penalties,
-                         no_repeat_ngram=0, grammar=False):
+                         no_repeat_ngram=0, grammar=False, medusa=False):
         if grammar and not self.use_grammar:
             raise ValueError(
                 "engine was built without a grammar table; construct "
                 "ContinuousBatcher(grammar=...) for constrained requests")
+        if medusa:
+            if not self.medusa:
+                raise ValueError(
+                    "engine was built without medusa heads; construct "
+                    "ContinuousBatcher(medusa_heads=...) for medusa "
+                    "requests")
+            # same exclusions as the solo medusa path (history-dependent
+            # logit transforms break the acceptance math)
+            pen = (tuple(float(v) for v in penalties)
+                   if penalties is not None else _NEUTRAL_PEN)
+            if pen != _NEUTRAL_PEN or no_repeat_ngram or grammar:
+                raise ValueError(
+                    "medusa rows reject penalties / no_repeat_ngram / "
+                    "grammar (serve/pipeline.py contract)")
         if top_k is not None and top_k != self.top_k:
             raise ValueError(
                 f"engine compiled for top_k={self.top_k}, got {top_k}")
@@ -496,9 +792,10 @@ class ContinuousBatcher:
                top_p: float | None = None,
                min_p: float | None = None,
                penalties: tuple | None = None,
-               no_repeat_ngram: int = 0, grammar: bool = False) -> list:
+               no_repeat_ngram: int = 0, grammar: bool = False,
+               medusa: bool = False) -> list:
         pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
-                                    no_repeat_ngram, grammar)
+                                    no_repeat_ngram, grammar, medusa)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)  # zero generation steps (reference)
@@ -510,7 +807,7 @@ class ContinuousBatcher:
                        min_p=float(min_p) if min_p is not None else 0.0,
                        penalties=pen,
                        ngram=int(no_repeat_ngram or 0),
-                       grammar=bool(grammar))
+                       grammar=bool(grammar), medusa=bool(medusa))
         self._enqueue(req)
         if not req.event.wait(timeout):
             self._request_cancel(req)  # free the slot; nobody is waiting
@@ -526,7 +823,8 @@ class ContinuousBatcher:
                       top_p: float | None = None,
                       min_p: float | None = None,
                       penalties: tuple | None = None,
-                      no_repeat_ngram: int = 0, grammar: bool = False):
+                      no_repeat_ngram: int = 0, grammar: bool = False,
+                      medusa: bool = False):
         """Generator yielding lists of newly generated token ids as the
         engine's chunks complete — the streaming twin of :meth:`submit`.
 
@@ -543,7 +841,7 @@ class ContinuousBatcher:
         is ever pulled; this function just builds the request and
         returns the consuming generator."""
         pen = self._validate_params(top_k, greedy, top_p, min_p, penalties,
-                                    no_repeat_ngram, grammar)
+                                    no_repeat_ngram, grammar, medusa)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return iter(())  # zero generation steps
@@ -555,7 +853,7 @@ class ContinuousBatcher:
                        min_p=float(min_p) if min_p is not None else 0.0,
                        penalties=pen,
                        ngram=int(no_repeat_ngram or 0),
-                       grammar=bool(grammar))
+                       grammar=bool(grammar), medusa=bool(medusa))
         req.stream_q = queue.Queue()
         req.emitted = len(prompt_ids)
         self._enqueue(req)
@@ -656,7 +954,12 @@ class ContinuousBatcher:
             row_min_p=req.min_p, row_penalties=req.penalties,
             no_repeat_ngram=self.no_repeat_ngram,
             row_ngram_on=bool(req.ngram), grammar=self._garr,
-            use_grammar=self.use_grammar, row_gram_on=bool(req.grammar))
+            use_grammar=self.use_grammar, row_gram_on=bool(req.grammar),
+            medusa_row=bool(req.medusa))
+        if req.medusa:
+            self._med_slots.add(slot)
+        else:
+            self._med_slots.discard(slot)
         req.started = time.monotonic()
         req.admit_seq = self.stats["chunks"]
         self._live[slot] = req
@@ -699,6 +1002,7 @@ class ContinuousBatcher:
                 req.stream_q.put(("done", req.result))
             req.event.set()
             self._free.append(slot)
+            self._med_slots.discard(slot)
             self.stats["served"] += 1
 
     def _drain_cancels(self):
@@ -715,6 +1019,7 @@ class ContinuousBatcher:
                 if r is req:
                     del self._live[slot]
                     self._free.append(slot)
+                    self._med_slots.discard(slot)
                     self.stats["cancelled"] += 1
 
     def _fail_all(self, exc: Exception):
@@ -775,15 +1080,34 @@ class ContinuousBatcher:
                     continue
 
                 if self._live:
-                    self.state = ragged_chunk(
-                        self.gen.params, self.state, self.gen.cfg,
-                        chunk=self.chunk, top_k=self.top_k,
-                        greedy=self.greedy, mask_value=self.mask_value,
-                        eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
-                        top_p=self.top_p,
-                        per_row_sampling=self.per_row_sampling,
-                        no_repeat_ngram=self.no_repeat_ngram,
-                        grammar=self._garr, use_grammar=self.use_grammar)
+                    # medusa program only while a live medusa row exists
+                    # (every row pays the block-verify premium in it);
+                    # pure-plain traffic keeps the plain chunk program
+                    live_med = any(s in self._live for s in self._med_slots)
+                    if live_med:
+                        self.state = medusa_chunk(
+                            self.gen.params, self._hw, self._hb,
+                            self.state, self.gen.cfg,
+                            chunk=self.chunk_med, gamma=self.gamma,
+                            top_k=self.top_k, greedy=self.greedy,
+                            mask_value=self.mask_value,
+                            eos_id=self.gen.eos_id,
+                            pad_id=self.gen.pad_id, top_p=self.top_p,
+                            per_row_sampling=self.per_row_sampling,
+                            no_repeat_ngram=self.no_repeat_ngram,
+                            grammar=self._garr,
+                            use_grammar=self.use_grammar)
+                    else:
+                        self.state = ragged_chunk(
+                            self.gen.params, self.state, self.gen.cfg,
+                            chunk=self.chunk, top_k=self.top_k,
+                            greedy=self.greedy, mask_value=self.mask_value,
+                            eos_id=self.gen.eos_id, pad_id=self.gen.pad_id,
+                            top_p=self.top_p,
+                            per_row_sampling=self.per_row_sampling,
+                            no_repeat_ngram=self.no_repeat_ngram,
+                            grammar=self._garr,
+                            use_grammar=self.use_grammar)
                     self.stats["chunks"] += 1
                     # depth-1 lookahead: fetch the PREVIOUS chunk's flags
                     # while this one computes — the tunnel RPC overlaps

