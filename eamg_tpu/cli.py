@@ -207,6 +207,18 @@ def cmd_generate(args):
         print("WAV saved ->", args.wav)
 
 
+def cmd_section_eval(args):
+    from .serve.pipeline import (packaged_demo_checkpoint,
+                                 pipeline_from_checkpoint)
+    from .tools.section_metrics import measure_section_obedience
+
+    pipe = pipeline_from_checkpoint(args.ckpt
+                                    or packaged_demo_checkpoint())
+    out = measure_section_obedience(pipe, n_prompts=args.prompts,
+                                    seed=args.seed)
+    print(json.dumps(out))
+
+
 def cmd_ablate(args):
     """Paper §10.4 ablation table: full / −KV / −emotion / −fine-bins."""
     from .tools.ablation import AblationConfig, markdown_table, run_ablation
@@ -535,6 +547,16 @@ def main(argv=None):
                         "verified in one block forward, exact output "
                         "distribution")
     g.set_defaults(fn=cmd_generate)
+
+    se = sub.add_parser("section-eval",
+                        help="per-section emotion-adaptivity obedience "
+                             "over multi-emotion prompts "
+                             "(tools/section_metrics.py)")
+    se.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (default: packaged demo)")
+    se.add_argument("--prompts", type=int, default=50)
+    se.add_argument("--seed", type=int, default=0)
+    se.set_defaults(fn=cmd_section_eval)
 
     ab = sub.add_parser("ablate",
                         help="paper §10.4 ablation table (PPL / MSE-Tune)")
