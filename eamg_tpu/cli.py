@@ -207,6 +207,14 @@ def cmd_generate(args):
         print("WAV saved ->", args.wav)
 
 
+def cmd_feed_bench(args):
+    from .tools.feed_bench import run_feed_bench
+
+    print(json.dumps(run_feed_bench(rows=args.rows, notes=args.notes,
+                                    steps=args.steps,
+                                    shards=args.shards)))
+
+
 def cmd_section_eval(args):
     from .serve.pipeline import (packaged_demo_checkpoint,
                                  pipeline_from_checkpoint)
@@ -557,6 +565,15 @@ def main(argv=None):
     se.add_argument("--prompts", type=int, default=50)
     se.add_argument("--seed", type=int, default=0)
     se.set_defaults(fn=cmd_section_eval)
+
+    fb = sub.add_parser("feed-bench",
+                        help="host data-pipeline feed-rate proof at "
+                             "corpus scale (tools/feed_bench.py)")
+    fb.add_argument("--rows", type=int, default=100_000)
+    fb.add_argument("--notes", type=int, default=126)
+    fb.add_argument("--steps", type=int, default=200)
+    fb.add_argument("--shards", type=int, default=16)
+    fb.set_defaults(fn=cmd_feed_bench)
 
     ab = sub.add_parser("ablate",
                         help="paper §10.4 ablation table (PPL / MSE-Tune)")
