@@ -640,5 +640,60 @@ def decode_block(params: dict, ids: jax.Array, cache: dict, cfg: GPTConfig,
     return logits, new_cache
 
 
+def decode_tree(params: dict, ids: jax.Array, depths: jax.Array,
+                anc: jax.Array, cache: dict, cfg: GPTConfig):
+    """Tree-attention cached decode (the Medusa-2 verify step,
+    decode/medusa_tree.py): [1, N] candidate tokens arranged as a tree
+    over the cache position t -> ([1, N, V] logits, cache with the N
+    staged entries written at slots t..t+N-1 and length UNCHANGED — the
+    caller commits the accepted path).
+
+    Returns (logits [1, N, V], hidden [1, N, D], staged cache) — the
+    hidden states feed the next step's head proposals (the accepted
+    node's hidden), like decode_block's return_hidden.
+
+    ``depths`` [N]: node depth (root 0) — node positions are t+depth,
+    so sibling candidates share a position. ``anc`` [N, N] bool:
+    anc[q, j] = node j is an ancestor of q or q itself — the intra-block
+    visibility; all nodes see the full cache prefix."""
+    assert cfg.causal and not cfg.pos_broadcast_bug
+    B, N = ids.shape
+    assert B == 1, "tree verify is a batch-1 latency optimization"
+    dt = cfg.jnp_dtype
+    t = cache["length"]
+    max_len = cache["k"][0].shape[2]
+    pos_ids = jnp.minimum(t + depths, params["pos"].shape[0] - 1)
+    x = (params["tok_emb"][ids] + params["pos"][pos_ids][None]).astype(dt)
+    ks, vs = list(cache["k"]), list(cache["v"])
+    zero = jnp.asarray(0, jnp.int32)
+    key_pos = jnp.arange(max_len)
+    block_idx = key_pos - t                                  # [M]
+    in_block = (block_idx >= 0) & (block_idx < N)
+    # [N, M]: query q sees prefix keys (< t) plus its ancestor chain
+    valid = ((key_pos[None, :] < t)
+             | (in_block[None, :]
+                & anc[:, jnp.clip(block_idx, 0, N - 1)]))[None, None]
+    for li, p in enumerate(params["layers"]):
+        attn_in = _attn_input(p, x, cfg)
+        qkv = _linear(attn_in, p["attn"]["in_w"], p["attn"]["in_b"])
+        D, KVD = cfg.d_model, cfg.kv_dim
+        q = _heads(qkv[..., :D], cfg.n_head)                 # [1,H,N,Dh]
+        k_new = _heads(qkv[..., D:D + KVD], cfg.kv_heads)
+        v_new = _heads(qkv[..., D + KVD:], cfg.kv_heads)
+        ks[li] = jax.lax.dynamic_update_slice(ks[li], k_new,
+                                              (zero, zero, t, zero))
+        vs[li] = jax.lax.dynamic_update_slice(vs[li], v_new,
+                                              (zero, zero, t, zero))
+        scores = _gqa_scores(q, ks[li], 1.0 / math.sqrt(cfg.head_dim))
+        scores = jnp.where(valid, scores, jnp.finfo(dt).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dt)
+        attn_out = _unheads(_gqa_values(probs, vs[li]))
+        attn_out = _linear(attn_out, p["attn"]["out_w"], p["attn"]["out_b"])
+        x = _finish_block(p, x, attn_out, cfg)
+    logits = _linear(x.astype(jnp.float32), params["head"]["w"],
+                     params["head"]["b"])
+    return logits, x, {"k": tuple(ks), "v": tuple(vs), "length": t}
+
+
 def count_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
