@@ -311,6 +311,25 @@ def cmd_convert_gqa(args):
           f"short finetune to recover quality: cli train --resume)")
 
 
+def cmd_medusa_measure(args):
+    from .tools.medusa import measure, measure_tree
+
+    ckpt = args.ckpt
+    if ckpt is None:
+        from .serve.pipeline import packaged_demo_checkpoints
+
+        ckpt = packaged_demo_checkpoints()["a"]
+    heads = args.heads or f"{ckpt}/medusa_heads.pkl"
+    res = {}
+    if args.tree:
+        res["tree"] = measure_tree(ckpt, heads, max_len=args.max_len,
+                                   reps=args.reps)
+    else:
+        res["linear"] = measure(ckpt, heads, max_len=args.max_len,
+                                gamma=4, greedy=not args.sample)
+    print(json.dumps(res))
+
+
 def cmd_train_medusa(args):
     from .tools.medusa import MedusaSpec, measure, train_medusa_heads
 
@@ -669,6 +688,20 @@ def main(argv=None):
     md.add_argument("--sample", action="store_true",
                     help="measure sampled (default greedy) decoding")
     md.set_defaults(fn=cmd_train_medusa)
+
+    mm = sub.add_parser("medusa-measure",
+                        help="interleaved A/B latency of plain vs "
+                             "medusa (linear or --tree) on a trained "
+                             "checkpoint's shipped heads")
+    mm.add_argument("--ckpt", default=None)
+    mm.add_argument("--heads", default=None,
+                    help="default: <ckpt>/medusa_heads.pkl")
+    mm.add_argument("--max-len", dest="max_len", type=int, default=256)
+    mm.add_argument("--reps", type=int, default=5)
+    mm.add_argument("--tree", action="store_true",
+                    help="measure Medusa-2 tree verification (greedy)")
+    mm.add_argument("--sample", action="store_true")
+    mm.set_defaults(fn=cmd_medusa_measure)
 
     d = sub.add_parser("convert-distilbert",
                        help="HF snapshot dir -> emotion checkpoint dir")

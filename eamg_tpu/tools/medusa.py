@@ -204,6 +204,93 @@ def measure(ckpt_dir: str, heads_path: str, max_len: int = 256,
     return out
 
 
+def measure_tree(ckpt_dir: str, heads_path: str, max_len: int = 256,
+                 tree=None, seed: int = 0, reps: int = 5,
+                 log_fn=print) -> dict:
+    """Greedy batch-1 three-way INTERLEAVED A/B: plain generate_kv vs
+    linear medusa-1 (gamma=tree depth) vs Medusa-2 tree verification —
+    the §3.9 methodology (tunnel dispatch outliers land on whole
+    generations; sequential designs brand one side. Reps alternate
+    plain/linear/tree in one process, best-of-reps per side)."""
+    from ..decode.loop import generate_kv
+    from ..decode.medusa_tree import (DEFAULT_TREE, generate_medusa_tree,
+                                      tree_tables)
+    from ..tokenizer import SchemeB3, Vocab, detect_scheme
+    from ..utils.checkpoint import load_checkpoint
+
+    tree = tuple(tree) if tree is not None else DEFAULT_TREE
+    tb = tree_tables(tree)
+    ckpt = load_checkpoint(ckpt_dir)
+    cfg: GPTConfig = ckpt["cfg"]
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    heads = load_medusa_heads(heads_path)
+    vocab = Vocab(ckpt["vocab"])
+    scheme = detect_scheme(vocab)
+    if scheme == "b3":
+        prompt_ids = SchemeB3(seq_len=cfg.seq_len).control_prefix(120, 0)
+    else:
+        prompt_ids = [vocab.tok2id[t] for t in ["[START_SEQUENCE]"]
+                      if t in vocab.tok2id]
+    prompt = jnp.asarray(prompt_ids, jnp.int32)[None]
+    plen = jnp.asarray(len(prompt_ids), jnp.int32)
+    rng = jax.random.PRNGKey(seed)
+    gamma = tb["gamma"]
+
+    def run_plain():
+        buf, pos = generate_kv(params, prompt, plen, rng, cfg, max_len,
+                               greedy=True, eos_id=-1,
+                               pad_id=vocab.pad_id,
+                               refeed_last_prompt=False)
+        return buf, int(pos), 0
+
+    def run_linear():
+        buf, pos, n = generate_medusa(
+            params, heads, prompt, plen, rng, cfg, max_len, gamma=gamma,
+            greedy=True, eos_id=-1, pad_id=vocab.pad_id)
+        return buf, int(pos), int(n)
+
+    def run_tree():
+        buf, pos, n = generate_medusa_tree(
+            params, heads, prompt, plen, cfg, max_len, tree=tree,
+            eos_id=-1, pad_id=vocab.pad_id)
+        return buf, int(pos), int(n)
+
+    sides = {"plain": run_plain, "linear": run_linear, "tree": run_tree}
+    for fn in sides.values():                      # compile
+        fn()
+    times = {k: [] for k in sides}
+    for _ in range(reps):                          # interleaved A/B/C
+        for k, fn in sides.items():
+            times[k].append(_timed(fn))
+    best = {k: min(v) for k, v in times.items()}
+    _, pos_p, _ = run_plain()
+    _, pos_l, steps_l = run_linear()
+    _, pos_t, steps_t = run_tree()
+    gen = pos_p - len(prompt_ids)
+    out = {
+        "plain_tok_s": round(gen / best["plain"], 1),
+        "linear_tok_s": round((pos_l - len(prompt_ids))
+                              / best["linear"], 1),
+        "tree_tok_s": round((pos_t - len(prompt_ids)) / best["tree"], 1),
+        "linear_tokens_per_verify": round(
+            (pos_l - len(prompt_ids)) / max(steps_l, 1), 3),
+        "tree_tokens_per_verify": round(
+            (pos_t - len(prompt_ids)) / max(steps_t, 1), 3),
+        "linear_speedup": round(best["plain"] / best["linear"], 3),
+        "tree_speedup": round(best["plain"] / best["tree"], 3),
+        # verify-step premium: tree step time over the plain step time
+        "tree_step_premium": round(
+            (best["tree"] / max(steps_t, 1))
+            / (best["plain"] / max(gen, 1)), 3),
+        "tree_nodes": tb["N"], "gamma": gamma, "max_len": max_len,
+        "reps": reps,
+        "spread_ms": {k: [round(t * 1000, 1) for t in v]
+                      for k, v in times.items()},
+    }
+    log_fn(f"[medusa-tree] {json.dumps(out)}")
+    return out
+
+
 def _timed(fn):
     t0 = time.perf_counter()
     out = fn()
