@@ -471,6 +471,80 @@ def scenario_11_soak():
     return out
 
 
+def scenario_12_engine_medusa_mixed():
+    """Mixed medusa+plain traffic through ONE continuous engine
+    (VERDICT r3 #3 done criterion): staggered arrivals on the TRAINED
+    flagship demo + its shipped heads, three compositions — all-plain,
+    half-medusa, all-medusa. Done = mixed >= plain-engine throughput
+    (every row's bit-match-solo contract is tested in
+    tests/test_continuous_medusa.py; this is the throughput side).
+    EOS disabled so every row decodes its full budget (fair tok/s)."""
+    import threading
+
+    from eamg_tpu.decode import Generator
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+    from eamg_tpu.serve.pipeline import packaged_demo_checkpoints
+    from eamg_tpu.tokenizer import Vocab
+    from eamg_tpu.tools.medusa import load_medusa_heads
+    from eamg_tpu.utils.checkpoint import load_checkpoint
+
+    d = packaged_demo_checkpoints()["a"]
+    ckpt = load_checkpoint(d)
+    heads = load_medusa_heads(f"{d}/medusa_heads.pkl")
+    vocab = Vocab(ckpt["vocab"])
+    gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
+                    eos_token="[NO_SUCH_TOKEN]")   # eos off: full budget
+    start = [vocab.tok2id["[START_SEQUENCE]"]]
+    n_req, gap_s, req_max = 12, 0.025, 480
+
+    def staggered(eng, med_mask):
+        results = [None] * n_req
+
+        def hit(i):
+            results[i] = eng.submit(start, seed=100 + i,
+                                    max_len=req_max,
+                                    medusa=bool(med_mask[i]))
+
+        threads = [threading.Thread(target=hit, args=(i,), daemon=True)
+                   for i in range(n_req)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+            time.sleep(gap_s)
+        for t in threads:
+            t.join(timeout=900)
+        wall = time.perf_counter() - t0
+        toks = sum(len(r) - len(start) for r in results)
+        return {"wall_s": round(wall, 2),
+                "agg_tok_per_s": round(toks / wall, 1)}
+
+    eng = ContinuousBatcher(gen, slots=8, chunk=64, max_len=req_max,
+                            medusa_heads=heads)
+    eng.submit(start, seed=0, max_len=req_max)               # compile
+    eng.submit(start, seed=0, max_len=req_max, medusa=True)  # compile
+    out = {}
+    # interleave the three compositions twice, best-of (the tunnel's
+    # whole-generation outliers; DESIGN.md §3.9 methodology)
+    plans = {"plain": [0] * n_req,
+             "mixed": [i % 2 for i in range(n_req)],
+             "medusa": [1] * n_req}
+    runs = {k: [] for k in plans}
+    for _ in range(2):
+        for k, mask in plans.items():
+            runs[k].append(staggered(eng, mask))
+    for k, rr in runs.items():
+        out[k] = max(rr, key=lambda r: r["agg_tok_per_s"])
+    eng.close()
+    out.update({"scenario": "engine_medusa_mixed", "requests": n_req,
+                "mixed_over_plain": round(
+                    out["mixed"]["agg_tok_per_s"]
+                    / out["plain"]["agg_tok_per_s"], 3),
+                "medusa_over_plain": round(
+                    out["medusa"]["agg_tok_per_s"]
+                    / out["plain"]["agg_tok_per_s"], 3)})
+    return out
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -483,6 +557,7 @@ SCENARIOS = {
     "9": scenario_9_continuous_batching,
     "10": scenario_10_streaming_first_delta,
     "11": scenario_11_soak,
+    "12": scenario_12_engine_medusa_mixed,
 }
 
 
