@@ -83,6 +83,8 @@ def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0,
 
 def _accuracy(params, cfg, tok, texts, labels, max_length, batch=256,
               top_k=1):
+    if not texts:     # e.g. eval_gen_schemas with gen_per_label=0
+        return float("nan")
     ids, mask = _encode_all(tok, texts, max_length)
     hits = 0
     for s in range(0, len(texts), batch):
