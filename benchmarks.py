@@ -545,6 +545,95 @@ def scenario_12_engine_medusa_mixed():
     return out
 
 
+def scenario_13_trained_demo_serving():
+    """Serving headliners on the TRAINED flagship demo (VERDICT r3 #1:
+    'every flagship number runs on random-init weights'). One pipeline
+    over serve/demo_ckpt_a (d512 L6 seq512, held-out PPL 2.9) with the
+    continuous engine: (a) E2E p50/p95 classify->decode->detokenize
+    (EOS live — the model ends songs, so lengths are REAL), (b) SSE
+    first-delta latency, (c) 8 staggered concurrent requests aggregate,
+    (d) solo sampled medusa A/B on the shipped heads (interleaved)."""
+    import threading
+
+    from eamg_tpu.serve.pipeline import (packaged_demo_checkpoints,
+                                         pipeline_from_checkpoint)
+
+    d = packaged_demo_checkpoints()["a"]
+    pipe = pipeline_from_checkpoint(d, coalesce="continuous")
+    pipe.warmup()
+    out = {"scenario": "trained_demo_serving", "ckpt": d}
+
+    # (a) E2E latency + generation length census
+    ts, lens = [], []
+    for i in range(12):
+        t0 = time.perf_counter()
+        res = pipe.generate(f"i feel wonderful today {i}", seed=i,
+                            render_audio=False)
+        ts.append(time.perf_counter() - t0)
+        lens.append(len(res.tokens))
+    ts.sort()
+    out["e2e"] = {"p50_ms": round(ts[len(ts) // 2] * 1000, 1),
+                  "p95_ms": round(ts[int(len(ts) * 0.95)] * 1000, 1),
+                  "median_tokens": sorted(lens)[len(lens) // 2]}
+
+    # (b) SSE first delta through the engine
+    fd = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        for ev in pipe.generate_stream(f"a sad slow song {i}",
+                                       seed=50 + i):
+            if ev.get("event") == "tokens":
+                fd.append(time.perf_counter() - t0)
+                break
+    fd.sort()
+    out["sse_first_delta_p50_ms"] = round(fd[len(fd) // 2] * 1000, 1)
+
+    # (c) staggered concurrency through the engine
+    n_req, lat = 8, [0.0] * 8
+    results = [None] * n_req
+
+    def hit(i):
+        t0 = time.perf_counter()
+        results[i] = pipe.generate(f"an angry march {i}", seed=100 + i,
+                                   render_audio=False)
+        lat[i] = time.perf_counter() - t0
+
+    threads = [threading.Thread(target=hit, args=(i,), daemon=True)
+               for i in range(n_req)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+        time.sleep(0.02)
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.perf_counter() - t0
+    toks = sum(len(r.tokens) for r in results)
+    out["staggered_8"] = {
+        "wall_s": round(wall, 2),
+        "agg_tok_per_s": round(toks / wall, 1),
+        "p50_request_s": round(sorted(lat)[n_req // 2], 2)}
+
+    # (d) medusa vs plain, interleaved best-of (solo batch-1 path)
+    med_t, plain_t = [], []
+    for r in range(3):
+        t0 = time.perf_counter()
+        res_m = pipe.generate("a joyful dance", seed=7,
+                              render_audio=False, medusa=True)
+        med_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        res_p = pipe.generate("a joyful dance", seed=7,
+                              render_audio=False)
+        plain_t.append(time.perf_counter() - t0)
+    out["medusa_vs_plain_best_ms"] = {
+        "medusa": round(min(med_t) * 1000, 1),
+        "plain": round(min(plain_t) * 1000, 1),
+        "medusa_tokens": len(res_m.tokens),
+        "plain_tokens": len(res_p.tokens)}
+    if pipe.batcher is not None:
+        pipe.batcher.close()
+    return out
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
