@@ -170,3 +170,24 @@ def test_plain_traffic_uses_plain_program(generator, heads):
         assert got == solo_plain(generator, [1, 2, 3], 11, eng.max_len)
     finally:
         eng.close()
+
+
+def test_medusa_row_with_top_p_matches_solo(generator, heads):
+    """Per-row-sampling engine: a medusa row with top_p=0.9 bit-matches
+    solo generate_medusa(top_p=0.9) — the traced-filter _medusa_dist
+    path equals the solo static-filter _dist path."""
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=24,
+                            per_row_sampling=True, medusa_heads=heads)
+    try:
+        got = eng.submit([1, 2, 3], seed=13, medusa=True, top_p=0.9)
+        prompt = np.zeros((1, 16), np.int32)
+        prompt[0, :3] = [1, 2, 3]
+        buf, pos, _ = generate_medusa(
+            generator.params, heads, jnp.asarray(prompt),
+            jnp.asarray(3, jnp.int32), jax.random.PRNGKey(13), CFG,
+            eng.max_len, gamma=GAMMA, temperature=1.0, top_k=50,
+            eos_id=-1, pad_id=0, top_p=0.9)
+        want = np.asarray(buf)[0, :int(np.asarray(pos))].tolist()
+        assert got == want
+    finally:
+        eng.close()
