@@ -12,6 +12,7 @@ line for the driver.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -488,14 +489,23 @@ def scenario_12_engine_medusa_mixed():
     from eamg_tpu.tools.medusa import load_medusa_heads
     from eamg_tpu.utils.checkpoint import load_checkpoint
 
-    d = packaged_demo_checkpoints()["a"]
+    which = os.environ.get("EAMG_S12_CKPT", "a")
+    d = packaged_demo_checkpoints()[which]
     ckpt = load_checkpoint(d)
     heads = load_medusa_heads(f"{d}/medusa_heads.pkl")
     vocab = Vocab(ckpt["vocab"])
     gen = Generator(ckpt["params"], ckpt["cfg"], vocab,
                     eos_token="[NO_SUCH_TOKEN]")   # eos off: full budget
-    start = [vocab.tok2id["[START_SEQUENCE]"]]
-    n_req, gap_s, req_max = 12, 0.025, 480
+    if which == "b3":
+        from eamg_tpu.tokenizer import SchemeB3
+
+        start = SchemeB3(seq_len=ckpt["cfg"].seq_len).control_prefix(
+            120, 0)
+        req_max = ckpt["cfg"].seq_len - 8
+    else:
+        start = [vocab.tok2id["[START_SEQUENCE]"]]
+        req_max = 480
+    n_req, gap_s = 12, 0.025
 
     def staggered(eng, med_mask):
         results = [None] * n_req
@@ -647,6 +657,7 @@ SCENARIOS = {
     "10": scenario_10_streaming_first_delta,
     "11": scenario_11_soak,
     "12": scenario_12_engine_medusa_mixed,
+    "13": scenario_13_trained_demo_serving,
 }
 
 
