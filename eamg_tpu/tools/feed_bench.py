@@ -88,11 +88,17 @@ def run_feed_bench(rows: int = 100_000, notes: int = 126,
     x0 = jax.device_put(ids0[None, :, :-1])
     y0 = jax.device_put(ids0[None, :, 1:])
     trainer.train_step(x0, y0, sync=True)          # compile
-    t0 = time.perf_counter()
-    for _ in range(20):
-        m = trainer.train_step(x0, y0, sync=False)
-    _ = float(m["loss"])                           # drain the stream
-    dev_step_ms = (time.perf_counter() - t0) / 20 * 1000
+    # best-of-3 windows: tunnel dispatch outliers land on whole windows
+    # (the §3.9 interleaving lesson), so one 20-step window can read
+    # 50% high; three 40-step windows with a min() are stable.
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(40):
+            m = trainer.train_step(x0, y0, sync=False)
+        _ = float(m["loss"])                       # drain the stream
+        windows.append((time.perf_counter() - t0) / 40 * 1000)
+    dev_step_ms = min(windows)
     tokens_per_step = micro_batch * (seq_len - 1)
     dev_rate = tokens_per_step / (dev_step_ms / 1000)
 
