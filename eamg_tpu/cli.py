@@ -758,10 +758,14 @@ def main(argv=None):
     di.add_argument("--cue-suppress", type=float, default=0.3,
                     help="span-supervision weight on non-cue tokens' "
                          "non-neutral logits (pool=max only)")
-    di.add_argument("--gen-per-label", type=int, default=None,
-                    help="compositional situation-generator rows per "
-                         "label (situation_gen); default n_per_label/2, "
-                         "0 disables")
+    di.add_argument("--gen-per-label", type=int, default=0,
+                    help="compositional situation-generator TRAINING "
+                         "rows per label (situation_gen). Default 0 — "
+                         "the round-4 saturation study measured "
+                         "generator training rows monotone-negative on "
+                         "the frozen exam (BENCHMARKS.md); the "
+                         "generator still builds the eval splits and "
+                         "frozen exam regardless")
     di.add_argument("--pretrain-epochs", type=int, default=0,
                     help="MLM-pretrain the trunk on the train split for "
                          "N epochs before classification (VERDICT r2 #2 "

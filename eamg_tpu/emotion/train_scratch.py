@@ -64,9 +64,13 @@ class ScratchSpec:
     pretrain_epochs: int = 0
     mask_prob: float = 0.15
     # Compositional situation-generator rows per label (situation_gen;
-    # VERDICT r3 #2). None = n_per_label // 2 (match the hand-bank
-    # situation row count); 0 disables (the saturation-curve baseline).
-    gen_per_label: int | None = None
+    # VERDICT r3 #2). The round-4 saturation study (BENCHMARKS.md)
+    # measured generator TRAINING rows as monotone-negative on the
+    # frozen exam (surface multiplication displaces frame abstraction),
+    # so the shipped recipe trains with 0; the generator still builds
+    # the eval splits + frozen exam. None = n_per_label // 2 (the
+    # study's default mixing ratio), kept for the curve's midpoints.
+    gen_per_label: int | None = 0
 
 
 def _encode_all(tok, texts, max_length, rng=None, piece_dropout=0.0,

@@ -147,25 +147,27 @@ class TestPackagedCheckpoint:
         assert m["unseen_forms_acc_distilbert"] > \
             m["unseen_forms_acc_lexicon"]
         assert m["ood_acc_distilbert"] > m["ood_acc_lexicon"]
-        # round-3 floors (VERDICT r2 #2 asked for >= 0.70 on the r2 OOD
-        # metric): the shipped bank-4 artifact scores 0.875 there, 0.827
-        # top-1 / 0.929 top-3 on the grown 168-sentence cue tier, 0.634
-        # held-out forms. Floors sit a few points under the shipped
-        # numbers — they pin the ARTIFACT against a silently-worse
-        # re-ship, not the retrain distribution (seed variance is large).
+        # round-4 floors, a few points under the shipped seed-2026
+        # artifact (OOD 0.815 / r2 0.857 / top3 0.923 / forms 0.569 /
+        # situations 0.240 / implicit 0.441 / frozen 0.333) — they pin
+        # the ARTIFACT against a silently-worse re-ship, not the retrain
+        # distribution (seed variance is large). DISCLOSED TRADE vs the
+        # round-3 bank-4 artifact (forms floor 0.60 -> 0.55): the bank-5
+        # + lint corpus systematically trades ~6pt of held-out-FORMS
+        # (0.634 -> 0.48-0.57 across seeds {7,42,1234,2026}) for the
+        # situation/implicit gains (implicit 0.357 -> 0.44, situations
+        # 0.216 -> 0.24-0.30, frozen exam newly tracked); see
+        # BENCHMARKS.md round-4 emotion section.
         assert m["ood_acc_56_r2_metric"] >= 0.80, m
         assert m["ood_acc_distilbert"] >= 0.75, m
         assert m["ood_top3_distilbert"] >= 0.88, m
-        assert m["unseen_forms_acc_distilbert"] >= 0.60, m
-        # situation-bank floors: the implicit tier — situation-only
-        # sentences with zero feeling words, the pretrained-LM frontier —
-        # moved 0.098 -> 0.245 -> 0.357 as banks 1-4 taught
-        # situation->emotion schemas. eval_situations (held-out
-        # templates) re-randomizes with the bank pool, so its floor is
-        # looser (shipped draw = 0.216)
-        assert m["ood_implicit_acc"] >= 0.30, m
-        assert m["ood_implicit_top3"] >= 0.50, m
+        assert m["unseen_forms_acc_distilbert"] >= 0.55, m
+        assert m["ood_implicit_acc"] >= 0.38, m
+        assert m["ood_implicit_top3"] >= 0.55, m
         assert m["eval_situations_acc"] >= 0.18, m
+        # the frozen exam (never-trained generator eval-frames, committed
+        # + hash-pinned) is the longitudinal abstraction metric
+        assert m["frozen_exam_acc"] >= 0.28, m
 
     def test_sanity_predictions(self):
         from eamg_tpu.emotion.infer import EmotionClassifier
