@@ -763,9 +763,9 @@ def main(argv=None):
                          "rows per label (situation_gen). Default 0 — "
                          "the round-4 saturation study measured "
                          "generator training rows monotone-negative on "
-                         "the frozen exam (BENCHMARKS.md); the "
-                         "generator still builds the eval splits and "
-                         "frozen exam regardless")
+                         "the frozen exam (BENCHMARKS.md). The frozen "
+                         "exam is built regardless; eval_gen_schemas "
+                         "is empty (metrics null) at 0")
     di.add_argument("--pretrain-epochs", type=int, default=0,
                     help="MLM-pretrain the trunk on the train split for "
                          "N epochs before classification (VERDICT r2 #2 "

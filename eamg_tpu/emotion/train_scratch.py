@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import pickle
 import time
@@ -339,7 +340,15 @@ def distill_classifier(out_dir: str, spec: ScratchSpec = ScratchSpec(),
     with open(os.path.join(out_dir, "vocab.txt"), "w",
               encoding="utf-8") as f:
         f.write("\n".join(vocab) + "\n")
+    # RFC 8259 has no NaN/Infinity literal: empty eval splits (e.g.
+    # eval_gen_schemas at gen_per_label=0) report float('nan'), which
+    # json.dump would serialize bare and break strict consumers (jq,
+    # JSON.parse). Write null instead; keep the in-memory dict as-is.
+    metrics_json = {k: (None if isinstance(v, float) and not math.isfinite(v)
+                        else v)
+                    for k, v in metrics.items()}
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+        json.dump(metrics_json, f, indent=1, allow_nan=False)
+        f.write("\n")
     log_fn(f"[distill] saved -> {out_dir}: {json.dumps(metrics)}")
     return metrics

@@ -141,7 +141,12 @@ class TestPackagedCheckpoint:
         import json
 
         with open(os.path.join(PACKAGED, "metrics.json")) as f:
-            m = json.load(f)
+            raw = f.read()
+        # strict RFC 8259: no bare NaN/Infinity literals (ADVICE r4 #1 —
+        # empty splits must serialize as null, not NaN)
+        def _reject(c):
+            raise AssertionError(f"non-JSON literal {c} in metrics.json")
+        m = json.loads(raw, parse_constant=_reject)
         assert m["eval_acc_distilbert"] > 0.9
         assert m["eval_acc_distilbert"] > m["eval_acc_lexicon"]
         assert m["unseen_forms_acc_distilbert"] > \
