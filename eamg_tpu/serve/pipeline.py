@@ -68,6 +68,11 @@ class Pipeline:
         # medusa=true request option: multi-token sampled decode, measured
         # 1.38-1.52x batch-1 (DESIGN.md §3.9). None = option rejected.
         self.medusa_heads = medusa_heads
+        # acceptance probe metadata (tools.medusa.probe_acceptance);
+        # pipeline_from_checkpoint fills it at head discovery, /stats
+        # surfaces it (VERDICT r4 #5)
+        self.medusa_probe = medusa_heads.get("probe") \
+            if isinstance(medusa_heads, dict) else None
         self.full_gm = full_gm
         self.render_audio = render_audio
         # use_cache=False serves through the uncached O(T^2) re-encode path
@@ -617,6 +622,7 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     # inside the first medusa request's jitted einsum.
     heads = None
     medusa_unavailable = None
+    medusa_probe = None
     heads_path = os.path.join(path, "medusa_heads.pkl")
     if os.path.isfile(heads_path):
         if not ckpt["cfg"].causal:
@@ -625,7 +631,9 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                 "bidirectional/pos quirks; medusa requires a corrected "
                 "causal checkpoint (train --corrected)")
         else:
-            from ..tools.medusa import load_medusa_heads
+            from ..tools.medusa import (PROBE_WIN_THRESHOLD,
+                                        load_medusa_heads,
+                                        probe_heads_for_checkpoint)
 
             heads = load_medusa_heads(heads_path)
             D = ckpt["cfg"].d_model
@@ -636,6 +644,26 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                     f"d_model={w0.shape[0]}, this checkpoint is "
                     f"d_model={D}; retrain with `cli train-medusa`")
                 heads = None
+            else:
+                # Admission sanity probe (VERDICT r4 #5): acceptance is
+                # a property of the serving corpus (DESIGN §3.9) — a
+                # teacher-forced base-top-1 probe predicts tok/verify
+                # at head-train time (stored in the pkl) or, for older
+                # pickles, from one forward over scheme-matched rows
+                # here. medusa=true stays honored (it is bit-exact and
+                # opt-in), but a losing artifact warns loudly and the
+                # probe rides /stats so operators see WHY.
+                medusa_probe = heads.get("probe")
+                if medusa_probe is None:
+                    medusa_probe = probe_heads_for_checkpoint(ckpt, heads)
+                if not medusa_probe.get("likely_win", True):
+                    print(
+                        "[serve] medusa probe: predicted "
+                        f"{medusa_probe['tok_per_verify_est']} tok/verify "
+                        f"< {PROBE_WIN_THRESHOLD} admission threshold "
+                        f"(base top-1 {medusa_probe['base_top1']}) — "
+                        "medusa=true will likely LOSE throughput on this "
+                        "checkpoint; plain decode recommended")
     if medusa_unavailable:
         print(f"[serve] medusa disabled: {medusa_unavailable}")
     if scheme == "b3":
@@ -650,6 +678,7 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
         pipe = Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
                         coalesce_opts=coalesce_opts, medusa_heads=heads)
     pipe.medusa_unavailable = medusa_unavailable
+    pipe.medusa_probe = medusa_probe
     return pipe
 
 

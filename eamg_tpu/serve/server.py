@@ -185,6 +185,12 @@ class EAMGHandler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif path == "/stats":
             out = self.stats.summary()
+            # medusa admission probe (VERDICT r4 #5): operators see the
+            # predicted tok/verify vs the verify-premium floor, i.e.
+            # whether medusa=true wins or loses on THIS checkpoint
+            probe = getattr(self.pipeline, "medusa_probe", None)
+            if probe is not None:
+                out["medusa_probe"] = probe
             batcher = getattr(self.pipeline, "batcher", None)
             if batcher is not None and hasattr(batcher, "stats"):
                 eng = {k: v for k, v in batcher.stats.items()

@@ -132,6 +132,14 @@ def train_medusa_heads(ckpt_dir: str, out_path: str,
            "n_heads": K, "ckpt": os.path.abspath(ckpt_dir),
            "final_loss": float(loss),
            "train_seconds": round(time.time() - t0, 1)}
+    # acceptance probe on HELD-OUT rows (fresh seed): travels with the
+    # artifact so serving can warn about losing medusa modes at startup
+    # without re-running a forward (VERDICT r4 #5)
+    probe_rows, _ = _corpus_for(ckpt, min(32, spec.rows), spec.seed + 1)
+    out["probe"] = probe_acceptance(
+        base, cfg, {"blocks": heads["blocks"]},
+        pad_rows(probe_rows, cfg.seq_len, vocab.pad_id), vocab.pad_id)
+    log_fn(f"[medusa] probe: {json.dumps(out['probe'])}")
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         pickle.dump(out, f)
@@ -142,8 +150,149 @@ def train_medusa_heads(ckpt_dir: str, out_path: str,
 def load_medusa_heads(path: str) -> dict:
     with open(path, "rb") as f:
         raw = pickle.load(f)
-    return {"blocks": [jax.tree.map(jnp.asarray, b)
-                       for b in raw["blocks"]]}
+    out = {"blocks": [jax.tree.map(jnp.asarray, b)
+                      for b in raw["blocks"]]}
+    if "probe" in raw:                       # acceptance probe metadata
+        out["probe"] = raw["probe"]          # (plain dict of floats)
+    return out
+
+
+# Verify-step premium floor measured on the v5e (DESIGN.md §3.9): a
+# γ=4 linear verify step costs ≥ ~1.5x a plain decode step, so heads
+# whose MEASURED tokens/verify sit under this floor LOSE throughput.
+VERIFY_PREMIUM_FLOOR = 1.5
+# Admission threshold on the PROBE's estimate. The probe's independence
+# approximation under-estimates sampled chains (acceptance is positively
+# correlated across positions): on the two shipped artifacts the probe
+# reads 1.25 (flagship a, measured 0.75-0.82x = loss) and 1.45 (b3,
+# measured 1.22-1.32x = win, 2.30 tok/verify sampled). 1.35 splits the
+# measured outcomes; recalibrate if either side is ever re-measured.
+PROBE_WIN_THRESHOLD = 1.35
+
+
+def probe_acceptance(params, cfg: GPTConfig, heads: dict,
+                     ids: np.ndarray, pad_id: int) -> dict:
+    """Teacher-forced base-top-1 + head-chain acceptance probe.
+
+    One jitted forward over corpus rows — no decode loop, no head
+    training. Estimates what a Medusa verify step would accept on this
+    distribution: at each position the greedy chain length is the
+    longest head prefix k where head_k's argmax equals the actual token
+    1+k ahead, so predicted tokens/verify ≈ 1 + E[chain]. Round 4
+    measured that acceptance is a property of the serving corpus (base
+    next-token top-1 bounds even oracle heads at ~1/(1-top1)), so this
+    probe is the cheap admission test the serving pipeline runs at
+    head-discovery time instead of silently serving a losing mode."""
+    blocks = heads["blocks"]
+    K = len(blocks)
+    ids = np.asarray(ids, np.int32)
+
+    @jax.jit
+    def _probe(ids):
+        x = ids[:, :-1]
+        h = forward_hidden(params, x, cfg)                  # [B, T, D]
+        w = params["head"]["w"]
+        b = params["head"]["b"]
+        base_logits = h.astype(jnp.float32) @ w.T + b       # [B, T, V]
+        base_pred = jnp.argmax(base_logits, axis=-1)
+        base_p = jax.nn.softmax(base_logits, axis=-1)
+        y0 = ids[:, 1:]
+        valid0 = y0 != pad_id
+        base_hits = jnp.sum((base_pred == y0) & valid0)
+        base_n = jnp.sum(valid0)
+
+        T = x.shape[1]
+        pos = jnp.arange(T)[None]
+        # positions where the FULL chain up to depth K is in-range:
+        # score chains only where head_K's target exists, so estimates
+        # are not truncation-biased near row ends
+        full = (pos < T - K) & (jnp.roll(ids, -(1 + K), axis=1)
+                                [:, :-1] != pad_id)
+        full_n = jnp.sum(full)
+        head_accs = []
+        overlaps = []
+        # chain[b, t] = 1 while every head prefix so far greedy-matched
+        chain_ok = jnp.ones(x.shape, bool)
+        chain_sum = jnp.zeros(())
+        for k, blk in enumerate(blocks, start=1):
+            hk = h + jax.nn.silu(h @ blk["w"].T + blk["b"])
+            head_logits = hk.astype(jnp.float32) @ w.T + b
+            pred = jnp.argmax(head_logits, axis=-1)
+            y = jnp.roll(ids, -(1 + k), axis=1)[:, :-1]
+            valid = (pos < T - k) & (y != pad_id)
+            hit = (pred == y) & valid
+            head_accs.append((jnp.sum(hit), jnp.sum(valid)))
+            chain_ok = chain_ok & hit
+            chain_sum = chain_sum + jnp.sum(chain_ok & full)
+            # sampled-mode Leviathan acceptance for head k: proposal
+            # q=head_k at position t is verified against the base dist
+            # at t+k (teacher-forced stand-in for the verify pass);
+            # E[accept] = sum_y min(p(y), q(y))
+            q = jax.nn.softmax(head_logits, axis=-1)
+            p_shift = jnp.roll(base_p, -k, axis=1)
+            ov = jnp.sum(jnp.minimum(p_shift, q), axis=-1)  # [B, T]
+            overlaps.append(jnp.sum(jnp.where(full, ov, 0.0)))
+        return base_hits, base_n, head_accs, chain_sum, full_n, overlaps
+
+    # chunk rows through one compiled program: the probe materializes
+    # [chunk, T, V] f32 softmaxes (x2), so bound the live footprint
+    chunk = max(1, min(8, ids.shape[0]))
+    ids = ids[:(ids.shape[0] // chunk) * chunk]
+    base_hits = base_n = chain_sum = full_n = 0.0
+    head_hits = np.zeros(K)
+    head_ns = np.zeros(K)
+    ov_sums = np.zeros(K)
+    for s in range(0, ids.shape[0], chunk):
+        bh, bn, ha, cs, fn, ovs = _probe(jnp.asarray(ids[s:s + chunk]))
+        base_hits += float(bh); base_n += float(bn)
+        chain_sum += float(cs); full_n += float(fn)
+        for i, (hh, hn) in enumerate(ha):
+            head_hits[i] += float(hh); head_ns[i] += float(hn)
+        for i, ov in enumerate(ovs):
+            ov_sums[i] += float(ov)
+
+    base_top1 = base_hits / max(base_n, 1.0)
+    tpv_greedy = 1.0 + chain_sum / max(full_n, 1.0)
+    # sampled chain: E[len] = sum_j prod_{k<=j} a_k with a_k the mean
+    # Leviathan acceptance of head k (independence approximation)
+    accs = ov_sums / max(full_n, 1.0)
+    run = 1.0
+    tpv_sampled = 1.0
+    for a in accs:
+        run *= float(a)
+        tpv_sampled += run
+    # serving medusa is the sampled mode; admission keys off it (the
+    # greedy estimate is reported alongside — it matched the measured
+    # greedy tok/verify within 2% on both demo artifacts)
+    tpv = tpv_sampled
+    return {
+        "base_top1": round(base_top1, 4),
+        "head_top1": [round(h / max(n, 1.0), 4)
+                      for h, n in zip(head_hits, head_ns)],
+        "head_accept_sampled": [round(float(a), 4) for a in accs],
+        "tok_per_verify_est": round(tpv, 3),
+        "tok_per_verify_greedy_est": round(tpv_greedy, 3),
+        # oracle ceiling from base predictability alone (§3.9 addendum)
+        "oracle_tok_per_verify": round(1.0 / max(1.0 - base_top1, 1e-3),
+                                       2),
+        "verify_premium_floor": VERIFY_PREMIUM_FLOOR,
+        "probe_win_threshold": PROBE_WIN_THRESHOLD,
+        "likely_win": bool(tpv >= PROBE_WIN_THRESHOLD),
+        "rows": int(ids.shape[0]),
+    }
+
+
+def probe_heads_for_checkpoint(ckpt: dict, heads: dict, rows: int = 24,
+                               seed: int = 98765) -> dict:
+    """Run probe_acceptance on fresh scheme-matched synthetic rows (the
+    demo checkpoints' serving distribution; held out from head training
+    by seed). Used by the pipeline when a heads pickle predates probe
+    metadata."""
+    cfg: GPTConfig = ckpt["cfg"]
+    encoded, vocab = _corpus_for(ckpt, rows, seed)
+    ids = pad_rows(encoded, cfg.seq_len, vocab.pad_id)
+    params = jax.tree.map(jnp.asarray, ckpt["params"])
+    return probe_acceptance(params, cfg, heads, ids, vocab.pad_id)
 
 
 def measure(ckpt_dir: str, heads_path: str, max_len: int = 256,

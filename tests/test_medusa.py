@@ -214,3 +214,23 @@ def test_trained_heads_accept_multiple_tokens(tmp_path):
     assert np.asarray(got).tolist() == np.asarray(ref).tolist()
     tokens_per_verify = (int(pos) - 3) / int(n_steps)
     assert tokens_per_verify > 1.5, tokens_per_verify
+
+    # the admission probe (VERDICT r4 #5) must agree with the measured
+    # win: teacher-forced estimate clears the calibrated threshold on
+    # trained heads, and train_medusa_heads baked the probe into the pkl
+    from eamg_tpu.tools.medusa import probe_acceptance
+
+    ids = np.zeros((16, cfg.seq_len), np.int32)
+    for i, r in enumerate(rows[:16]):
+        ids[i, :len(r)] = r
+    probe = probe_acceptance(trainer.params, cfg, heads, ids, pad_id=0)
+    assert probe["likely_win"], probe
+    assert probe["tok_per_verify_est"] > 1.5, probe
+    assert 0.9 < probe["base_top1"] <= 1.0, probe   # cyclic = predictable
+    assert out["probe"]["tok_per_verify_est"] >= 1.0  # pkl metadata
+
+    # deliberately wrong heads read as a loss
+    bad = probe_acceptance(trainer.params, cfg, random_heads(cfg, 3),
+                           ids, pad_id=0)
+    assert not bad["likely_win"], bad
+    assert bad["tok_per_verify_est"] < probe["tok_per_verify_est"]

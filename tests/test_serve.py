@@ -692,6 +692,78 @@ def test_medusa_heads_mismatch_disabled_at_startup(tmp_path):
         pipe.generate("happy", seed=1, render_audio=False, medusa=True)
 
 
+def test_medusa_probe_at_discovery_and_in_stats(tmp_path, capsys):
+    """The admission sanity probe (VERDICT r4 #5): head discovery runs
+    (or reads) a teacher-forced acceptance probe, a losing artifact
+    warns at startup, and the probe rides GET /stats so operators see
+    whether medusa=true wins on THIS checkpoint."""
+    import os
+    import pickle
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from eamg_tpu.emotion import EmotionClassifier
+    from eamg_tpu.models import GPTConfig, init_params
+    from eamg_tpu.serve.pipeline import pipeline_from_checkpoint
+    from eamg_tpu.tokenizer import SchemeB3
+    from eamg_tpu.utils.checkpoint import save_checkpoint
+
+    b3 = SchemeB3(seq_len=48)
+    lex = EmotionClassifier(backend="lexicon")
+    cfg = GPTConfig(vocab_size=len(b3.vocab), seq_len=48, d_model=32,
+                    n_head=2, n_layer=1, pos_rows=48, causal=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    d = tmp_path / "probed"
+    save_checkpoint(str(d), params, b3.vocab.tok2id, cfg)
+    blocks = [{"w": np.zeros((32, 32), np.float32),
+               "b": np.zeros((32,), np.float32)} for _ in range(2)]
+
+    # (a) pkl WITH baked probe metadata: used verbatim, no recompute
+    baked = {"base_top1": 0.5, "head_top1": [0.1, 0.1],
+             "tok_per_verify_est": 1.01, "probe_win_threshold": 1.35,
+             "likely_win": False, "rows": 99}
+    with open(d / "medusa_heads.pkl", "wb") as f:
+        pickle.dump({"blocks": blocks, "probe": baked}, f)
+    pipe = pipeline_from_checkpoint(str(d), classifier=lex)
+    assert pipe.medusa_probe == baked
+    assert "LOSE throughput" in capsys.readouterr().out
+
+    # it rides /stats
+    srv = make_server(pipe, "127.0.0.1", 0)
+    serve_forever_in_thread(srv)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["medusa_probe"] == baked
+    finally:
+        srv.shutdown()
+
+    # (b) legacy pkl WITHOUT metadata: probe computed at discovery.
+    # Note zero heads would NOT read as a loss here — they propose the
+    # base's own (near-flat, random-init) distribution, which Leviathan
+    # accepts at the overlap rate — so use large random heads: sharply
+    # peaked on WRONG tokens, overlap ~0, a genuine predicted loss.
+    rng = np.random.default_rng(0)
+    bad_blocks = [{"w": rng.normal(0, 3.0, (32, 32)).astype(np.float32),
+                   "b": rng.normal(0, 3.0, 32).astype(np.float32)}
+                  for _ in range(2)]
+    with open(d / "medusa_heads.pkl", "wb") as f:
+        pickle.dump({"blocks": bad_blocks}, f)
+    pipe = pipeline_from_checkpoint(str(d), classifier=lex)
+    probe = pipe.medusa_probe
+    assert probe is not None and not probe["likely_win"]
+    assert set(probe) >= {"base_top1", "head_top1", "tok_per_verify_est",
+                          "likely_win"}
+    assert "medusa probe" in capsys.readouterr().out
+    # medusa=true stays HONORED (bit-exact, opt-in) — probe warns only
+    res = pipe.generate("a happy tune", seed=3, render_audio=False,
+                        medusa=True)
+    assert res.midi_bytes[:4] == b"MThd"
+
+
 def test_packaged_demo_medusa_heads_discovered():
     """pipeline_from_checkpoint auto-discovers the shipped
     medusa_heads.pkl next to each demo checkpoint (skip when the demo
