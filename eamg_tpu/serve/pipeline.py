@@ -140,7 +140,8 @@ class Pipeline:
                             penalties: tuple | None = None,
                             no_repeat_ngram: int = 0,
                             grammar: bool = False, lookup: bool = False,
-                            medusa: bool = False):
+                            medusa: bool = False, beams: int = 0,
+                            length_penalty: float = 1.0):
         """mapping -> (gen_prompt, tokens, song, dropped): prompt assembly,
         compiled decode, detokenized MidiSong — shared by single-shot and
         multi-section generation.
@@ -162,6 +163,20 @@ class Pipeline:
         if lookup and medusa:
             raise ValueError("lookup and medusa are mutually exclusive "
                              "speculation modes")
+        if beams:
+            # deterministic argmax-tree search (VERDICT r4 #8: exposed
+            # over HTTP; solo decode — beams never ride the batchers).
+            # Same composition rules as `cli generate --beams`:
+            # penalties/ngram are sampling-path features; grammar and
+            # the seed-independent determinism compose fine.
+            if penalties is not None or no_repeat_ngram:
+                raise ValueError(
+                    "beams is a deterministic argmax-tree search; "
+                    "penalties/n-gram transforms are sampling-path "
+                    "features (grammar composes)")
+            if lookup or medusa:
+                raise ValueError("beams does not compose with the "
+                                 "speculation modes (lookup/medusa)")
         if medusa and self.medusa_heads is None:
             raise ValueError(getattr(self, "medusa_unavailable", None) or (
                 "this serving checkpoint ships no Medusa heads "
@@ -183,7 +198,11 @@ class Pipeline:
             prompt_ids = self.scheme_b.control_prefix(mapping["bpm"],
                                                       mapping["key"])
             gen_prompt = self.scheme_b.vocab.decode(prompt_ids)
-            if spec_fn is not None:
+            if beams:
+                ids = self.generator.generate_ids_beam(
+                    prompt_ids, n_beams=beams,
+                    length_penalty=length_penalty, grammar=gram)
+            elif spec_fn is not None:
                 ids = spec_fn(prompt_ids, temperature=temperature,
                               top_k=top_k, seed=run_seed, top_p=top_p,
                               min_p=min_p)[0]
@@ -205,6 +224,11 @@ class Pipeline:
         known = [t for t in gen_prompt if t in self.generator.vocab]
         dropped = [t for t in gen_prompt if t not in self.generator.vocab]
         gen_prompt = known
+        if beams:
+            tokens = self.generator.sample_beam(
+                gen_prompt, n_beams=beams, length_penalty=length_penalty,
+                grammar=gram)
+            return gen_prompt, tokens, tokens_to_song(tokens), dropped
         if spec_fn is not None:
             # medusa requests JOIN the continuous engine when it carries
             # the heads (per-row speculation, serve/continuous.py
@@ -263,7 +287,8 @@ class Pipeline:
                  no_repeat_ngram: int = 0,
                  grammar: bool = False,
                  lookup: bool = False,
-                 medusa: bool = False) -> GenerationResult:
+                 medusa: bool = False, beams: int = 0,
+                 length_penalty: float = 1.0) -> GenerationResult:
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
 
@@ -280,7 +305,8 @@ class Pipeline:
             int(time.time_ns() % 2**31)
         gen_prompt, tokens, song, dropped = self._decode_for_mapping(
             mapping, temperature, top_k, run_seed, top_p, min_p,
-            penalties, no_repeat_ngram, grammar, lookup, medusa)
+            penalties, no_repeat_ngram, grammar, lookup, medusa,
+            beams=beams, length_penalty=length_penalty)
         timings["decode"] = (time.perf_counter() - t0) * 1000
 
         t0 = time.perf_counter()
@@ -314,7 +340,9 @@ class Pipeline:
                           no_repeat_ngram: int = 0,
                           grammar: bool = False,
                           lookup: bool = False,
-                          medusa: bool = False) -> GenerationResult:
+                          medusa: bool = False, beams: int = 0,
+                          length_penalty: float = 1.0
+                          ) -> GenerationResult:
         """Emotion-ADAPTIVE generation: each sentence of the prompt is
         classified separately (the reference's analyze_emotion_transitions,
         inference.py:83-94, which it marked 'not done yet' and never
@@ -333,7 +361,8 @@ class Pipeline:
                                  min_p=min_p, penalties=penalties,
                                  no_repeat_ngram=no_repeat_ngram,
                                  grammar=grammar, lookup=lookup,
-                                 medusa=medusa)
+                                 medusa=medusa, beams=beams,
+                                 length_penalty=length_penalty)
         render = self.render_audio if render_audio is None else render_audio
         timings = {}
         t_all = time.perf_counter()
@@ -351,7 +380,8 @@ class Pipeline:
                 int(time.time_ns() % 2**31)
             gp, tokens, song, drop = self._decode_for_mapping(
                 mapping, temperature, top_k, run_seed, top_p, min_p,
-                penalties, no_repeat_ngram, grammar, lookup, medusa)
+                penalties, no_repeat_ngram, grammar, lookup, medusa,
+                beams=beams, length_penalty=length_penalty)
             labels.append(label)
             mappings.append(mapping)
             all_tokens.extend(tokens)

@@ -312,6 +312,13 @@ class EAMGHandler(BaseHTTPRequestHandler):
                     no_repeat_ngram=_parse_ngram(fields),
                     grammar=_parse_grammar(fields),
                     seed=_num(fields, "seed", None, int))
+                # deterministic beam search (VERDICT r4 #8): solo decode,
+                # 0 = off; length_penalty only meaningful with beams
+                beams = _num(fields, "beams", 0, int)
+                length_penalty = _num(fields, "length_penalty", 1.0,
+                                      float)
+                if beams < 0 or beams > 16:
+                    raise ValueError("beams must be in [0, 16]")
             except ValueError as exc:
                 self._json(422, {"error": str(exc)})
                 return
@@ -322,6 +329,11 @@ class EAMGHandler(BaseHTTPRequestHandler):
             if lookup and stream:
                 self._json(422, {"error": "lookup does not stream yet "
                                           "(whole-block speculation)"})
+                return
+            if beams and stream:
+                self._json(422, {"error": "beams is a whole-block "
+                                          "deterministic search; it does "
+                                          "not stream"})
                 return
             if stream:
                 if medusa and (sampling["penalties"] is not None
@@ -346,7 +358,8 @@ class EAMGHandler(BaseHTTPRequestHandler):
             try:
                 result = gen_fn(
                     prompt, render_audio=fmt == "wav", lookup=lookup,
-                    medusa=medusa, **sampling)
+                    medusa=medusa, beams=beams,
+                    length_penalty=length_penalty, **sampling)
             except ValueError as exc:
                 # invalid request composition (e.g. lookup + grammar,
                 # medusa without shipped heads, or speculation on a

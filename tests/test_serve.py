@@ -400,6 +400,44 @@ def test_http_min_p_field(server):
     assert a != base
 
 
+def test_http_beams_field(server):
+    """beams/length_penalty form fields (VERDICT r4 #8): deterministic
+    argmax-tree search over HTTP — identical bytes across repeats,
+    differs from the sampled stream, rejects sampling-path transforms
+    and streaming with a 422 (never a 500)."""
+    import urllib.error
+
+    base = _post_form(f"{server}/generate?format=midi",
+                      {"prompt": "so sad and lonely", "seed": "3"}).read()
+    a = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "3",
+                    "beams": "3"}).read()
+    b = _post_form(f"{server}/generate?format=midi",
+                   {"prompt": "so sad and lonely", "seed": "3",
+                    "beams": "3", "length_penalty": "1.0"}).read()
+    assert a[:4] == b"MThd"
+    assert a == b          # deterministic: beams ignore the sampling rng
+    assert a != base
+
+    def status_of(fields, qs=""):
+        try:
+            return _post_form(f"{server}/generate{qs}", fields).status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    combos = [
+        ({"prompt": "sad", "beams": "3", "repetition_penalty": "1.3"}, ""),
+        ({"prompt": "sad", "beams": "3", "no_repeat_ngram": "2"}, ""),
+        ({"prompt": "sad", "beams": "3", "lookup": "true"}, ""),
+        ({"prompt": "sad", "beams": "3", "stream": "1"}, ""),
+        ({"prompt": "sad", "beams": "-1"}, ""),
+        ({"prompt": "sad", "beams": "99"}, ""),
+        ({"prompt": "sad", "beams": "nope"}, ""),
+    ]
+    for fields, qs in combos:
+        assert status_of(fields, qs) == 422, fields
+
+
 def test_http_penalty_fields(server):
     """repetition/frequency/presence penalty form fields: deterministic
     per seed, differ from the unpenalized stream, and the neutral values
