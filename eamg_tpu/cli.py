@@ -397,12 +397,14 @@ def cmd_train_demo_a(args):
         spec = flagship_spec(seed=args.seed)
         over = {k: v for k, v in
                 [("epochs", args.epochs), ("rows", args.rows),
-                 ("heldout_rows", args.heldout_rows)] if v is not None}
+                 ("heldout_rows", args.heldout_rows),
+                 ("kv_heads", args.kv_heads)] if v is not None}
         spec = dataclasses.replace(spec, **over)
     else:
         spec = DemoASpec(rows=args.rows or 12000,
                          heldout_rows=args.heldout_rows or 400,
-                         epochs=args.epochs or 8, seed=args.seed)
+                         epochs=args.epochs or 8, seed=args.seed,
+                         kv_heads=args.kv_heads)
     metrics = train_demo_a(args.out, spec=spec)
     print(json.dumps(metrics))
 
@@ -743,6 +745,10 @@ def main(argv=None):
                     help="flagship = the reference product geometry "
                          "(d512 h8 L6 seq512, api_cache.py:36 + paper "
                          "Table 5) on ~480-token grid songs")
+    da.add_argument("--kv-heads", type=int, default=None,
+                    help="train GQA natively with this many K/V heads "
+                         "(decode-latency lever, DESIGN §3.7; demos are "
+                         "corrected-mode so parity permits it)")
     da.set_defaults(fn=cmd_train_demo_a)
 
     di = sub.add_parser("distill-emotion",

@@ -1024,16 +1024,16 @@ _SITUATIONS: dict[str, list[str]] = {
         "the neighbor's sprinkler soaks our mail slot every morning at six",
     ],
     "approval": [
-        "moving the {event} indoors before the rain was exactly the right call",
+        "moving the {event} indoors before the rain saved the whole afternoon, well judged",
         "paying the volunteers' travel out of the surplus is how it should be done",
         "the council finally paved the school route before winter, good on them",
         "letting {person} run the project after all that work makes complete sense",
         "closing the street for the saturday market was a smart move",
-        "the new rule that meetings end at noon has my full support",
+        "the new rule that meetings end at noon is one i'd defend to anyone",
         "giving the bonus to the night crew first was the fair way round",
         "the judges scored it exactly as it was skated",
         "putting benches along the river path was money well spent",
-        "promoting from inside the team this time was the right decision",
+        "promoting from inside the team this time is how you keep good people",
     ],
     "caring": [
         "i packed an extra sandwich in case {person} forgets lunch again",
@@ -1098,7 +1098,7 @@ _SITUATIONS: dict[str, list[str]] = {
     "disapproval": [
         "charging the scouts rent for the community hall is not what that hall is for",
         "they replaced the crossing guard with a sign and call it a saving",
-        "auctioning the school instruments to fix the car park sends the wrong message",
+        "auctioning the school instruments to fix the car park tells you everything about their priorities",
         "{person} takes credit for the night crew's numbers and nobody upstairs blinks",
         "printing the notice only in legal jargon was a choice, and a poor one",
         "the landlord counts the garden tap as a utility now, which should not stand",
@@ -1243,7 +1243,7 @@ _SITUATIONS: dict[str, list[str]] = {
         "the plant kept dying because the window faces north, not west",
         "all these years the code was the street number read backwards",
         "the bus was never late, the station clock runs fast",
-        "i finally see why grandpa always planted the beans by the fence",
+        "after one windy spring i understand grandpa planting the beans by the fence",
         "the draft was coming from the cellar, not the windows, all along",
         "she laughed at my jokes because she needed the wifi password",
         "the recipe says cups and i have been using mugs since college",
@@ -1361,14 +1361,14 @@ _SITUATIONS2: dict[str, list[str]] = {
         "the update moved every button i had finally memorized",
     ],
     "approval": [
-        "keeping the pool open an extra month was the right use of the surplus",
+        "keeping the pool open an extra month is what a surplus is for",
         "the school swapping detention for garden duty is working, you can tell",
         "rotating who chairs the meeting keeps everyone honest, smart system",
-        "the landlord fixing the roof before the facade shows the right priorities",
-        "they listened to the drivers and moved the stop twenty meters, exactly right",
+        "the landlord fixing the roof before the facade has his priorities straight",
+        "they listened to the drivers and moved the stop twenty meters, as it should be",
         "giving the rookies first pick of shifts this season was fair",
         "the festival hiring local crews again is how it ought to work",
-        "the new quiet hours after nine strike the right balance",
+        "the new quiet hours after nine land where they should",
     ],
     "caring": [
         "i wrote the doctor's questions on a card so {person} won't have to remember them",
@@ -1650,10 +1650,10 @@ _SITUATIONS3: dict[str, list[str]] = {
         "free swim lessons for the river town kids is exactly where the grant belonged",
         "the chef sourcing from the street market keeps the money on our block, well done",
         "they finally let the night shift pick the radio station, about time and fair",
-        "the city turning the old rail line into a path was the right call",
+        "the city turning the old rail line into a path is the best thing it's done in years",
         "posting the kitchen inspection scores on the door keeps everyone honest",
-        "the league moving kickoff past the heat of the day was sensible",
-        "giving the apprentices real tools instead of scrap was the right investment",
+        "the league moving kickoff past the heat of the day was overdue common sense",
+        "giving the apprentices real tools instead of scrap is an investment that will pay for itself",
         "the museum's pay what you can tuesday is how it should work",
     ],
     "caring": [
@@ -1680,7 +1680,7 @@ _SITUATIONS3: dict[str, list[str]] = {
         "the antique clock chimes thirteen once a month and i'm charting it",
         "someone waters the flowers on the roundabout at night and nobody knows who",
         "the secondhand jacket came with a ticket stub from a country i can't place",
-        "the basement of the library is colder than the freezer and i want to know why",
+        "the basement of the library is colder than the freezer and nobody's answer matches",
         "the same song plays from the empty bandstand every equinox",
         "how the bakery gets the layers that thin is my current obsession",
         "the neighbor's chimney smokes only when it rains",
@@ -1935,13 +1935,13 @@ _SITUATIONS4: dict[str, list[str]] = {
         "the parking app charges a convenience fee larger than the parking",
     ],
     "approval": [
-        "the ferry adding a dawn run for the hospital shift was long overdue and exactly right",
-        "the league made the visors mandatory after one season of close calls, sensible",
-        "letting the kids design the new playground themselves was the correct call",
+        "the ferry adding a dawn run for the hospital shift was long overdue, credit where due",
+        "the league made the visors mandatory after one season of close calls, a sound rule",
+        "letting the kids design the new playground themselves was the smartest thing the school has done",
         "the landlord put the rent increase toward the elevator fix first, as it should be",
         "the festival hired the cleanup crew from the shelter program, that's how you do it",
         "the school bus route now loops past the farm kids first, fair at last",
-        "the clinic keeping one walk in slot every hour is policy done right",
+        "the clinic keeping one walk in slot every hour is the kind of policy other clinics should copy",
         "putting the defibrillator by the pitch instead of in the office was the smart move",
     ],
     "caring": [
@@ -2466,13 +2466,590 @@ _SITUATIONS5: dict[str, list[str]] = {
 }
 
 
+# Banks 6-7 (round 5, VERDICT r4 #2): the r4 saturation study proved
+# distinct hand EVENT FRAMES are the binding lever for schema
+# abstraction (surface multiplication measured negative) — these add
+# 16 genuinely new frames/label in fresh domains (airport, courtroom,
+# farms, backstage, construction, print, observatory, vineyard, chess,
+# aquarium, radio, mountain hut...). Authoring discipline: no feeling
+# words, no OWN-label cue forms (situation_own_cue lint == 0), no
+# other-label forms (situation_crosstalk).
+_SITUATIONS6: dict[str, list[str]] = {
+    "admiration": [
+        "the crane operator set the church bell through the tower slot with a hand's width to spare",
+        "the old keeper called the swarm back into the hive with a tap on the box",
+        "{person} recited the entire timetable from memory when the boards went down",
+        "the ferryman read the sandbar by the color of the water and never slowed",
+        "the seamstress matched the missing button from a drawer of thousands on the first try",
+        "the stonemason cut the replacement step by eye and it sat flush first time",
+        "the controller talked the student pilot down through the fog like a bedtime story",
+        "the goalkeeper saved three penalties on a pulled hamstring and gave the gloves to a kid after",
+    ],
+    "amusement": [
+        "the mayor's speech notes blew into the fountain and he auctioned the soggy pages on the spot",
+        "the parrot at the garden center has learned the checkout beep and runs the place into chaos",
+        "the wedding drone landed in the soup at the head table, live on the big screen",
+        "the gym's motivational poster fell on the treadmill's emergency stop, mid sprint",
+        "our cat brought home a neighbor's toupee and will not name her sources",
+        "the marching band missed the exit and played the full set in the supermarket car park",
+        "the lecturer's slides were replaced by his daughter's birthday photos, he presented them anyway, with citations",
+        "the sausage dog race ended with every dog asleep at the start line except one going backwards",
+    ],
+    "anger": [
+        "the moving company delivered my boxes to another city and billed me for the detour",
+        "the landlord painted over the mold the morning of the inspection and blamed my kettle",
+        "the tow truck took my car from my own driveway over a permit that expired while i was deployed",
+        "the airline rebooked the flight to my grandmother's service to the day after and offered points",
+        "{person} returned my car with the tank empty and a parking fine in the glovebox, unmentioned",
+        "the insurer signed off on the surgery, then reversed it the night before, by text",
+        "the contractor cashed the deposit and his number now belongs to a pizzeria",
+        "the referee gave the penalty after watching the replay that shows the dive",
+    ],
+    "annoyance": [
+        "the hotel hair dryer shuts off every forty seconds and resets to cold",
+        "the car's seatbelt chime goes off for the groceries on the passenger seat",
+        "the new doors open outward into the only hallway with traffic",
+        "my locker combination works on the third try, every day, any weather",
+        "the streaming app forgets my episode but remembers every ad",
+        "the conference badge lanyard flips backwards every time i sit down",
+        "the {object} manual is four languages and none of them include the error codes",
+        "the ticket machine takes exact change only and the change machine is out of order",
+    ],
+    "approval": [
+        "the library scrapping late fines for children has already filled the reading room",
+        "the depot letting the drivers set the winter rota themselves cut the no-shows to none",
+        "the club capping away ticket prices for pensioners is the best rule they've written",
+        "the firm moving the bonus pool from the partners to the juniors took guts and was overdue",
+        "the school serving breakfast before the exams is the cheapest good decision in the budget",
+        "the marina reserving the first row for the working boats keeps the place honest",
+        "the festival paying its performers before its consultants tells you who runs it well",
+        "the town replanting the storm-felled avenue with the same oaks was worth every penny",
+    ],
+    "caring": [
+        "i keep a folding stool in the van for when grandma queues at the market",
+        "i sort {person}'s pills into the weekly box every sunday night and double check thursday",
+        "we moved the tv to the ground floor the week his hip started",
+        "i text the teacher a heads up on days the twins skip breakfast",
+        "i oil the gate hinge so the night feeds don't wake the house",
+        "i learned the signs for 'warm enough' and 'tired' before the new cousin visited",
+        "i put her inhaler in every coat pocket we own, labeled and dated",
+        "i walk the dog past the nursing home window at two because that's when he's at the glass",
+    ],
+    "confusion": [
+        "the elevator buttons renumbered overnight and the fourth floor is now called two",
+        "my key opens the neighbor's mailbox and mine opens nothing",
+        "the recipe doubles the flour in step one and halves 'the mixture' in a step that never made any",
+        "the gate agent called my row, then my name, then a flight i wasn't on",
+        "the thermostat reads three different numbers on the dial, the app, and the wall",
+        "the form asks for my arrival date in a field that only accepts weekdays",
+        "both referees blew at once and pointed in opposite directions, play continued",
+        "the map's you-are-here arrow is in the lake",
+    ],
+    "curiosity": [
+        "the hardware store's back shelf is labeled in a handwriting that changes mid-word and i keep going back",
+        "there's a door in the underpass painted to match the concrete, hinges oiled",
+        "the church clock runs four minutes fast except on market days, i've been keeping a log",
+        "every atlas in the school library has the same page corner folded",
+        "the antique desk has a drawer that measures shorter inside than out, i brought a ruler the second time",
+        "the station announcer pronounces one village name unlike anyone alive, i've started collecting recordings",
+        "the old hotel's room numbers skip thirteen and also twenty-two, the porter just smiled",
+        "the tide leaves the same circle of stones every spring, i've marked them with chalk this year",
+    ],
+    "desire": [
+        "the dive shop's liveaboard calendar is my browser's home page now",
+        "i price the camper van every payday and every payday it's a month further off",
+        "i've walked past the luthier's window so often he waves me in to watch",
+        "the allotment list says four years, i've had the seed order drafted for two",
+        "i keep the brochure for the canal boat license in the glovebox",
+        "the house with the wraparound porch came up for rent again and i did the math twice at lunch",
+        "i've saved the pottery wheel to three different carts under three different names",
+        "the night school's welding course fills in an hour each term, i've set an alarm for enrollment day",
+    ],
+    "disappointment": [
+        "the meteor shower peaked behind the one cloud in the county, over our field",
+        "the bakery sold the last {event} cake slot the hour before i called",
+        "the giant marrow split on the way to the weigh in, in sight of the tent",
+        "the job came down to two of us and the email opened with 'we were impressed'",
+        "the reunion fell on the one weekend my shift can't be swapped",
+        "the signed first edition arrived water damaged and the seller's shop closed friday",
+        "the trail to the falls was rerouted past the quarry this season, the falls are off limits",
+        "the model kit was missing the one sprue the box art is all about",
+    ],
+    "disapproval": [
+        "the museum charging for the cloakroom while cutting the free school visits says where the board's heads are",
+        "the team flew business while the academy bake sale paid for the kids' kits",
+        "the council mowed the wildflower verge the week before the butterfly count",
+        "the publisher cropped the translator's name off the cover at the reprint",
+        "the gym locked the water fountain behind the premium turnstile",
+        "the charity gala spent more on the ice sculpture than the cause, the program says so in small print",
+        "the airline boarded the band's instruments into the rain while the golf bags went under cover",
+        "the school named the library after the donor who closed the town's bookshop",
+    ],
+    "disgust": [
+        "the buffet's sneeze guard is propped open with the serving spoon",
+        "the landlord's 'deep clean' was an air freshener zip-tied to the radiator",
+        "the fishmonger swept the morning's display ice back over the afternoon fillets",
+        "the gym towels and the floor mops share a dryer, i saw the load go in",
+        "the kebab was yesterday's, re-skewered, the skewer still had tuesday's tag",
+        "the daycare's sandbox doubles as the neighborhood cats' favorite stop and the lid is 'being ordered'",
+        "the soda gun at the bar dripped onto the rag that wipes the glasses",
+        "the food truck's gloves came off for the cash and back on for my wrap, same pair",
+    ],
+    "embarrassment": [
+        "i pushed the pull door at the interview while the whole panel watched through the glass",
+        "my ringtone went off in the quietest part of the ceremony, it's a cartoon theme",
+        "i greeted the groom with the ex's name in the receiving line, twice",
+        "i waved back at the drive-thru camera for a full minute before the speaker crackled",
+        "my card declined for a single stamp with the whole lunch queue behind me",
+        "i rehearsed my coffee order and still asked for a 'meatball latte', the barista wrote it down",
+        "i joined the marketing team's video call and presented two slides before anyone spoke",
+        "my chair collapsed during the minute of silence at the assembly",
+    ],
+    "excitement": [
+        "the festival lineup dropped and our band is printed above the fold",
+        "the keys to the first shop are in my pocket and the sign goes up at dawn",
+        "the balloon festival accepted our crew, dawn launch, we get the striped one",
+        "the visa stamp landed this morning, the container ships in ten days",
+        "the coach posted the traveling squad and my number is on it, away end, cup night",
+        "the seeds we sent to the station sprouted in orbit, the class call is friday",
+        "the printer says the first copies of the book arrive tuesday, my name down the spine",
+        "the storm chasers took us on for the ride along, we roll at five",
+    ],
+    "fear": [
+        "the carbon monoxide alarm went off at three and won't reset",
+        "the undertow took my feet mid-sentence and the beach got small fast",
+        "headlights have matched every turn i've made for the last nine miles",
+        "the climbing rope sang a note i'd never heard and the ledge was still forty feet up",
+        "the pediatric nurse stopped halfway through a story reading the monitor and pressed the wall button",
+        "the brakes went long at the bottom of the pass with the runaway ramp a mile out",
+        "something large moved between the tents and the food was hung in the trees",
+        "the tornado siren started mid-recess and half the class was on the far field",
+    ],
+    "gratitude": [
+        "the stranger at the laundromat covered my dryer when my card failed, then left before i could turn around",
+        "our neighbors mowed our lawn all deployment and never once mentioned it",
+        "the bus driver held the last 52 at the curb while i ran the length of the square",
+        "the landlord waived the month the factory shut and said pay it forward someday",
+        "my old teacher wrote the recommendation overnight from her hospital bed",
+        "the truckers' table at the diner quietly settled our bill the night we moved with the kids",
+        "the harbor crew craned grandad's chair onto the boat so he could see the race",
+        "the blood bank called to say the rare match came from nineteen strangers in one afternoon",
+    ],
+    "grief": [
+        "mum's number still tops the favorites list and i can't make myself edit the order",
+        "the allotment committee left his plot fallow this season and planted the borders anyway",
+        "her reading glasses mark the page she stopped at and the book stays on the arm of the chair",
+        "the voicemail box is full because we keep replaying the last one and saving it again",
+        "the team retired his bib number at the season opener, his spikes are in the clubhouse case",
+        "i still reach to text him the final score every saturday at five",
+        "the piano tuner came as booked and tuned it for a house that doesn't play now",
+        "her apron still hangs on the pantry door and we cook around it",
+    ],
+    "joy": [
+        "the adoption papers cleared at nine and she wrote her new surname on every notebook by ten",
+        "the whole terrace sang the chorus back to the busker and he started it again from the top",
+        "the first olive harvest from our own trees filled two jars and we lit candles for it",
+        "the twins took their first steps at the same party, toward each other",
+        "the deaf class felt the bass drop through the floorboards and the hall turned into one big dance",
+        "the rescue dog wagged at the vacuum for the first time instead of hiding, we called everyone",
+        "the village well ran clear after the rains and the kids drank straight from their hands in their school clothes",
+        "the acceptance letter and her grandmother's birthday landed the same morning, one envelope each",
+    ],
+    "love": [
+        "he reads the last chapter aloud slower so the book lasts her one more night",
+        "she learned to drive stick in a weekend so he could nap on the mountain roads",
+        "his grocery list is in her handwriting and hers is in his",
+        "they plant a tree every year they've been married and argue gently about the order of the first three",
+        "he carries her camera bag up every hill and calls it his gym membership",
+        "she kept every boarding pass from the long distance years in the teapot they never use",
+        "he hums her shift-end song ten minutes before her key turns, the dog starts earlier",
+        "they read the menu to each other though both have glasses in their pockets",
+    ],
+    "nervousness": [
+        "the driving examiner clicked his pen four times before saying pull out when ready",
+        "my thesis defense starts in ten and the slides are refusing to load",
+        "the open mic list has two names left and mine is one of them",
+        "the surgeon said it's routine and then the consent form took four pages",
+        "the penalty is mine, the keeper is doing the line dance, the ref has the whistle up",
+        "the notary is reading our offer letter line by line and the sellers are in the next room",
+        "the results portal opens at noon and my login has failed twice already",
+        "the vet said the scan takes ten minutes and it's been forty with the door shut",
+    ],
+    "optimism": [
+        "the physio said the knee is ahead of schedule, spring training is back on the table",
+        "the night class took six enrollments today, the school says january it runs",
+        "two swallows are nesting in the new barn's eaves already, the farm is taking",
+        "the bank asked for one more document instead of saying no, we're close",
+        "the reef balls we sank last year have their first coral buds, give it five years",
+        "the café's regulars doubled since the scaffolding came down, winter might carry itself",
+        "the seedlings survived the late frost under the fleece, the orchard plan holds",
+        "her cough is down to mornings only, the doctor moved the next check a month out",
+    ],
+    "pride": [
+        "the footbridge my evening class designed is the one the council built, our names are on the plans",
+        "my daughter's code runs the scoreboard at the stadium she sold programs in",
+        "the recipe i wrote on a flour bag is printed in the firehouse cookbook, misspelling kept",
+        "our tiny choir carried the anthem alone when the power cut the organ, nobody missed a bar",
+        "the quilt from my night classes hangs in the town hall lobby under glass",
+        "my son ran his first solo service at the garage and the customer asked for him by name the next week",
+        "the hedge maze i planted twenty years ago made the regional postcard",
+        "our street's repair café fixed its thousandth kettle and the paper sent a photographer",
+    ],
+    "realization": [
+        "the 'broken' doorbell works, the chime box was unplugged behind the coats the whole time",
+        "the plant wasn't dying of thirst, the pot had no drainage hole, three years of watering backwards",
+        "the bus wasn't early all month, the town hall clock was late",
+        "the interviews kept failing because my reference's number rang at his old desk",
+        "nobody was eating the crusts because i'd been buying the seeded loaf for a house that only eats plain",
+        "the singing pipes only start when both showers run, the plumber heard it in one visit",
+        "the dog barked at the postman's bag, not the postman, the treats moved there in june",
+        "the shortcut was never shorter, it just has better trees",
+    ],
+    "relief": [
+        "the x-ray showed a sprain, the cast comes off in days not months",
+        "the missing cat was asleep in the linen cupboard the whole search, on the good towels",
+        "the brakes failing in the driveway instead of the motorway is the luck we'll take",
+        "the exam board found the missing scripts in the second van, every grade stands",
+        "the storm took the old oak exactly into the gap between the houses",
+        "my wallet was at the bakery till with the cards untouched and a note taped on",
+        "the boiler part arrived the morning of the cold snap, heat by noon",
+        "the allergy panel cleared peanuts, the birthday cake goes ahead as planned",
+    ],
+    "remorse": [
+        "i sold his comic collection in the clear out and the catalog prices say what i took from him",
+        "i taught my sister to drive with a raised voice and i hear my phrases when she teaches her son",
+        "i skipped the school play for overtime and the video shows her checking the third row",
+        "i repeated the rumor at lunch and the kitchen went quiet when she walked in",
+        "i returned the borrowed ladder broken and said nothing, he bought a new one for my next favor",
+        "i binned the drawings in the spring clean and she still asks where the horse one went",
+        "i promised the fishing trip all summer and his new rod still has the shop tag",
+        "i let the plant she left me dry out the month i was proving how busy i was",
+    ],
+    "sadness": [
+        "the school bell rang for the last time and the janitor locked doors he'd opened for forty years",
+        "the orchard went under the bypass in a week, the cider press sold for scrap",
+        "the last ferry of the season pulled out and the kiosk shutters came down behind it",
+        "the band's reunion is a livestream now, the drummer's chair stays empty",
+        "the lighthouse went automatic and the keeper's cottage is a holiday let",
+        "the bunk beds went to two different houses the weekend the family split",
+        "the choir's photo wall stops updating at 2019",
+        "the old projectionist showed the final reel to nine seats and swept up alone",
+    ],
+    "surprise": [
+        "the wall behind the wallpaper had a mural of our street painted in the forties",
+        "my carpool driver of three years turned out to be the author of the book in my bag",
+        "the company-wide email announced the merger mid-standup, both CEOs in the thread",
+        "the number i've been dialing for the bakery connects to a submarine museum, they take orders anyway",
+        "the seat i was upgraded to was next to my high school lab partner, both of us mid-sentence",
+        "the raffle i forgot entering called during dinner, first prize, the tractor",
+        "the x-ray of the donated sofa showed a wedding album sewn into the arm",
+        "the quiet intern won the national title over the weekend, we found out from the podium photo",
+    ],
+    "neutral": [
+        "the branch library swaps its displays on the first monday",
+        "the ferry sells return tickets only after nine",
+        "the gym's lap lanes switch direction on odd dates",
+        "the recycling truck runs the hill route before the flats",
+        "the bakery's seeded loaf comes out at eleven",
+        "the car park's third level is permit only on weekdays",
+        "the museum's cloakroom takes umbrellas but not cases",
+        "the night pharmacy window closes for restock at two",
+    ],
+}
+
+
+_SITUATIONS7: dict[str, list[str]] = {
+    "admiration": [
+        "the zookeeper hand-raised the rejected cub on two-hour feeds for a season and released it wild",
+        "the radio engineer kept the station on air through the flood from a rowboat with a car battery",
+        "the chess teacher played twenty boards blindfold at the fair and narrated each endgame",
+        "{person} rebuilt the tractor gearbox in a field with the manual open under a stone",
+        "the midwife delivered twins in the stalled cable car and had names suggested by the time it moved",
+        "the apprentice glassblower matched the cathedral's medieval blue on her third melt",
+        "the ranger tracked the missing scouts by bent grass alone, at night, in rain",
+        "the accompanist transposed the whole recital down a third on sight when the soprano woke up hoarse",
+    ],
+    "amusement": [
+        "the aquarium's octopus rearranges its tank overnight and the staff post before and after photos",
+        "the weather presenter's map loaded upside down and he committed to the bit for the full forecast",
+        "grandpa entered the under-12 chess open as 'age unknown' and the trophy is in his kitchen",
+        "the vineyard's scarecrow keeps being dressed by hikers, today it has a lanyard and a clipboard",
+        "the hotel piano plays itself at nine and the new guests' faces are the staff's nightly show",
+        "the guide dog trainee brought back the judge's hat instead of the dummy, tail going like a flag",
+        "the town's speed sign claps for cyclists under the limit and the peloton sprints for it",
+        "the karaoke machine scored the opera singer forty percent and the plumber ninety-eight",
+    ],
+    "anger": [
+        "the kennel misplaced our dog for two days and invoiced a late pickup fee when we collected him",
+        "the venue double-booked our reception with a trade fair and offered us the loading bay",
+        "the bank froze the account over 'unusual activity' that was my own salary, for nine days",
+        "the neighbor felled the boundary oak while we were away and stacked the logs on his side",
+        "the garage replaced parts i never authorized and is holding the car until the bill clears",
+        "my manager took the client lunch solo and submitted my research under the team's 'we'",
+        "the council's pothole crew filled the photo op end of the street and left before the school end",
+        "the delivery app marked the parcel 'handed to resident' while i watched the van not stop",
+    ],
+    "annoyance": [
+        "the smart speaker answers from the other room to questions nobody asked it",
+        "the parking app needs an update before every single payment, in the rain, at the meter",
+        "the office plant waterer skips my desk and floods the printer corner",
+        "the train's quiet coach is where the stag party found seats",
+        "my name gets a different spelling on every coffee cup, including the days i spell it out",
+        "the {object} ships with a charger that fits nothing else we own",
+        "the neighbor's wind chime has one flat pipe and the wind knows it",
+        "the survey kiosk at arrivals demands a smiley rating before the luggage belt has moved",
+    ],
+    "approval": [
+        "the observatory going dark-sky certified pulled the whole valley's lights down with it, as planned",
+        "the chess club keeping sets in every cafe on the square has the teenagers playing the pensioners",
+        "the vineyard hiring the harvest crew year-round instead of by season is how you keep craft",
+        "the station adding a staffed window back after the app-only year fixed the queue in a week",
+        "the league letting the keepers' union set the pitch standards ended the injury argument",
+        "the mill donating seconds to the housing charity beats warehousing them, everyone gains",
+        "the city's new rule that every felled street tree is replaced by two is already visible from the hill",
+        "the ferry giving islanders a residents' fare before tourist season is how the route survives",
+    ],
+    "caring": [
+        "i taped the stair edges with the glow strips before her night shifts started",
+        "i keep the visitor chair by dad's bed angled so his good eye finds the door",
+        "we batch-cook sundays so the new parents next door have a shelf in our freezer",
+        "i carry jump leads mostly for the school run mums in the cold snap",
+        "i set the group chat to ping me if grandpa's morning crossword message doesn't arrive by nine",
+        "i swapped my window seat so the first-time flyer could see the wing, and narrated the sounds",
+        "i keep the nebulizer packed in the beach bag under the towels, just in case",
+        "i drive the long route past the horses when the little one has had a rough day",
+    ],
+    "confusion": [
+        "the aquarium map shows a floor this building doesn't have and an exit into the tank",
+        "my library card works at the pool and my pool card returns books, the desk swears this is new",
+        "the wedding seating chart lists me at two tables and my plus one at neither",
+        "the update changed the save icon to a cloud and the cloud icon to a floppy disk",
+        "the conference room booked itself for a meeting titled with my name spelled backwards",
+        "the train split at the junction and both halves claimed to be the front",
+        "the pharmacy's queue ticket counts down instead of up and nobody will say from what",
+        "the hotel breakfast voucher says 'daily except mornings'",
+    ],
+    "curiosity": [
+        "the observatory dome opens for ten minutes at noon, no stars, no announcement, i've started timing it",
+        "the secondhand jacket has a theater stub from 1974 in a sewn-shut pocket, i found the lining seam",
+        "the vineyard rows all run north-south except the seventh, i've asked three pickers now",
+        "the model village includes a tiny version of the model village, i went back with a magnifier",
+        "the butcher's calendar is printed for a town that isn't on any map i can find",
+        "the night train stops two minutes at a platform with no name board, passengers never board there",
+        "the chess set in the lobby replays the same opening every morning, pieces moved overnight",
+        "the well at the farm echoes twice, the second echo is lower, i've dropped three different stones",
+    ],
+    "desire": [
+        "the observatory's volunteer rota has a waiting list and my reminder fires the minute it opens",
+        "i've test-sat every kayak in the shop and the green one knows me by now",
+        "the accordion in the pawnshop window has my reflection in it most evenings",
+        "i read the pilot license requirements on my lunch break, again, with a highlighter",
+        "the barn conversion across the valley lights up at dusk and i plan kitchens i don't own",
+        "the japanese maple at the nursery costs a month's rent and i visit it weekly anyway",
+        "i keep the sleeper-train timetable folded in my work badge",
+        "the bladesmith's waitlist opens in spring, my deposit envelope is already addressed",
+    ],
+    "disappointment": [
+        "the aurora app pinged all green the one night i'd lent the car",
+        "the chess final was decided on a clock fault ruling, our board never finished",
+        "the vineyard's frost fans failed on the one slope with our contract grapes",
+        "the venue's piano i'd practiced around turned out to be a prop, the real one left with the last owner",
+        "the limited pressing sold out while my payment page spun",
+        "the observatory's open night was clouded out for the fourth month straight, telescope never uncapped",
+        "the heirloom watch came back from the restorer keeping worse time than before",
+        "the harvest festival moved to the retail park this year, the hay bales are plastic-wrapped props",
+    ],
+    "disapproval": [
+        "the aquarium selling front-of-queue wristbands to the touch pool while school groups wait says plenty",
+        "the station replaced the waiting room benches with lean bars and calls it a refresh",
+        "the tournament seeded the sponsor's nephew into the main draw past the qualifiers",
+        "the vineyard bottled the co-op's blend under its own medal label, the growers found out at the fair",
+        "the radio station cut the local news to four minutes to fit a second ad block",
+        "the zoo's new 'conservation wing' is a gift shop with a mural",
+        "the bus company rerouted around the estate the week the fare inspectors got bonuses",
+        "the landlord counts the window boxes as 'garden access' in the new listing",
+    ],
+    "disgust": [
+        "the aquarium cafe's fish tank and the fish counter share a scoop net, i asked and they shrugged",
+        "the hostel pillowcases are rotated between beds, not washed, the cleaner told me which way",
+        "the juice bar's 'fresh mint' lives in a cup by the till where everyone's coins land",
+        "the butcher wiped the slicer with the same cloth as the floor spill and kept slicing",
+        "the festival toilets ran out friday and the queue was directed to the hedge by staff with megaphones",
+        "the vending machine sandwich's date sticker is layered three deep",
+        "the pool's footbath is greener than the pool and the lifeguard steps around it too",
+        "the hotel kettle had soup in it, the review above mine mentions the same soup",
+    ],
+    "embarrassment": [
+        "i clinked my glass for a toast at the other couple's wedding on the shared terrace",
+        "the chess clock started and i played my prepared opening on the neighbor's board",
+        "i asked the man in the museum not to touch the exhibit, he was the sculptor, restoring it",
+        "my jacket set off the store alarm both ways and the guard recognized me from tuesday",
+        "i narrated my parking into the hands-free, in detail, to the whole conference call",
+        "the observatory guide asked for questions and mine was about a smudge on the lens",
+        "i returned the neighbor's ladder at dawn with a little speech, to the house one down, they kept the croissants",
+        "my 'reply all' asked what time 'the boring one' ends, the boring one's author answered first",
+    ],
+    "excitement": [
+        "the aquarium called, the octopus eggs are hatching tonight and members can watch",
+        "the radio picked our demo for the friday drive slot, the presenter said our name twice",
+        "the observatory's new mirror arrives by crane tomorrow and we're on the rope crew",
+        "the chess invitational sent the board order and i'm on one, against the champion",
+        "the vineyard says our tiny plot's first vintage bottles thursday, labels drying on the line",
+        "the kennel confirmed the litter, we pick ours the first saturday",
+        "the expedition listed the reserve climbers and my name leads it, bags at the door",
+        "the hatch camera shows the first crack in the eagle egg and the stream counter is climbing",
+    ],
+    "fear": [
+        "the pool's deep-end drain cover came loose while the littles' class was in",
+        "the trail counter at the hut says two out, dusk in twenty minutes, wind rising",
+        "the reactor drill siren ran long past the drill window and the gates closed",
+        "the dog froze pointing at the reeds and backed up without turning",
+        "the cable car stopped mid-span and the operator's radio is all static",
+        "the school called: come now, bring his medication list",
+        "the floodwater reached the second fence post in an hour and the bridge is the low way out",
+        "the lift doors opened between floors to brick",
+    ],
+    "gratitude": [
+        "the aquarium's diver fetched the ring that slipped into the ray tank before i finished the sentence",
+        "the chess club's oldest member gave my kid his tournament set, mid-blitz, like it was nothing",
+        "the vineyard crew picked our rows first when the hail warning moved up",
+        "the radio ran grandad's shop jingle one more time on his last day of opening",
+        "the night porter walked me to the far car park under his one umbrella",
+        "the mountain hut keeper fed us from his own shelf when our food bag tore",
+        "the stranger two cars back pushed with us in work shoes and waved off the lift home",
+        "the pharmacist stayed past close to compound the dose the hospital forgot to send",
+    ],
+    "grief": [
+        "the hut's logbook still has his handwriting on the last page and climbers keep leaving that page open",
+        "the chess club's board one chair faces the window he liked and the new members don't ask",
+        "the vineyard named the seventh row after her and the pickers touch the post going in",
+        "his garden gnome wears the team scarf in derby week because someone climbs the fence to do it",
+        "the radio kept his sign-off as the midnight handover and the new host says it carefully",
+        "we still buy her brand of tea and no one in the house drinks it",
+        "the tandem hangs in the shed with both helmets on one handlebar",
+        "the aquarium annual pass renewal came addressed to both of them and i paid for two",
+    ],
+    "joy": [
+        "the whale surfaced beside the ferry on her first ever crossing and the whole deck was strangers hugging",
+        "the eagle egg hatched on the stream at dawn and the comments are one long line of exclamation marks",
+        "the village beat the rain, every bale in, and the barn dance started in work boots",
+        "the citizenship ceremony ended in a hall of forty flags and the kids ran a lap with ours",
+        "the transplant ward posted 'gone home' by his name and the nurses' station kept the balloon",
+        "the chess club's youngest made her first checkmate and the whole room replayed it on the big board",
+        "the observatory let the school stay past closing for the rings, and the bus sang the whole way back",
+        "the first pressing of our olive oil came back green-gold and the neighbors brought bread while it was still warm",
+    ],
+    "love": [
+        "he learned the constellations so her night shifts end with a message naming the sky over her car",
+        "she tapes the crossword to the fridge half-done because he likes the down clues",
+        "he walks on the traffic side of the pavement without noticing he does it",
+        "she sets two alarms, the second one is for making his thermos",
+        "their chess games have lasted forty years and the score is kept in pencil on the box lid",
+        "he saves her the crusty heel of every loaf because she once said it was the best bit",
+        "she knows which stair creaks and skips it when he sleeps off nights",
+        "they share headphones on the ferry, one ear each, same playlist for twenty years",
+    ],
+    "nervousness": [
+        "the hut's weather radio crackles at six and the forecast decides if we cross the ridge",
+        "the chess arbiter is standing at my board and my clock shows forty seconds for six moves",
+        "the tasting panel reaches our table after lunch and the cork just squeaked going in",
+        "my citizenship interview is next door's door slam away and my folder won't stay in order",
+        "the crane lifts our mirror at dawn and i signed the rigging sheet",
+        "the vet's waiting room emptied around us and the receptionist keeps not meeting my eye",
+        "the driving test resits open at nine and the page is already slowing",
+        "the solo is four bars away and the conductor just turned to me early",
+    ],
+    "optimism": [
+        "the observatory's cloud log shows the clear nights doubling since the valley went dark-sky",
+        "the chess club has more kids than chairs this term, the league is coming back",
+        "the vineyard's new rootstock shrugged off the wet spring, next year's rows are ordered",
+        "the aquarium's rescued turtle ate on her own today, the release board got a date",
+        "the radio's fund drive passed half by breakfast, the transmitter fund is real this time",
+        "the hut's spring count came back, the herd doubled through the hard winter",
+        "the landlord repointed the chimney unasked, the lease talk should go our way",
+        "the night ferry added a second sailing for summer, the island jobs are holding",
+    ],
+    "pride": [
+        "the aquarium's new tank filter runs on the pump design from my garage drawings",
+        "my student played board one for the county and used the endgame we drilled all winter",
+        "the vineyard's medal vintage is the yeast strain i isolated in the shed fridge",
+        "the radio mast on the hill stands on footings i poured thirty years ago, every storm proves them",
+        "the hut route's new cairns follow the line i flagged after the accident year, no one has gone astray since",
+        "my daughter's first forecast went out on the morning show and the fishermen trusted it",
+        "the town's chess mural is painted from the photo of our club's first season",
+        "the school orchestra tuned to my daughter's oboe tonight, first chair, first term",
+    ],
+    "realization": [
+        "the telescope wasn't drifting, the pier was settling a hair every frost, ten years of 'bad nights' explained",
+        "the chess computer wasn't cheating, the cat sleeps on the warm board and nudges the pieces",
+        "the vines on the seventh row struggle because the old well runs under it, the map was in the attic",
+        "the radio static every evening was the milking machine across the road, one brush changed and it was gone",
+        "the hut's door sticks before storms, the keeper reads it like a barometer, that's the whole trick",
+        "the missing socks were in the duvet covers all along, every wash, folded inside",
+        "the aquarium's 'shy' eel just lives in the other pipe, the tank has two and the sign names one",
+        "grandad's 'lucky' fishing spot is where the warm outflow enters the lake, the map made it obvious",
+    ],
+    "relief": [
+        "the avalanche beacon check came back all four beeping before the gate",
+        "the hut radio finally caught the party's check-in, all present, weathered in but fed",
+        "the chess team's missing minibus was at the other service station, all nine aboard, quiz ongoing",
+        "the hail stopped at the river, the assessor walked our rows and found nothing to write",
+        "the aquarium's power cut lasted four minutes, the backup pumps took it, nothing floated",
+        "my passport turned up in the hotel safe's second shelf during checkout, flight still boarding",
+        "the recall letter listed engines built after june, ours is march",
+        "the dog's limp was a thorn, out in one pull at the desk, he trotted to the car",
+    ],
+    "remorse": [
+        "i moved his chess clock to 'tidy up' before the final and it reset his settings, he played worse and said nothing",
+        "i talked over the radio interview she'd practiced for, in the car, the whole broadcast",
+        "i skipped the hut's guestbook goodbye the morning we left early and the keeper had baked for us",
+        "i pruned the seventh row my way while the old grower was at lunch, the scars are still in the bark",
+        "i let the aquarium membership lapse the month before the hatching she'd circled on the calendar",
+        "i bet against my brother's team in the office pool and won loudly",
+        "i amended her toast at the silver wedding over one date, the room remembers the date now",
+        "i used the emergency fund for the concert and the boiler chose that friday",
+    ],
+    "sadness": [
+        "the observatory's founder missed the mirror's first light by one spring",
+        "the chess column ran forty years and the paper ended it with a two-line note",
+        "the vineyard's last draft horse was retired to a field she can see the rows from",
+        "the aquarium returned the orca statue deposit, the expansion is off for good",
+        "the radio's request hour gets three calls now and the host stretches them kindly",
+        "the hut's winter room is closed this season, the path crew aged out and no one stepped in",
+        "the island school's roll dropped to four and the ferry timetable did the rest",
+        "the pier's end section is fenced off and the anglers stand where the fence starts",
+    ],
+    "surprise": [
+        "the observatory's archive plates showed a comet nobody logged, found by the volunteer scanning tuesdays",
+        "the chess set from the car boot sale is signed inside the box by a world champion",
+        "the vineyard dig for the new cellar hit a roman mosaic floor two spades down",
+        "the aquarium's 'plastic' plant flowered, it had been real for six years",
+        "the radio quiz caller who beat the professor was the professor's mother",
+        "the hut's left-behind box held my own glove, dropped two summers and one valley away",
+        "the ferry's new captain is the kid who sold bait on the slip twenty years back",
+        "the bridge toll collector waved us through, it was my cousin, emigrated for good a decade ago",
+    ],
+    "neutral": [
+        "the observatory's car park gate locks at midnight",
+        "the chess club meets upstairs when the hall has badminton",
+        "the vineyard shop takes card only during harvest",
+        "the aquarium's feeding rounds start at the rays",
+        "the radio transmits the shipping list twice on sundays",
+        "the hut's water tap is fifty meters down the east path",
+        "the ferry loads bicycles before cars",
+        "the launderette's big drums are token only",
+    ],
+}
+
+
 def situation_banks() -> dict[str, list[str]]:
     """label -> situation templates (no feeling words; see _SITUATIONS)."""
     for bank in (_SITUATIONS, _SITUATIONS2, _SITUATIONS3, _SITUATIONS4,
-                 _SITUATIONS5):
+                 _SITUATIONS5, _SITUATIONS6, _SITUATIONS7):
         assert set(bank) == set(ID2LABEL.values())
     return {k: _SITUATIONS[k] + _SITUATIONS2[k] + _SITUATIONS3[k]
-            + _SITUATIONS4[k] + _SITUATIONS5[k] for k in _SITUATIONS}
+            + _SITUATIONS4[k] + _SITUATIONS5[k] + _SITUATIONS6[k]
+            + _SITUATIONS7[k] for k in _SITUATIONS}
 
 
 def _fill_situation(tmpl: str, rng: random.Random) -> str:
@@ -2543,6 +3120,32 @@ def situation_crosstalk() -> list[tuple[str, str, str, str]]:
                 for p in phrases:
                     if re.search(r"\b" + re.escape(p) + r"\b", text):
                         hits.append((sit_label, tmpl, other, p))
+    return hits
+
+
+def situation_own_cue() -> list[tuple[str, str, str]]:
+    """Lint (ADVICE r3 #1 / VERDICT r4 weak #2): situation sentences
+    containing their OWN label's keyword-bank form. A situation frame is
+    supposed to teach the schema (event -> emotion); an explicit cue word
+    makes the frame's abstraction score partly cue-driven — e.g. the old
+    approval frames leaned on 'the right call'/'support'. Returns
+    (label, sentence, offending_form); tests pin this to ZERO."""
+    import re
+
+    banks = label_banks()
+    hits = []
+    for label, temps in situation_banks().items():
+        word_forms = {f for f in banks[label]
+                      if " " not in f and f.isalpha()}
+        phrase_forms = [f for f in banks[label] if " " in f]
+        for tmpl in temps:
+            text = re.sub(r"\{[a-z]+\}", " ", tmpl)
+            words = set(re.findall(r"[a-z']+", text))
+            for w in words & word_forms:
+                hits.append((label, tmpl, w))
+            for p in phrase_forms:
+                if re.search(r"\b" + re.escape(p) + r"\b", text):
+                    hits.append((label, tmpl, p))
     return hits
 
 

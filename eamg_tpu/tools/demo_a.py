@@ -61,6 +61,12 @@ class DemoASpec:
     # time-chunked CE (TrainConfig.loss_chunk) — the measured-fastest
     # train step at the flagship geometry (CLAUDE.md: 46% MFU)
     loss_chunk: int | None = None
+    # GQA: fewer K/V heads trained NATIVELY (no convert+uptrain detour).
+    # Decode attention is MXU-streaming-bound (DESIGN §3.7), so fewer KV
+    # elements is the one measured decode-latency lever; the demo models
+    # are corrected-mode, so reference bit-parity is not a constraint
+    # (VERDICT r4 #1). None = MHA.
+    kv_heads: int | None = None
 
 
 def flagship_spec(epochs: int = 24, rows: int = 24000,
@@ -128,7 +134,8 @@ def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
 
     cfg = GPTConfig(vocab_size=len(vocab), seq_len=spec.seq_len,
                     d_model=spec.d_model, n_head=spec.n_head,
-                    n_layer=spec.n_layer, causal=True, dtype="bfloat16")
+                    n_layer=spec.n_layer, causal=True, dtype="bfloat16",
+                    n_kv_heads=spec.kv_heads)
     steps_per_epoch = -(-len(encoded) // spec.micro_batch)
     tcfg = TrainConfig(lr=spec.lr, micro_batch=spec.micro_batch,
                        epochs=spec.epochs, pad_id=vocab.pad_id,
@@ -209,7 +216,8 @@ def train_demo_a(out_dir: str, spec: DemoASpec = DemoASpec(),
         "train_seconds": round(time.time() - t0, 1),
         "corpus": "grid-quantized motif-reuse (train/data.py grid_corpus)",
         "geometry": (f"d{spec.d_model} h{spec.n_head} L{spec.n_layer} "
-                     f"seq{spec.seq_len} scheme-a corrected"),
+                     f"seq{spec.seq_len} scheme-a corrected"
+                     + (f" gqa{spec.kv_heads}" if spec.kv_heads else "")),
         "note": ("held-out songs are unseen COMPOSITIONS over the shared "
                  "motif library — the quantized grid makes note strings "
                  "recur corpus-wide (real-Lakh structure, "

@@ -70,6 +70,33 @@ def test_situation_crosstalk_rate_pinned():
     assert worst[0][1] <= 5, worst
 
 
+def test_situation_own_cue_zero():
+    """ADVICE r3 #1 / VERDICT r4 weak #2: no situation frame may contain
+    its OWN label's keyword-bank form — a frame leaning on an explicit
+    cue ('the right call' in an approval frame) scores as schema
+    abstraction while being cue-driven. Fixed for banks 1-5 in round 5
+    and pinned at zero for all future banks."""
+    from eamg_tpu.emotion.distill_data import situation_own_cue
+
+    hits = situation_own_cue()
+    assert hits == [], hits[:10]
+
+
+def test_situation_banks_shape():
+    """Banks 6-7 (round 5): every label gains 16 genuinely new hand
+    event frames (the r4-proven abstraction lever); no duplicate frames
+    corpus-wide."""
+    from collections import Counter
+
+    from eamg_tpu.emotion.distill_data import situation_banks
+
+    sb = situation_banks()
+    assert all(len(v) >= 58 for v in sb.values()), {
+        k: len(v) for k, v in sb.items() if len(v) < 58}
+    all_s = [t for v in sb.values() for t in v]
+    assert [t for t, c in Counter(all_s).items() if c > 1] == []
+
+
 def test_make_corpus_deterministic():
     a = make_corpus(n_per_label=10, seed=7)
     b = make_corpus(n_per_label=10, seed=7)
