@@ -70,6 +70,7 @@ def cmd_train(args):
         geometry={"d_model": args.d_model, "n_head": args.n_head,
                   "n_layer": args.n_layer, "seq_len": args.seq_len,
                   "n_experts": args.experts,
+                  "attn_block": args.attn_block,
                   "moe_every": args.moe_every if args.experts else None})
     print(json.dumps(summary))
 
@@ -504,6 +505,10 @@ def main(argv=None):
     t.add_argument("--n-head", type=int, default=None)
     t.add_argument("--n-layer", type=int, default=None)
     t.add_argument("--seq-len", type=int, default=None)
+    t.add_argument("--attn-block", type=int, default=None,
+                   help="blockwise online-softmax training attention "
+                        "with this KV block size (VERDICT r4 #3; the "
+                        "[B,H,T,T] score tensor never materializes)")
     t.add_argument("--experts", type=int, default=None,
                    help="mixture-of-experts FFN: number of routed experts "
                         "(beyond-reference; dense when omitted)")

@@ -57,6 +57,13 @@ class GPTConfig:
     # the decode step's dominant HBM traffic — for newly-trained models;
     # reference checkpoints are always MHA.
     n_kv_heads: int | None = None
+    # Blockwise online-softmax training attention (VERDICT r4 #3): when
+    # set, attention() scans over KV blocks of this size with a running
+    # (max, denominator, accumulator) carry, so the [B, H, T, T] f32
+    # score tensor never materializes in HBM — pure XLA, autodiff
+    # through lax.scan, no pallas bwd rule needed. None = the dense
+    # score-tensor path (the numerics oracle). Grad parity tested.
+    attn_block: int | None = None
     # Mixture-of-experts FFN (None = dense, the reference arch). When set,
     # every ``moe_every``-th layer (counting from the moe_every-1-th)
     # replaces its MLP with n_experts routed experts of width d_ff each
@@ -264,6 +271,63 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
 
 
+def _blockwise_attention(q, k, v, sm_scale, causal, valid_len, block):
+    """Online-softmax attention scanned over KV blocks (pure XLA).
+
+    Never materializes the [B, H, T, T_k] f32 score tensor — each scan
+    step computes one [B, H, T, block] score slab and folds it into a
+    running (row max, denominator, weighted-value accumulator) carry,
+    the flash-attention recurrence. Autodiff flows through lax.scan, so
+    training needs no custom bwd rule (the two documented pallas
+    blockers — no bwd rule + pathological remote compiles — don't
+    apply). Numerics match the dense path to f32-association tolerance;
+    grad parity is pinned in tests/test_ops.py."""
+    B, H, T, Dh = q.shape
+    Hkv = v.shape[1]
+    T_k = k.shape[2]
+    nb = -(-T_k // block)
+    pad = nb * block - T_k
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # [nb, B, Hkv, block, Dh] scan operands
+    kb = k.reshape(B, Hkv, nb, block, Dh).transpose(2, 0, 1, 3, 4)
+    vb = v.reshape(B, Hkv, nb, block, Dh).transpose(2, 0, 1, 3, 4)
+    starts = jnp.arange(nb) * block
+    qg = q.reshape(B, Hkv, H // Hkv, T, Dh)
+    rows = jnp.arange(T)[:, None]                       # [T, 1]
+
+    def body(carry, inp):
+        m, l, acc = carry
+        kblk, vblk, base = inp
+        s = jnp.einsum("bkgqd,bkmd->bkgqm", qg, kblk) * sm_scale
+        s = s.astype(jnp.float32)                       # [B,Hkv,g,T,bk]
+        cols = base + jnp.arange(block)[None, :]        # [1, bk]
+        mask = cols < T_k
+        if causal:
+            mask = mask & (cols <= rows)
+        if valid_len is not None:
+            mask = mask & (cols < valid_len)
+        s = jnp.where(mask[None, None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # all-masked rows keep m == -inf; shift by 0 there (exp(-inf-0))
+        shift = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - shift[..., None])               # [B,Hkv,g,T,bk]
+        corr = jnp.exp(jnp.where(jnp.isfinite(m), m - shift, -jnp.inf))
+        l = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bkgqm,bkmd->bkgqd", p.astype(vblk.dtype), vblk,
+                        preferred_element_type=jnp.float32)
+        acc = acc * corr[..., None] + pv
+        return (m_new, l, acc), None
+
+    init = (jnp.full((B, Hkv, H // Hkv, T), -jnp.inf, jnp.float32),
+            jnp.zeros((B, Hkv, H // Hkv, T), jnp.float32),
+            jnp.zeros((B, Hkv, H // Hkv, T, Dh), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb, starts))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(B, H, T, Dh).astype(v.dtype)
+
+
 def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
               causal: bool = False, valid_len=None, seg=None):
     """torch nn.MultiheadAttention semantics with fused in_proj.
@@ -291,6 +355,13 @@ def attention(p_attn: dict, q_in, k_in, v_in, cfg: GPTConfig,
             v = jnp.repeat(v, g, axis=1)
         out = _unheads(flash_attention(q, k, v, valid_len=valid_len,
                                        causal=causal))
+        return _linear(out, p_attn["out_w"], p_attn["out_b"])
+    if cfg.attn_block is not None and seg is None:
+        # blockwise online softmax (VERDICT r4 #3): the score tensor
+        # stays block-local. seg (packed rows) keeps the dense path.
+        out = _unheads(_blockwise_attention(
+            q, k, v, 1.0 / math.sqrt(cfg.head_dim), causal, valid_len,
+            cfg.attn_block))
         return _linear(out, p_attn["out_w"], p_attn["out_b"])
     scores = _gqa_scores(q, k, 1.0 / math.sqrt(cfg.head_dim))
     T_q, T_k = scores.shape[-2], scores.shape[-1]

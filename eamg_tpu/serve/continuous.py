@@ -741,6 +741,16 @@ class ContinuousBatcher:
                 and (not grammar or self.use_grammar)
                 and (not medusa or self.medusa))
 
+    def idle(self) -> bool:
+        """True when the engine has no live or queued work. A batch-1
+        request joining an empty engine pays the per-chunk packed
+        harvest RPCs alone (~25 ms x n_chunks on the tunnel — measured
+        2-3x the solo compiled decode for a ~500-token song), so the
+        pipeline serves lone requests solo and routes them here only
+        when concurrency exists (round-5 adaptive routing; outputs are
+        bit-identical either way, pinned by the engine parity tests)."""
+        return not self._live and self._q.empty() and not self._busy
+
     def _validate_params(self, top_k, greedy, top_p, min_p, penalties,
                          no_repeat_ngram=0, grammar=False, medusa=False):
         if grammar and not self.use_grammar:

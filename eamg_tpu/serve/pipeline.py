@@ -100,6 +100,15 @@ class Pipeline:
         # the shared decode (rows carry a traced on/off bit)
         if opts.pop("grammar", False) and coalesce:
             opts["grammar"] = self.grammar()
+        # adaptive batch-1 routing (round 5): at most ONE in-flight
+        # request may bypass an IDLE continuous engine for the solo
+        # compiled decode (the engine's per-chunk harvest RPCs cost a
+        # lone row 2-3x; outputs are bit-identical). The single-permit
+        # gate prevents a burst from thundering onto the serial solo
+        # path — followers join the engine, which is what it is for.
+        import threading
+
+        self._solo_gate = threading.Semaphore(1)
         if coalesce == "continuous":
             from .continuous import ContinuousBatcher
 
@@ -120,6 +129,17 @@ class Pipeline:
         """Compile the decode AND synth programs before the first request."""
         self.generate("warm up the compiler", seed=0,
                       render_audio=self.render_audio)
+        from .continuous import ContinuousBatcher
+
+        if isinstance(self.batcher, ContinuousBatcher):
+            # adaptive routing served the line above SOLO (engine was
+            # idle); warm the engine's chunk program too so the first
+            # concurrent burst doesn't hit a cold compile
+            start = [t for t in ("[START_SEQUENCE]",)
+                     if t in self.generator.vocab]
+            ids = self.generator.vocab.encode(start) if start else [1]
+            self.batcher.submit(ids, temperature=1.0,
+                                seed=0, top_p=self.batcher.top_p)
 
     def grammar(self):
         """The served scheme's decoding FSM (decode/grammar.py), built once
@@ -133,6 +153,40 @@ class Pipeline:
             else:
                 self._grammar_obj = grammar_a(self.generator.vocab)
         return self._grammar_obj
+
+    def _solo_ragged(self, prompt_ids: list, temperature: float,
+                     seed: int, top_p: float, min_p: float) -> list:
+        """Batch-1 one-shot decode through the engine's ragged math
+        (decode/ragged.py) with the engine's compiled sampling params —
+        bit-identical to the row the continuous engine would have run,
+        minus the per-chunk harvest RPCs. Used by the idle-engine
+        adaptive route only."""
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..decode.ragged import generate_kv_ragged
+
+        b = self.batcher
+        gen = self.generator
+        if len(prompt_ids) >= b.max_len:
+            return list(prompt_ids)       # zero steps (engine contract)
+        width = 16
+        while width < len(prompt_ids):
+            width *= 2
+        width = min(width, b.max_len)
+        prompt = np.zeros((1, width), np.int32)
+        prompt[0, :len(prompt_ids)] = prompt_ids
+        buf, pos = generate_kv_ragged(
+            gen.params, jnp.asarray(prompt),
+            jnp.asarray([len(prompt_ids)], np.int32),
+            jax.random.PRNGKey(int(seed))[None], gen.cfg, b.max_len,
+            temperature=float(temperature), top_k=b.top_k,
+            eos_id=gen.eos_id, pad_id=gen.pad_id, greedy=b.greedy,
+            mask_value=b.mask_value, top_p=float(top_p),
+            min_p=float(min_p))
+        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
 
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,
@@ -237,17 +291,32 @@ class Pipeline:
             # #3). Lookup (and medusa without an engine) stays solo.
             from .continuous import ContinuousBatcher
 
-            if medusa and isinstance(self.batcher, ContinuousBatcher) \
-                    and self.batcher.accepts(top_k=top_k, top_p=top_p,
-                                             min_p=min_p, medusa=True):
-                ids = self.batcher.submit(
-                    self.generator.vocab.encode(gen_prompt),
-                    temperature=temperature, top_k=top_k, seed=run_seed,
-                    top_p=top_p, min_p=min_p, medusa=True)
-            else:
-                ids = spec_fn(self.generator.vocab.encode(gen_prompt),
-                              temperature=temperature, top_k=top_k,
-                              seed=run_seed, top_p=top_p, min_p=min_p)[0]
+            route_engine = (medusa
+                            and isinstance(self.batcher, ContinuousBatcher)
+                            and self.batcher.accepts(top_k=top_k,
+                                                     top_p=top_p,
+                                                     min_p=min_p,
+                                                     medusa=True))
+            solo_bypass = False
+            if route_engine and self.batcher.idle():
+                # idle engine: lone medusa rows also pay the per-chunk
+                # harvest RPCs — bypass to the solo program (bit-exact)
+                solo_bypass = self._solo_gate.acquire(blocking=False)
+            try:
+                if route_engine and not solo_bypass:
+                    ids = self.batcher.submit(
+                        self.generator.vocab.encode(gen_prompt),
+                        temperature=temperature, top_k=top_k,
+                        seed=run_seed, top_p=top_p, min_p=min_p,
+                        medusa=True)
+                else:
+                    ids = spec_fn(self.generator.vocab.encode(gen_prompt),
+                                  temperature=temperature, top_k=top_k,
+                                  seed=run_seed, top_p=top_p,
+                                  min_p=min_p)[0]
+            finally:
+                if solo_bypass:
+                    self._solo_gate.release()
             tokens = self.generator.trim_at_eos(ids)
             return gen_prompt, tokens, tokens_to_song(tokens), dropped
         use_batcher = self.batcher is not None and getattr(
@@ -255,28 +324,50 @@ class Pipeline:
                 top_k=top_k, top_p=top_p, min_p=min_p,
                 penalties=penalties, no_repeat_ngram=no_repeat_ngram,
                 grammar=grammar)
-        if use_batcher:
-            # continuous engines compile top_k/greedy (and, outside
-            # per-row mode, top_p/min_p) engine-wide; a mismatching
-            # request falls through to the solo decode below
-            ids = self.batcher.submit(
-                self.generator.vocab.encode(gen_prompt),
-                temperature=temperature, top_k=top_k, seed=run_seed,
-                top_p=top_p, min_p=min_p, penalties=penalties,
-                no_repeat_ngram=no_repeat_ngram, grammar=grammar)
-            tokens = self.generator.trim_at_eos(ids)
-        elif self.use_cache:
-            tokens = self.generator.sample_kvcache(
-                gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
-                grammar=gram)
-        else:
-            tokens = self.generator.sample(
-                gen_prompt, temperature=temperature, top_k=top_k,
-                seed=run_seed, top_p=top_p, min_p=min_p,
-                penalties=penalties, no_repeat_ngram=no_repeat_ngram,
-                grammar=gram)
+        solo_bypass = False
+        if (use_batcher and penalties is None and not no_repeat_ngram
+                and not grammar
+                and getattr(self.batcher, "idle", lambda: False)()):
+            # adaptive routing (round 5): a lone request on an IDLE
+            # continuous engine pays ~25 ms packed-harvest RPC per
+            # 64-step chunk — measured 2-3x the one-shot compiled decode
+            # for a ~500-token song. Serve it through the batch-1 RAGGED
+            # program (the engine's exact math — rows bit-match it,
+            # test_continuous) so the bytes are identical either way;
+            # the single-permit gate sends concurrent followers to the
+            # engine.
+            solo_bypass = self._solo_gate.acquire(blocking=False)
+        try:
+            if solo_bypass:
+                ids = self._solo_ragged(
+                    self.generator.vocab.encode(gen_prompt),
+                    temperature, run_seed, top_p, min_p)
+                tokens = self.generator.trim_at_eos(ids)
+            elif use_batcher:
+                # continuous engines compile top_k/greedy (and, outside
+                # per-row mode, top_p/min_p) engine-wide; a mismatching
+                # request falls through to the solo decode below
+                ids = self.batcher.submit(
+                    self.generator.vocab.encode(gen_prompt),
+                    temperature=temperature, top_k=top_k, seed=run_seed,
+                    top_p=top_p, min_p=min_p, penalties=penalties,
+                    no_repeat_ngram=no_repeat_ngram, grammar=grammar)
+                tokens = self.generator.trim_at_eos(ids)
+            elif self.use_cache:
+                tokens = self.generator.sample_kvcache(
+                    gen_prompt, temperature=temperature, top_k=top_k,
+                    seed=run_seed, top_p=top_p, min_p=min_p,
+                    penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                    grammar=gram)
+            else:
+                tokens = self.generator.sample(
+                    gen_prompt, temperature=temperature, top_k=top_k,
+                    seed=run_seed, top_p=top_p, min_p=min_p,
+                    penalties=penalties, no_repeat_ngram=no_repeat_ngram,
+                    grammar=gram)
+        finally:
+            if solo_bypass:
+                self._solo_gate.release()
         return gen_prompt, tokens, tokens_to_song(tokens), dropped
 
     def generate(self, prompt_text: str, temperature: float = 1.0,

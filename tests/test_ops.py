@@ -188,3 +188,60 @@ def test_flash_decode_sp_matches_xla():
         ref = xla_decode_attention(q, k, v, t)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5, err_msg=f"t={t}")
+
+
+@pytest.mark.parametrize("kv_heads,block", [(4, 16), (2, 16), (4, 24)])
+def test_blockwise_attention_forward_and_grad_parity(kv_heads, block):
+    """VERDICT r4 #3: the blockwise online-softmax training attention
+    (GPTConfig.attn_block — lax.scan over KV blocks, score tensor never
+    materialized) must match the dense path in FORWARD logits and in
+    PARAMETER GRADIENTS (autodiff through the scan), including GQA and
+    a block size that does not divide T."""
+    from eamg_tpu.train.trainer import loss_fn
+
+    kw = dict(vocab_size=64, seq_len=48, d_model=32, n_head=4, n_layer=2,
+              pos_rows=48, causal=True, n_kv_heads=kv_heads)
+    cfg_d = GPTConfig(**kw)
+    cfg_b = GPTConfig(**kw, attn_block=block)
+    params = init_params(jax.random.PRNGKey(3), cfg_d)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, 64, (2, 47)).astype(np.int32))
+    y = jnp.asarray(rng.integers(1, 64, (2, 47)).astype(np.int32))
+
+    fd = forward(params, x, cfg_d)
+    fb = forward(params, x, cfg_b)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fd),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(p, cfg):
+        return loss_fn(p, x, y, cfg, 0)[0]
+
+    gd = jax.grad(loss)(params, cfg_d)
+    gb = jax.grad(loss)(params, cfg_b)
+    for pd, pb in zip(jax.tree.leaves(gd), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pd),
+                                   atol=3e-5, rtol=3e-3)
+
+
+def test_blockwise_attention_valid_len_masked_rows():
+    """Fully-masked rows (position 0 .. with valid_len=0 blocks) must not
+    NaN: the online-softmax carry handles all -inf score rows."""
+    from eamg_tpu.models.gpt import (_blockwise_attention, _gqa_scores,
+                                     _gqa_values)
+
+    rng = np.random.default_rng(1)
+    B, H, T, Dh = 1, 2, 12, 8
+    q = jnp.asarray(rng.normal(size=(B, H, T, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, Dh)).astype(np.float32))
+    out = _blockwise_attention(q, k, v, 0.5, True, 5, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # parity on the valid region vs the dense mask path
+    s = _gqa_scores(q, k, 0.5)
+    mask = (jnp.arange(T)[None, :] < 5) & (jnp.arange(T)[None, :]
+                                           <= jnp.arange(T)[:, None])
+    s = jnp.where(mask[None, None], s, jnp.finfo(s.dtype).min)
+    probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    ref = _gqa_values(probs.astype(v.dtype), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -653,6 +653,10 @@ def test_medusa_rides_running_engine():
     heads = init_medusa_heads(None, base.generator.cfg, 3)
     pipe = Pipeline(base.generator, base.classifier,
                     coalesce="continuous", medusa_heads=heads)
+    # simulate live concurrency: round-5 adaptive routing sends LONE
+    # requests on an idle engine to the solo decode (bit-identical,
+    # 2-3x lower tunnel latency) — this test is about the ENGINE path
+    pipe.batcher.idle = lambda: False
     try:
         assert pipe.batcher.medusa
         r1 = pipe.generate("so happy", seed=2, render_audio=False,
@@ -677,6 +681,46 @@ def test_medusa_rides_running_engine():
         assert pipe2.batcher.stats["served"] == served0  # solo decode
     finally:
         pipe2.batcher.close()
+
+
+def test_adaptive_solo_routing_idle_engine():
+    """Round-5 adaptive routing: a LONE request on an idle continuous
+    engine decodes solo (the engine's per-chunk harvest RPCs cost a
+    single row 2-3x on the tunnel), with BYTE-IDENTICAL output to the
+    engine path; simulated concurrency routes back to the engine; the
+    single-permit gate keeps a second idle-time caller on the engine."""
+    import threading
+
+    from eamg_tpu.serve import demo_pipeline
+
+    pipe = demo_pipeline(corrected=True, coalesce="continuous")
+    try:
+        served0 = pipe.batcher.stats["served"]
+        a = pipe.generate("so happy", seed=4, render_audio=False)
+        assert pipe.batcher.stats["served"] == served0  # solo bypass
+
+        # forced-busy: identical bytes through the engine
+        pipe.batcher.idle = lambda: False
+        b = pipe.generate("so happy", seed=4, render_audio=False)
+        assert pipe.batcher.stats["served"] == served0 + 1
+        assert a.midi_bytes == b.midi_bytes
+        del pipe.batcher.idle
+
+        # gate held (another solo decode in flight) -> engine, even idle
+        assert pipe._solo_gate.acquire(blocking=False)
+        try:
+            c = pipe.generate("so happy", seed=4, render_audio=False)
+            assert pipe.batcher.stats["served"] == served0 + 2
+            assert c.midi_bytes == a.midi_bytes
+        finally:
+            pipe._solo_gate.release()
+
+        # warmup() primes BOTH programs (engine served count advances)
+        served1 = pipe.batcher.stats["served"]
+        pipe.warmup()
+        assert pipe.batcher.stats["served"] == served1 + 1
+    finally:
+        pipe.batcher.close()
 
 
 def test_medusa_heads_mismatch_disabled_at_startup(tmp_path):
