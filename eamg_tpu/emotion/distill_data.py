@@ -3381,8 +3381,16 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         rng.shuffle(temps)
         eval_temps, train_temps_s = temps[:3], temps[3:]
         lid = label2id[label]
-        for _ in range(n_sit):
-            text = _fill_situation(rng.choice(train_temps_s), rng)
+        # coverage guarantee (round 5, banks 6-7): one fill of EVERY
+        # train frame first, then random draws up to n_sit — with 71
+        # frames/label, pure sampling would leave some of the new hand
+        # frames (the r4-proven abstraction lever) untrained
+        order = train_temps_s[:]
+        rng.shuffle(order)
+        draws = order + [rng.choice(train_temps_s)
+                         for _ in range(max(0, n_sit - len(order)))]
+        for tmpl in draws:
+            text = _fill_situation(tmpl, rng)
             # light word dropout on a third of situation rows: no single
             # surface word should be load-bearing for the schema
             if rng.random() < 0.6:

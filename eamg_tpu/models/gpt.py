@@ -272,16 +272,19 @@ def _unheads(x):
 
 
 def _blockwise_attention(q, k, v, sm_scale, causal, valid_len, block):
-    """Online-softmax attention scanned over KV blocks (pure XLA).
+    """Online-softmax attention over KV blocks (pure XLA, UNROLLED).
 
-    Never materializes the [B, H, T, T_k] f32 score tensor — each scan
-    step computes one [B, H, T, block] score slab and folds it into a
+    Never materializes the [B, H, T, T_k] f32 score tensor — each block
+    computes one [B, H, T, block] score slab and folds it into a
     running (row max, denominator, weighted-value accumulator) carry,
-    the flash-attention recurrence. Autodiff flows through lax.scan, so
+    the flash-attention recurrence. The loop is a python unroll, NOT
+    lax.scan: measured on the v5e, the scan barrier costs 30.35 vs
+    19.31 ms/step unrolled at the flagship shape (DESIGN §3.8 round-5
+    addendum), and long-scan bodies crash the axon remote-compile
+    helper at T=2048 where the unroll compiles. Autodiff just works, so
     training needs no custom bwd rule (the two documented pallas
-    blockers — no bwd rule + pathological remote compiles — don't
-    apply). Numerics match the dense path to f32-association tolerance;
-    grad parity is pinned in tests/test_ops.py."""
+    blockers don't apply). Numerics match the dense path to
+    f32-association tolerance; grad parity is pinned in test_ops.py."""
     B, H, T, Dh = q.shape
     Hkv = v.shape[1]
     T_k = k.shape[2]
@@ -290,19 +293,17 @@ def _blockwise_attention(q, k, v, sm_scale, causal, valid_len, block):
     if pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    # [nb, B, Hkv, block, Dh] scan operands
-    kb = k.reshape(B, Hkv, nb, block, Dh).transpose(2, 0, 1, 3, 4)
-    vb = v.reshape(B, Hkv, nb, block, Dh).transpose(2, 0, 1, 3, 4)
-    starts = jnp.arange(nb) * block
     qg = q.reshape(B, Hkv, H // Hkv, T, Dh)
     rows = jnp.arange(T)[:, None]                       # [T, 1]
-
-    def body(carry, inp):
-        m, l, acc = carry
-        kblk, vblk, base = inp
+    m = jnp.full((B, Hkv, H // Hkv, T), -jnp.inf, jnp.float32)
+    l = jnp.zeros((B, Hkv, H // Hkv, T), jnp.float32)
+    acc = jnp.zeros((B, Hkv, H // Hkv, T, Dh), jnp.float32)
+    for b in range(nb):
+        kblk = k[:, :, b * block:(b + 1) * block]
+        vblk = v[:, :, b * block:(b + 1) * block]
         s = jnp.einsum("bkgqd,bkmd->bkgqm", qg, kblk) * sm_scale
         s = s.astype(jnp.float32)                       # [B,Hkv,g,T,bk]
-        cols = base + jnp.arange(block)[None, :]        # [1, bk]
+        cols = b * block + jnp.arange(block)[None, :]   # [1, bk]
         mask = cols < T_k
         if causal:
             mask = mask & (cols <= rows)
@@ -318,12 +319,7 @@ def _blockwise_attention(q, k, v, sm_scale, causal, valid_len, block):
         pv = jnp.einsum("bkgqm,bkmd->bkgqd", p.astype(vblk.dtype), vblk,
                         preferred_element_type=jnp.float32)
         acc = acc * corr[..., None] + pv
-        return (m_new, l, acc), None
-
-    init = (jnp.full((B, Hkv, H // Hkv, T), -jnp.inf, jnp.float32),
-            jnp.zeros((B, Hkv, H // Hkv, T), jnp.float32),
-            jnp.zeros((B, Hkv, H // Hkv, T, Dh), jnp.float32))
-    (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb, starts))
+        m = m_new
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return out.reshape(B, H, T, Dh).astype(v.dtype)
 
