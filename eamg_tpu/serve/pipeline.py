@@ -731,6 +731,15 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
     ckpt = load_any_checkpoint(path)
     vocab = Vocab(ckpt["vocab"])
     scheme = detect_scheme(vocab)
+    if coalesce == "continuous":
+        # production default: 128-step chunks. Measured on the v5e
+        # (round 5, GQA-2 flagship, 8 staggered requests): 7,769 tok/s
+        # aggregate at chunk=64 -> 9,391 at chunk=128 — halving the
+        # ~25 ms packed-harvest RPCs per song outweighs the longer
+        # worst-case join wait (~1 chunk). Operators override with
+        # serve --chunk; the engine-class default stays 64 (join-latency
+        # -sensitive embedders, CPU test rigs).
+        coalesce_opts = {"chunk": 128, **(coalesce_opts or {})}
     if scheme in ("b1", "b2"):
         raise ValueError(
             f"Scheme-{scheme.upper()} checkpoints have no control tokens "
