@@ -420,7 +420,12 @@ def cmd_distill_emotion(args):
                        pretrain_epochs=args.pretrain_epochs,
                        gen_per_label=args.gen_per_label)
     metrics = distill_classifier(args.out, spec=spec)
-    print(json.dumps(metrics))
+    # empty splits report nan; stdout must stay strict JSON (RFC 8259)
+    import math
+
+    print(json.dumps({k: (None if isinstance(v, float)
+                          and not math.isfinite(v) else v)
+                      for k, v in metrics.items()}))
 
 
 def cmd_finetune_emotion(args):
