@@ -2537,7 +2537,7 @@ _SITUATIONS6: dict[str, list[str]] = {
     ],
     "confusion": [
         "the elevator buttons renumbered overnight and the fourth floor is now called two",
-        "my key opens the neighbor's mailbox and mine opens nothing",
+        "the parking garage camera remembers my plate on entry but the exit gate does not",
         "the recipe doubles the flour in step one and halves 'the mixture' in a step that never made any",
         "the gate agent called my row, then my name, then a flight i wasn't on",
         "the thermostat reads three different numbers on the dial, the app, and the wall",

@@ -202,7 +202,7 @@ SCHEMAS: dict[str, dict[str, list[str]]] = {
     },
     "confusion": {
         "events": [
-            "the invoice says paid, the portal says overdue, and the bank shows neither",
+            "the parcel says delivered thursday, the tracking says still in depot, and the courier app shows neither",
             "{person} swears the meeting moved to tuesday but the invite says thursday and the {room} is double booked",
             "the map app says the street exists, and the street very much does not",
             "the {object} arrived with two manuals that contradict each other on page one",

@@ -70,6 +70,27 @@ def test_situation_crosstalk_rate_pinned():
     assert worst[0][1] <= 5, worst
 
 
+def test_no_training_source_duplicates_ood_sentences():
+    """Round-5 regression guard: no situation bank template and no
+    situation_gen fragment may reproduce an OOD/implicit EVAL sentence
+    verbatim — a latent copy in situation_gen ('the invoice says
+    paid...') contaminated the implicit exam whenever the generator's
+    rng drew that frame."""
+    import eamg_tpu.emotion.situation_gen as sg
+    from eamg_tpu.emotion.distill_data import (OOD_EVAL, OOD_EVAL_CUE,
+                                               OOD_IMPLICIT,
+                                               situation_banks)
+
+    protected = ({t for t, _ in OOD_IMPLICIT}
+                 | {t for t, _ in OOD_EVAL}
+                 | {t for t, _ in OOD_EVAL_CUE})
+    gen_src = open(sg.__file__, encoding="utf-8").read()
+    leaked = [t for t in protected if t in gen_src]
+    assert leaked == [], leaked
+    bank_texts = {t for v in situation_banks().values() for t in v}
+    assert bank_texts & protected == set(), bank_texts & protected
+
+
 def test_situation_own_cue_zero():
     """ADVICE r3 #1 / VERDICT r4 weak #2: no situation frame may contain
     its OWN label's keyword-bank form — a frame leaning on an explicit
@@ -179,27 +200,27 @@ class TestPackagedCheckpoint:
         assert m["unseen_forms_acc_distilbert"] > \
             m["unseen_forms_acc_lexicon"]
         assert m["ood_acc_distilbert"] > m["ood_acc_lexicon"]
-        # round-4 floors, a few points under the shipped seed-2026
-        # artifact (OOD 0.815 / r2 0.857 / top3 0.923 / forms 0.569 /
-        # situations 0.240 / implicit 0.441 / frozen 0.333) — they pin
-        # the ARTIFACT against a silently-worse re-ship, not the retrain
-        # distribution (seed variance is large). DISCLOSED TRADE vs the
-        # round-3 bank-4 artifact (forms floor 0.60 -> 0.55): the bank-5
-        # + lint corpus systematically trades ~6pt of held-out-FORMS
-        # (0.634 -> 0.48-0.57 across seeds {7,42,1234,2026}) for the
-        # situation/implicit gains (implicit 0.357 -> 0.44, situations
-        # 0.216 -> 0.24-0.30, frozen exam newly tracked); see
-        # BENCHMARKS.md round-4 emotion section.
+        # round-5 floors, a few points under the shipped seed-7 artifact
+        # (OOD 0.810 / r2 0.821 / top3 0.923 / forms 0.550 / situations
+        # 0.421 / implicit 0.455 / frozen 0.363) — they pin the ARTIFACT
+        # against a silently-worse re-ship, not the retrain distribution
+        # (seed variance is large). The banks-6-7 corpus (+448 hand
+        # event frames, round 5) lifted the abstraction tiers over the
+        # r4 ship (situations 0.240 -> 0.421, frozen 0.333 -> 0.363,
+        # implicit 0.441 -> 0.455) at a DISCLOSED trade on the cue
+        # tiers for this seed (r2 0.857 -> 0.821, forms 0.569 -> 0.550;
+        # other seeds trade the other way — full table in BENCHMARKS.md
+        # round-5 emotion section).
         assert m["ood_acc_56_r2_metric"] >= 0.80, m
         assert m["ood_acc_distilbert"] >= 0.75, m
         assert m["ood_top3_distilbert"] >= 0.88, m
-        assert m["unseen_forms_acc_distilbert"] >= 0.55, m
-        assert m["ood_implicit_acc"] >= 0.38, m
-        assert m["ood_implicit_top3"] >= 0.55, m
-        assert m["eval_situations_acc"] >= 0.18, m
+        assert m["unseen_forms_acc_distilbert"] >= 0.53, m
+        assert m["ood_implicit_acc"] >= 0.42, m
+        assert m["ood_implicit_top3"] >= 0.60, m
+        assert m["eval_situations_acc"] >= 0.35, m
         # the frozen exam (never-trained generator eval-frames, committed
         # + hash-pinned) is the longitudinal abstraction metric
-        assert m["frozen_exam_acc"] >= 0.28, m
+        assert m["frozen_exam_acc"] >= 0.33, m
 
     def test_sanity_predictions(self):
         from eamg_tpu.emotion.infer import EmotionClassifier
