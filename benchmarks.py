@@ -598,30 +598,37 @@ def scenario_13_trained_demo_serving():
     fd.sort()
     out["sse_first_delta_p50_ms"] = round(fd[len(fd) // 2] * 1000, 1)
 
-    # (c) staggered concurrency through the engine
-    n_req, lat = 8, [0.0] * 8
-    results = [None] * n_req
+    # (c) staggered concurrency through the engine — best-of-3 (the §3.9
+    # rule: tunnel dispatch outliers land on whole runs; single-shot
+    # reads of this number have measured 6.4k-9.4k on identical code)
+    n_req = 8
+    best = None
+    for rep in range(3):
+        lat = [0.0] * n_req
+        results = [None] * n_req
 
-    def hit(i):
+        def hit(i):
+            t0 = time.perf_counter()
+            results[i] = pipe.generate(f"an angry march {i}",
+                                       seed=100 + i, render_audio=False)
+            lat[i] = time.perf_counter() - t0
+
+        threads = [threading.Thread(target=hit, args=(i,), daemon=True)
+                   for i in range(n_req)]
         t0 = time.perf_counter()
-        results[i] = pipe.generate(f"an angry march {i}", seed=100 + i,
-                                   render_audio=False)
-        lat[i] = time.perf_counter() - t0
-
-    threads = [threading.Thread(target=hit, args=(i,), daemon=True)
-               for i in range(n_req)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-        time.sleep(0.02)
-    for t in threads:
-        t.join(timeout=600)
-    wall = time.perf_counter() - t0
-    toks = sum(len(r.tokens) for r in results)
-    out["staggered_8"] = {
-        "wall_s": round(wall, 2),
-        "agg_tok_per_s": round(toks / wall, 1),
-        "p50_request_s": round(sorted(lat)[n_req // 2], 2)}
+        for t in threads:
+            t.start()
+            time.sleep(0.02)
+        for t in threads:
+            t.join(timeout=600)
+        wall = time.perf_counter() - t0
+        toks = sum(len(r.tokens) for r in results)
+        cur = {"wall_s": round(wall, 2),
+               "agg_tok_per_s": round(toks / wall, 1),
+               "p50_request_s": round(sorted(lat)[n_req // 2], 2)}
+        if best is None or cur["agg_tok_per_s"] > best["agg_tok_per_s"]:
+            best = cur
+    out["staggered_8"] = best
 
     # (d) medusa vs plain, interleaved best-of (solo batch-1 path)
     med_t, plain_t = [], []

@@ -61,7 +61,8 @@ class Pipeline:
                  scheme: str = "a", scheme_b=None, use_cache: bool = True,
                  coalesce: bool = False,
                  coalesce_opts: dict | None = None,
-                 medusa_heads: dict | None = None):
+                 medusa_heads: dict | None = None,
+                 engine_medusa: bool = False):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         # Medusa heads (tools.medusa.load_medusa_heads) enable the
@@ -113,11 +114,16 @@ class Pipeline:
             from .continuous import ContinuousBatcher
 
             # coalesce_opts: engine tuning (slots/chunk/max_len) exposed
-            # as serve CLI --slots/--chunk for operators. The checkpoint's
-            # Medusa heads compile per-row speculation into the engine
-            # (medusa=true requests JOIN the shared decode, r4; they no
-            # longer bypass it) unless the operator disables it.
-            if medusa_heads is not None and "medusa_heads" not in opts:
+            # as serve CLI --slots/--chunk for operators. engine_medusa
+            # compiles per-row speculation into the engine (medusa=true
+            # requests JOIN the shared decode, r4 machinery) — OFF by
+            # default since round 5: engine medusa measured 0.48-0.85x
+            # on every artifact (DESIGN §3.10) AND the medusa-capable
+            # engine state taxes PLAIN staggered-8 traffic ~25%
+            # (BENCHMARKS round 5). medusa=true requests decode solo
+            # (the only measured win) when the engine lacks heads.
+            if (engine_medusa and medusa_heads is not None
+                    and "medusa_heads" not in opts):
                 opts["medusa_heads"] = medusa_heads
             self.batcher = ContinuousBatcher(generator, **opts)
         elif coalesce:
@@ -716,8 +722,8 @@ class Pipeline:
 def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                              coalesce=False,
                              classifier: EmotionClassifier | None = None,
-                             coalesce_opts: dict | None = None
-                             ) -> Pipeline:
+                             coalesce_opts: dict | None = None,
+                             engine_medusa: bool = False) -> Pipeline:
     """Build a serving pipeline from ANY checkpoint directory: the token
     scheme is inferred from the stored vocabulary (checkpoints carry
     {params, vocab, cfg} but no scheme tag — reference layout,
@@ -802,11 +808,13 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
         pipe = Pipeline(gen, classifier, scheme="b3",
                         scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
                         coalesce=coalesce, coalesce_opts=coalesce_opts,
-                        medusa_heads=heads)
+                        medusa_heads=heads,
+                        engine_medusa=engine_medusa)
     else:
         gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
         pipe = Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
-                        coalesce_opts=coalesce_opts, medusa_heads=heads)
+                        coalesce_opts=coalesce_opts, medusa_heads=heads,
+                        engine_medusa=engine_medusa)
     pipe.medusa_unavailable = medusa_unavailable
     pipe.medusa_probe = medusa_probe
     return pipe

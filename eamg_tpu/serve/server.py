@@ -511,9 +511,17 @@ def main():  # pragma: no cover - CLI entry
                              "(default 8); window mode: max batch size")
     parser.add_argument("--chunk", type=int, default=None,
                         help="continuous engine: compiled steps between "
-                             "admission/harvest boundaries (default 64; "
-                             "smaller = faster join + finer streaming "
-                             "deltas, larger = less host sync overhead)")
+                             "admission/harvest boundaries (default 128 "
+                             "via the checkpoint loader; smaller = "
+                             "faster join + finer streaming deltas, "
+                             "larger = less host sync overhead)")
+    parser.add_argument("--engine-medusa", action="store_true",
+                        help="compile the checkpoint's medusa heads "
+                             "INTO the continuous engine (per-row "
+                             "speculation; measured 0.48-0.85x on every "
+                             "artifact and taxes plain traffic — "
+                             "default off; medusa=true requests decode "
+                             "solo)")
     parser.add_argument("--max-queue", type=int, default=None,
                         help="admission-queue bound before requests are "
                              "shed with 503 (default 256; 0 = unbounded)")
@@ -568,7 +576,9 @@ def main():  # pragma: no cover - CLI entry
         # checkpoint's vocabulary
         pipeline = pipeline_from_checkpoint(ckpt_dir, full_gm=args.full_gm,
                                             coalesce=args.coalesce,
-                                            coalesce_opts=coalesce_opts)
+                                            coalesce_opts=coalesce_opts,
+                                            engine_medusa=args.
+                                            engine_medusa)
         print(f"serving checkpoint {ckpt_dir} "
               f"(scheme {pipeline.scheme})")
     else:

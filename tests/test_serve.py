@@ -652,7 +652,8 @@ def test_medusa_rides_running_engine():
     base = demo_pipeline(corrected=True)
     heads = init_medusa_heads(None, base.generator.cfg, 3)
     pipe = Pipeline(base.generator, base.classifier,
-                    coalesce="continuous", medusa_heads=heads)
+                    coalesce="continuous", medusa_heads=heads,
+                    engine_medusa=True)   # r5: engine install is opt-in
     # simulate live concurrency: round-5 adaptive routing sends LONE
     # requests on an idle engine to the solo decode (bit-identical,
     # 2-3x lower tunnel latency) — this test is about the ENGINE path
