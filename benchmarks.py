@@ -651,6 +651,85 @@ def scenario_13_trained_demo_serving():
     return out
 
 
+def scenario_14_routing_churn():
+    """Round-5 adaptive-routing soak at the PIPELINE level: 120 requests
+    at random concurrency 1-6 through one flagship pipeline — the
+    single-permit solo gate and the engine must interleave cleanly under
+    churn (no errors, no slot leaks, gate released), and a same-seed
+    re-check must return byte-identical MIDI regardless of what load it
+    originally ran under (routing invisibility)."""
+    import random
+    import threading
+
+    from eamg_tpu.serve.pipeline import (packaged_demo_checkpoints,
+                                         pipeline_from_checkpoint)
+
+    d = packaged_demo_checkpoints()["a"]
+    pipe = pipeline_from_checkpoint(d, coalesce="continuous")
+    pipe.warmup()
+    rng = random.Random(0)
+    errors = []
+    first_bytes = {}
+    lock = threading.Lock()
+    done = 0
+
+    def hit(seed):
+        nonlocal done
+        try:
+            r = pipe.generate(f"song {seed % 7}", seed=seed,
+                              render_audio=False)
+            with lock:
+                first_bytes.setdefault(seed, r.midi_bytes)
+                if first_bytes[seed] != r.midi_bytes:
+                    errors.append(("mismatch", seed))
+        except Exception as exc:
+            errors.append((type(exc).__name__, str(exc)[:80]))
+        finally:
+            with lock:
+                done += 1
+
+    t0 = time.perf_counter()
+    n = 0
+    seeds = []
+    while n < 120:
+        burst = rng.randint(1, 6)
+        ts = []
+        for _ in range(burst):
+            seed = 1000 + (n % 40)   # repeated seeds across load shapes
+            seeds.append(seed)
+            th = threading.Thread(target=hit, args=(seed,), daemon=True)
+            th.start()
+            ts.append(th)
+            n += 1
+        for th in ts:
+            th.join(timeout=600)
+        if rng.random() < 0.3:
+            time.sleep(0.05)         # idle gaps: solo bypass re-arms
+    wall = time.perf_counter() - t0
+
+    # same-seed re-check SOLO (idle engine): bytes must match whatever
+    # load shape the seed first ran under
+    recheck = 0
+    for seed in list(first_bytes)[:10]:
+        r = pipe.generate(f"song {seed % 7}", seed=seed,
+                          render_audio=False)
+        if r.midi_bytes != first_bytes[seed]:
+            errors.append(("recheck_mismatch", seed))
+        recheck += 1
+    gate_free = pipe._solo_gate.acquire(blocking=False)
+    if gate_free:
+        pipe._solo_gate.release()
+    out = {"scenario": "routing_churn", "requests": done,
+           "errors": errors[:5], "n_errors": len(errors),
+           "wall_s": round(wall, 1),
+           "free_slots": len(pipe.batcher._free),
+           "queue_depth": pipe.batcher._q.qsize(),
+           "solo_gate_released": bool(gate_free),
+           "rechecked": recheck}
+    pipe.batcher.close()
+    return out
+
+
 SCENARIOS = {
     "1": scenario_1_classify,
     "2": scenario_2_greedy_256,
@@ -665,6 +744,7 @@ SCENARIOS = {
     "11": scenario_11_soak,
     "12": scenario_12_engine_medusa_mixed,
     "13": scenario_13_trained_demo_serving,
+    "14": scenario_14_routing_churn,
 }
 
 

@@ -937,6 +937,71 @@ class ContinuousBatcher:
         return (self._q.qsize() == 0 and not self._live
                 and not self._busy)
 
+    def run_detached(self, prompt_ids: list[int],
+                     temperature: float = 1.0, seed: int | None = None,
+                     max_len: int | None = None, top_p: float = 1.0,
+                     min_p: float = 0.0) -> list:
+        """One request through the engine's EXACT compiled programs on a
+        private state — byte-identical to an engine row on any backend
+        (same jitted admit/chunk programs; different programs flip
+        near-tie argmaxes on TPU, the §3.6 precision lesson, which is
+        why a separate one-shot solo program is NOT equivalent there) —
+        but with every chunk dispatched back-to-back and ONE final
+        packed fetch instead of a ~25 ms harvest RPC per chunk.
+
+        Used by the pipeline's idle-engine adaptive route. NOT
+        thread-safe (the caller holds the pipeline's single-permit solo
+        gate); does not touch the worker's live state."""
+        ml = int(min(max_len or self.max_len, self.max_len))
+        if len(prompt_ids) >= ml:
+            return list(prompt_ids)   # zero generation steps (reference)
+        if getattr(self, "_detached_state", None) is None:
+            # same geometry/flags as the worker's state => same compiled
+            # programs (admission into slot 0 replaces the slot's entire
+            # device state, so the private state is reusable; rows 1+
+            # stay permanently free/inert)
+            self._detached_state = init_state(
+                self.gen.cfg, self.slots, self.max_len,
+                per_row_sampling=self.per_row_sampling,
+                no_repeat_ngram=self.no_repeat_ngram,
+                grammar=self.use_grammar, medusa=self.medusa)
+        p = len(prompt_ids)
+        width = min(_bucket(p), self.max_len)
+        prompt = np.full((1, width), self.gen.pad_id, np.int32)
+        prompt[0, :p] = prompt_ids
+        state = admit_row(
+            self.gen.params, self._detached_state, jnp.asarray(prompt),
+            jnp.asarray(p, jnp.int32), jnp.asarray(0, jnp.int32),
+            jax.random.PRNGKey(int(seed) if seed is not None
+                               else int(time.time_ns() % 2**31)),
+            jnp.asarray(ml, jnp.int32),
+            jnp.asarray(float(temperature), jnp.float32),
+            self.gen.cfg, top_k=self.top_k, greedy=self.greedy,
+            mask_value=self.mask_value, eos_id=self.gen.eos_id,
+            pad_id=self.gen.pad_id, top_p=self.top_p,
+            row_top_p=float(top_p),
+            per_row_sampling=self.per_row_sampling,
+            row_min_p=float(min_p), row_penalties=_NEUTRAL_PEN,
+            no_repeat_ngram=self.no_repeat_ngram, row_ngram_on=False,
+            grammar=self._garr, use_grammar=self.use_grammar,
+            row_gram_on=False, medusa_row=False)
+        # upper bound of chunks; a done row is inert in later chunks
+        # (tested engine property), so over-dispatching is exact
+        n_chunks = -(-(ml - p - 1) // self.chunk)
+        for _ in range(max(n_chunks, 0)):
+            state = ragged_chunk(
+                self.gen.params, state, self.gen.cfg, chunk=self.chunk,
+                top_k=self.top_k, greedy=self.greedy,
+                mask_value=self.mask_value, eos_id=self.gen.eos_id,
+                pad_id=self.gen.pad_id, top_p=self.top_p,
+                per_row_sampling=self.per_row_sampling,
+                no_repeat_ngram=self.no_repeat_ngram,
+                grammar=self._garr, use_grammar=self.use_grammar)
+        self._detached_state = state
+        snap = np.asarray(_pack_snapshot(state))     # ONE host fetch
+        pos = int(snap[0, -2])
+        return snap[0, :min(pos, ml)].tolist()
+
     def close(self, timeout: float = 30.0):
         self._stop = True
         self._q.put(None)

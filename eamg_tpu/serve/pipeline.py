@@ -162,37 +162,15 @@ class Pipeline:
 
     def _solo_ragged(self, prompt_ids: list, temperature: float,
                      seed: int, top_p: float, min_p: float) -> list:
-        """Batch-1 one-shot decode through the engine's ragged math
-        (decode/ragged.py) with the engine's compiled sampling params —
-        bit-identical to the row the continuous engine would have run,
-        minus the per-chunk harvest RPCs. Used by the idle-engine
-        adaptive route only."""
-        import numpy as np
-
-        import jax
-        import jax.numpy as jnp
-
-        from ..decode.ragged import generate_kv_ragged
-
-        b = self.batcher
-        gen = self.generator
-        if len(prompt_ids) >= b.max_len:
-            return list(prompt_ids)       # zero steps (engine contract)
-        width = 16
-        while width < len(prompt_ids):
-            width *= 2
-        width = min(width, b.max_len)
-        prompt = np.zeros((1, width), np.int32)
-        prompt[0, :len(prompt_ids)] = prompt_ids
-        buf, pos = generate_kv_ragged(
-            gen.params, jnp.asarray(prompt),
-            jnp.asarray([len(prompt_ids)], np.int32),
-            jax.random.PRNGKey(int(seed))[None], gen.cfg, b.max_len,
-            temperature=float(temperature), top_k=b.top_k,
-            eos_id=gen.eos_id, pad_id=gen.pad_id, greedy=b.greedy,
-            mask_value=b.mask_value, top_p=float(top_p),
-            min_p=float(min_p))
-        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
+        """Batch-1 decode through the engine's OWN compiled programs on
+        a private state (ContinuousBatcher.run_detached): byte-identical
+        to the engine row on ANY backend — a separate one-shot program
+        flips near-tie argmaxes on TPU (§3.6), which the round-5 churn
+        soak caught — with all chunks dispatched back-to-back and one
+        final fetch. Caller holds the single-permit solo gate."""
+        return self.batcher.run_detached(
+            prompt_ids, temperature=temperature, seed=seed,
+            top_p=top_p, min_p=min_p)
 
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,

@@ -662,3 +662,33 @@ def test_soak_mixed_mode_no_slot_leak(generator):
         assert rss_mb() - rss0 < 512, "RSS grew during soak"
     finally:
         eng.close()
+
+
+def test_run_detached_bit_matches_engine_row(generator):
+    """Round 5: the pipeline's idle-engine bypass decodes through the
+    engine's OWN compiled programs on a private state
+    (ContinuousBatcher.run_detached) — the result must be IDENTICAL to
+    submitting the same request to the live engine (any backend; a
+    separate one-shot program flips near-tie argmaxes on TPU, §3.6),
+    and detached runs must not disturb live engine traffic."""
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+
+    eng = ContinuousBatcher(generator, slots=4, chunk=8, max_len=48)
+    try:
+        for seed, temp, plen in ((0, 1.0, 3), (7, 0.7, 5)):
+            prompt = list(range(1, plen + 1))
+            via_engine = eng.submit(prompt, temperature=temp, seed=seed)
+            detached = eng.run_detached(prompt, temperature=temp,
+                                        seed=seed)
+            assert detached == via_engine, (seed, detached, via_engine)
+        # interleaved: a detached run between two engine submits leaves
+        # the engine's own rows untouched
+        a = eng.submit([1, 2, 3], seed=11)
+        eng.run_detached([4, 5], seed=12)
+        b = eng.submit([1, 2, 3], seed=11)
+        assert a == b
+        # prompt at/over budget: zero generation steps (engine contract)
+        long_prompt = list(range(1, 50))
+        assert eng.run_detached(long_prompt, seed=0) == long_prompt
+    finally:
+        eng.close()
