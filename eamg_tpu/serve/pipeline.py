@@ -275,32 +275,24 @@ class Pipeline:
             # #3). Lookup (and medusa without an engine) stays solo.
             from .continuous import ContinuousBatcher
 
-            route_engine = (medusa
-                            and isinstance(self.batcher, ContinuousBatcher)
-                            and self.batcher.accepts(top_k=top_k,
-                                                     top_p=top_p,
-                                                     min_p=min_p,
-                                                     medusa=True))
-            solo_bypass = False
-            if route_engine and self.batcher.idle():
-                # idle engine: lone medusa rows also pay the per-chunk
-                # harvest RPCs — bypass to the solo program (bit-exact)
-                solo_bypass = self._solo_gate.acquire(blocking=False)
-            try:
-                if route_engine and not solo_bypass:
-                    ids = self.batcher.submit(
-                        self.generator.vocab.encode(gen_prompt),
-                        temperature=temperature, top_k=top_k,
-                        seed=run_seed, top_p=top_p, min_p=min_p,
-                        medusa=True)
-                else:
-                    ids = spec_fn(self.generator.vocab.encode(gen_prompt),
-                                  temperature=temperature, top_k=top_k,
-                                  seed=run_seed, top_p=top_p,
-                                  min_p=min_p)[0]
-            finally:
-                if solo_bypass:
-                    self._solo_gate.release()
+            # No idle-bypass here: a medusa-capable engine serves
+            # medusa=true rows through its own programs always — the
+            # solo medusa program is a DIFFERENT compiled program, and
+            # on TPU different programs flip near-tie argmaxes (§3.6;
+            # the round-5 churn soak caught exactly this for plain
+            # rows). In the default config (engine_medusa=False) medusa
+            # requests never reach the engine and always decode solo.
+            if medusa and isinstance(self.batcher, ContinuousBatcher) \
+                    and self.batcher.accepts(top_k=top_k, top_p=top_p,
+                                             min_p=min_p, medusa=True):
+                ids = self.batcher.submit(
+                    self.generator.vocab.encode(gen_prompt),
+                    temperature=temperature, top_k=top_k, seed=run_seed,
+                    top_p=top_p, min_p=min_p, medusa=True)
+            else:
+                ids = spec_fn(self.generator.vocab.encode(gen_prompt),
+                              temperature=temperature, top_k=top_k,
+                              seed=run_seed, top_p=top_p, min_p=min_p)[0]
             tokens = self.generator.trim_at_eos(ids)
             return gen_prompt, tokens, tokens_to_song(tokens), dropped
         use_batcher = self.batcher is not None and getattr(
