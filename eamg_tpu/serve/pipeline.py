@@ -62,7 +62,8 @@ class Pipeline:
                  coalesce: bool = False,
                  coalesce_opts: dict | None = None,
                  medusa_heads: dict | None = None,
-                 engine_medusa: bool = False):
+                 engine_medusa: bool = False,
+                 fast_routing: bool = False):
         self.generator = generator
         self.classifier = classifier or EmotionClassifier()
         # Medusa heads (tools.medusa.load_medusa_heads) enable the
@@ -110,6 +111,15 @@ class Pipeline:
         import threading
 
         self._solo_gate = threading.Semaphore(1)
+        # fast_routing=True decodes bypassed rows through the batch-1
+        # one-shot ragged program: ~70 ms lower E2E p50 on the tunnel
+        # (144.6 vs 217 ms measured, BENCHMARKS r5) but a DIFFERENT
+        # compiled program than the engine's chunk — on TPU, near-tie
+        # argmaxes flip across programs (§3.6), so same-seed bytes then
+        # depend on what load the request ran under. Default False:
+        # strict cross-load byte determinism via run_detached (the
+        # engine's own programs, private state).
+        self.fast_routing = bool(fast_routing)
         if coalesce == "continuous":
             from .continuous import ContinuousBatcher
 
@@ -162,15 +172,43 @@ class Pipeline:
 
     def _solo_ragged(self, prompt_ids: list, temperature: float,
                      seed: int, top_p: float, min_p: float) -> list:
-        """Batch-1 decode through the engine's OWN compiled programs on
-        a private state (ContinuousBatcher.run_detached): byte-identical
-        to the engine row on ANY backend — a separate one-shot program
-        flips near-tie argmaxes on TPU (§3.6), which the round-5 churn
-        soak caught — with all chunks dispatched back-to-back and one
-        final fetch. Caller holds the single-permit solo gate."""
-        return self.batcher.run_detached(
-            prompt_ids, temperature=temperature, seed=seed,
-            top_p=top_p, min_p=min_p)
+        """Bypassed-row decode. Default: the engine's OWN compiled
+        programs on a private state (ContinuousBatcher.run_detached) —
+        byte-identical to the engine row on ANY backend, all chunks
+        dispatched back-to-back with one final fetch. fast_routing: the
+        batch-1 one-shot ragged program (~70 ms faster on the tunnel;
+        near-tie TPU divergence across routes — see __init__). Caller
+        holds the single-permit solo gate."""
+        if not self.fast_routing:
+            return self.batcher.run_detached(
+                prompt_ids, temperature=temperature, seed=seed,
+                top_p=top_p, min_p=min_p)
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..decode.ragged import generate_kv_ragged
+
+        b = self.batcher
+        gen = self.generator
+        if len(prompt_ids) >= b.max_len:
+            return list(prompt_ids)       # zero steps (engine contract)
+        width = 16
+        while width < len(prompt_ids):
+            width *= 2
+        width = min(width, b.max_len)
+        prompt = np.zeros((1, width), np.int32)
+        prompt[0, :len(prompt_ids)] = prompt_ids
+        buf, pos = generate_kv_ragged(
+            gen.params, jnp.asarray(prompt),
+            jnp.asarray([len(prompt_ids)], np.int32),
+            jax.random.PRNGKey(int(seed))[None], gen.cfg, b.max_len,
+            temperature=float(temperature), top_k=b.top_k,
+            eos_id=gen.eos_id, pad_id=gen.pad_id, greedy=b.greedy,
+            mask_value=b.mask_value, top_p=float(top_p),
+            min_p=float(min_p))
+        return np.asarray(buf)[0, :int(np.asarray(pos)[0])].tolist()
 
     def _decode_for_mapping(self, mapping: dict, temperature: float,
                             top_k: int, run_seed: int,
@@ -693,7 +731,8 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                              coalesce=False,
                              classifier: EmotionClassifier | None = None,
                              coalesce_opts: dict | None = None,
-                             engine_medusa: bool = False) -> Pipeline:
+                             engine_medusa: bool = False,
+                             fast_routing: bool = False) -> Pipeline:
     """Build a serving pipeline from ANY checkpoint directory: the token
     scheme is inferred from the stored vocabulary (checkpoints carry
     {params, vocab, cfg} but no scheme tag — reference layout,
@@ -779,12 +818,14 @@ def pipeline_from_checkpoint(path: str, full_gm: bool = False,
                         scheme_b=SchemeB3(seq_len=ckpt["cfg"].seq_len),
                         coalesce=coalesce, coalesce_opts=coalesce_opts,
                         medusa_heads=heads,
-                        engine_medusa=engine_medusa)
+                        engine_medusa=engine_medusa,
+                        fast_routing=fast_routing)
     else:
         gen = Generator(ckpt["params"], ckpt["cfg"], vocab)
         pipe = Pipeline(gen, classifier, full_gm=full_gm, coalesce=coalesce,
                         coalesce_opts=coalesce_opts, medusa_heads=heads,
-                        engine_medusa=engine_medusa)
+                        engine_medusa=engine_medusa,
+                        fast_routing=fast_routing)
     pipe.medusa_unavailable = medusa_unavailable
     pipe.medusa_probe = medusa_probe
     return pipe

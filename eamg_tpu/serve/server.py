@@ -515,6 +515,13 @@ def main():  # pragma: no cover - CLI entry
                              "via the checkpoint loader; smaller = "
                              "faster join + finer streaming deltas, "
                              "larger = less host sync overhead)")
+    parser.add_argument("--fast-routing", action="store_true",
+                        help="idle-engine bypassed rows use the batch-1 "
+                             "one-shot program: ~70 ms lower p50, but "
+                             "same-seed bytes can differ by load shape "
+                             "on TPU (near-tie argmax flips across "
+                             "compiled programs). Default: strict "
+                             "cross-load byte determinism")
     parser.add_argument("--engine-medusa", action="store_true",
                         help="compile the checkpoint's medusa heads "
                              "INTO the continuous engine (per-row "
@@ -578,7 +585,9 @@ def main():  # pragma: no cover - CLI entry
                                             coalesce=args.coalesce,
                                             coalesce_opts=coalesce_opts,
                                             engine_medusa=args.
-                                            engine_medusa)
+                                            engine_medusa,
+                                            fast_routing=args.
+                                            fast_routing)
         print(f"serving checkpoint {ckpt_dir} "
               f"(scheme {pipeline.scheme})")
     else:
