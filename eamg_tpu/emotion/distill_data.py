@@ -3381,14 +3381,18 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         rng.shuffle(temps)
         eval_temps, train_temps_s = temps[:3], temps[3:]
         lid = label2id[label]
-        # coverage guarantee (round 5, banks 6-7): one fill of EVERY
-        # train frame first, then random draws up to n_sit — with 71
-        # frames/label, pure sampling would leave some of the new hand
-        # frames (the r4-proven abstraction lever) untrained
+        # coverage guarantee (round 5, banks 6-7): fill frames in a
+        # shuffled one-per-frame order FIRST, then random draws — at the
+        # shipped n_per_label=800 (n_sit=400 > ~68 frames) every hand
+        # frame trains >= 1x (pure sampling would leave some of the
+        # r4-proven abstraction lever untrained). Row COUNT is always
+        # exactly n_sit: small test corpora (n_sit < frame count) keep
+        # their label/type balance and simply cover a shuffled subset.
         order = train_temps_s[:]
         rng.shuffle(order)
-        draws = order + [rng.choice(train_temps_s)
-                         for _ in range(max(0, n_sit - len(order)))]
+        draws = (order + [rng.choice(train_temps_s)
+                          for _ in range(max(0, n_sit - len(order)))]
+                 )[:n_sit]
         for tmpl in draws:
             text = _fill_situation(tmpl, rng)
             # light word dropout on a third of situation rows: no single

@@ -58,11 +58,14 @@ class GPTConfig:
     # reference checkpoints are always MHA.
     n_kv_heads: int | None = None
     # Blockwise online-softmax training attention (VERDICT r4 #3): when
-    # set, attention() scans over KV blocks of this size with a running
+    # set, attention() iterates KV blocks of this size with a running
     # (max, denominator, accumulator) carry, so the [B, H, T, T] f32
-    # score tensor never materializes in HBM — pure XLA, autodiff
-    # through lax.scan, no pallas bwd rule needed. None = the dense
-    # score-tensor path (the numerics oracle). Grad parity tested.
+    # score tensor never materializes in HBM — pure XLA, plain autodiff,
+    # no pallas bwd rule needed. Deliberately an UNROLLED python loop,
+    # NOT lax.scan: scan measured 30.4 vs 19.3 ms/step unrolled and its
+    # long body crashes the axon remote compiler at T=2048 (DESIGN §3.8
+    # r5 addendum). None = the dense score-tensor path (the numerics
+    # oracle). Grad parity tested.
     attn_block: int | None = None
     # Mixture-of-experts FFN (None = dense, the reference arch). When set,
     # every ``moe_every``-th layer (counting from the moe_every-1-th)

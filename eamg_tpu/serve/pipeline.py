@@ -147,10 +147,13 @@ class Pipeline:
                       render_audio=self.render_audio)
         from .continuous import ContinuousBatcher
 
-        if isinstance(self.batcher, ContinuousBatcher):
-            # adaptive routing served the line above SOLO (engine was
-            # idle); warm the engine's chunk program too so the first
-            # concurrent burst doesn't hit a cold compile
+        if isinstance(self.batcher, ContinuousBatcher) \
+                and self.fast_routing:
+            # fast_routing: the bypassed warmup line used the one-shot
+            # program, so the engine's chunk program is still cold —
+            # warm it. (Default strict mode needs no extra song:
+            # run_detached already compiled the engine's exact
+            # admit/chunk/snapshot programs.)
             start = [t for t in ("[START_SEQUENCE]",)
                      if t in self.generator.vocab]
             ids = self.generator.vocab.encode(start) if start else [1]
@@ -190,14 +193,13 @@ class Pipeline:
 
         from ..decode.ragged import generate_kv_ragged
 
+        from ..decode.api import _bucket
+
         b = self.batcher
         gen = self.generator
         if len(prompt_ids) >= b.max_len:
             return list(prompt_ids)       # zero steps (engine contract)
-        width = 16
-        while width < len(prompt_ids):
-            width *= 2
-        width = min(width, b.max_len)
+        width = min(_bucket(len(prompt_ids)), b.max_len)
         prompt = np.zeros((1, width), np.int32)
         prompt[0, :len(prompt_ids)] = prompt_ids
         buf, pos = generate_kv_ragged(
@@ -857,7 +859,8 @@ def packaged_demo_checkpoint() -> str:
 def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
                   n_layer: int = 2, seed: int = 0, corrected: bool = False,
                   coalesce: bool = False,
-                  coalesce_opts: dict | None = None) -> Pipeline:
+                  coalesce_opts: dict | None = None,
+                  fast_routing: bool = False) -> Pipeline:
     """Self-contained pipeline with a randomly-initialized Scheme-A model
     over a synthetic-corpus vocabulary — runs end-to-end with no trained
     checkpoint (the reference cannot start without its gitignored .pt).
@@ -879,7 +882,8 @@ def demo_pipeline(seq_len: int = 128, d_model: int = 128, n_head: int = 4,
     params = init_params(jax.random.PRNGKey(seed), cfg)
     gen = Generator(params, cfg, vocab)
     return Pipeline(gen, EmotionClassifier(),  # auto: neural when shipped
-                    coalesce=coalesce, coalesce_opts=coalesce_opts)
+                    coalesce=coalesce, coalesce_opts=coalesce_opts,
+                    fast_routing=fast_routing)
 
 
 def demo_pipeline_b3(seq_len: int = 96, d_model: int = 64, n_head: int = 4,

@@ -593,10 +593,16 @@ def main():  # pragma: no cover - CLI entry
     else:
         from .pipeline import demo_pipeline
 
-        # --coalesce needs the corrected causal demo architecture
+        # --coalesce needs the corrected causal demo architecture.
+        # (--engine-medusa is meaningless here: the random demo ships
+        # no heads; say so instead of silently ignoring the flag)
+        if args.engine_medusa:
+            print("[serve] --engine-medusa ignored: the random demo "
+                  "pipeline has no medusa heads")
         pipeline = demo_pipeline(corrected=args.coalesce,
                                  coalesce=args.coalesce,
-                                 coalesce_opts=coalesce_opts)
+                                 coalesce_opts=coalesce_opts,
+                                 fast_routing=args.fast_routing)
     print("warming up (first compile)...")
     pipeline.warmup()
     server = make_server(pipeline, args.host, args.port, quiet=False)

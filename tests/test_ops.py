@@ -193,10 +193,10 @@ def test_flash_decode_sp_matches_xla():
 @pytest.mark.parametrize("kv_heads,block", [(4, 16), (2, 16), (4, 24)])
 def test_blockwise_attention_forward_and_grad_parity(kv_heads, block):
     """VERDICT r4 #3: the blockwise online-softmax training attention
-    (GPTConfig.attn_block — lax.scan over KV blocks, score tensor never
-    materialized) must match the dense path in FORWARD logits and in
-    PARAMETER GRADIENTS (autodiff through the scan), including GQA and
-    a block size that does not divide T."""
+    (GPTConfig.attn_block — unrolled loop over KV blocks, score tensor
+    never materialized) must match the dense path in FORWARD logits and
+    in PARAMETER GRADIENTS (plain autodiff), including GQA and a block
+    size that does not divide T."""
     from eamg_tpu.train.trainer import loss_fn
 
     kw = dict(vocab_size=64, seq_len=48, d_model=32, n_head=4, n_layer=2,

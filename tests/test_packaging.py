@@ -28,6 +28,8 @@ def _clean_env():
 
 @pytest.mark.slow
 def test_wheel_builds_installs_and_runs(tmp_path):
+    pytest.importorskip("build", reason="PEP 517 'build' tool not "
+                                        "installed on this host")
     dist = tmp_path / "dist"
     r = subprocess.run(
         [sys.executable, "-m", "build", "--wheel", "--no-isolation",

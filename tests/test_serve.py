@@ -716,7 +716,24 @@ def test_adaptive_solo_routing_idle_engine():
         finally:
             pipe._solo_gate.release()
 
-        # warmup() primes BOTH programs (engine served count advances)
+        # warmup() in default STRICT mode needs no extra engine song:
+        # run_detached already compiled the engine's exact programs
+        served1 = pipe.batcher.stats["served"]
+        pipe.warmup()
+        assert pipe.batcher.stats["served"] == served1
+    finally:
+        pipe.batcher.close()
+
+    # fast_routing: the bypass uses the one-shot program (lower latency,
+    # near-tie TPU divergence documented), so warmup must ALSO prime the
+    # engine's chunk program with one engine song
+    pipe = demo_pipeline(corrected=True, coalesce="continuous",
+                         fast_routing=True)
+    try:
+        served0 = pipe.batcher.stats["served"]
+        a = pipe.generate("so happy", seed=4, render_audio=False)
+        assert pipe.batcher.stats["served"] == served0  # one-shot solo
+        assert a.midi_bytes[:4] == b"MThd"
         served1 = pipe.batcher.stats["served"]
         pipe.warmup()
         assert pipe.batcher.stats["served"] == served1 + 1
