@@ -83,3 +83,29 @@ def test_hf_export_round_trip(ckpt_dir, tmp_path):
     clf = EmotionClassifier(backend="distilbert",
                             checkpoint_dir=str(back_dir), max_length=16)
     assert isinstance(clf.predict("i am so scared"), str)
+
+
+def test_probs_memoized_per_text():
+    """Round 5: the classifier forward is deterministic, so per-text
+    memoization must return identical results, hit the cache on repeat
+    (no new entry), and stay bounded."""
+    from eamg_tpu.emotion.infer import EmotionClassifier
+
+    clf = EmotionClassifier()
+    if clf.backend == "lexicon":
+        import pytest
+        pytest.skip("no neural checkpoint shipped")
+    a = clf.predict("i am grateful, thank you")
+    n0 = len(clf._probs_cache)
+    b = clf.predict("i am grateful, thank you")
+    assert a == b
+    assert len(clf._probs_cache) == n0          # served from cache
+    import numpy as np
+    assert isinstance(next(iter(clf._probs_cache.values())), np.ndarray)
+    # bound: fill past the cap, cache never exceeds it
+    clf._probs_cache.clear()
+    for i in range(520):
+        clf._probs_cache[f"k{i}"] = np.zeros(1)
+    clf._probs_cache = dict(list(clf._probs_cache.items())[-500:])
+    clf.predict("a fresh sentence about the harvest")
+    assert len(clf._probs_cache) <= 512
