@@ -769,7 +769,8 @@ def main(argv=None):
     di.add_argument("--n-layers", type=int, default=4)
     di.add_argument("--epochs", type=int, default=12)
     di.add_argument("--seed", type=int, default=2026)
-    di.add_argument("--n-per-label", type=int, default=800)
+    di.add_argument("--n-per-label", type=int, default=1200,
+                    help="template rows per label (the shipped recipe; the\n                         {800,1200,1600} sweep peaked at 1200 — BENCHMARKS r5)")
     di.add_argument("--pool", default="max",
                     choices=["max", "cls", "mean"],
                     help="max = per-token cue-detector head (the shipped "

@@ -45,7 +45,8 @@ class ScratchSpec:
     batch: int = 64
     epochs: int = 12
     seed: int = 42
-    n_per_label: int = 800   # each surface form needs ~10 template contexts
+    n_per_label: int = 1200  # rows/label; {800,1200,1600} swept, 1200
+                             # is the hump (BENCHMARKS r5)
     label_smoothing: float = 0.05
     pool: str = "cls"
     piece_dropout: float = 0.15  # P(word -> random stem split) in training
