@@ -692,3 +692,21 @@ def test_run_detached_bit_matches_engine_row(generator):
         assert eng.run_detached(long_prompt, seed=0) == long_prompt
     finally:
         eng.close()
+
+
+def test_run_detached_per_row_sampling_engine(generator):
+    """run_detached must also match engine rows on a per-row-sampling
+    engine (row top_p/min_p compiled as traced operands)."""
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+
+    eng = ContinuousBatcher(generator, slots=4, chunk=8, max_len=48,
+                            per_row_sampling=True)
+    try:
+        prompt = [1, 2, 3]
+        for top_p in (1.0, 0.6):
+            a = eng.submit(prompt, temperature=0.9, seed=5, top_p=top_p)
+            b = eng.run_detached(prompt, temperature=0.9, seed=5,
+                                 top_p=top_p)
+            assert a == b, (top_p, a, b)
+    finally:
+        eng.close()
