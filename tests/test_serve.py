@@ -257,7 +257,9 @@ def test_http_fuzz_contract_4xx_never_500(server):
     for field, val in (("temperature", "warm"), ("top_k", "many"),
                        ("top_p", "0..9"), ("seed", "abc"),
                        ("repetition_penalty", "--"),
-                       ("no_repeat_ngram", "99")):
+                       ("no_repeat_ngram", "99"),
+                       ("beams", "lots"), ("beams", "-3"),
+                       ("beams", "999"), ("length_penalty", "none")):
         body = f"prompt=hello&{field}={val}".encode()
         code = _expect_4xx(server, body,
                            "application/x-www-form-urlencoded")
