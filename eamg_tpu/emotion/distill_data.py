@@ -3383,7 +3383,7 @@ def make_corpus(n_per_label: int = 220, seed: int = 0,
         lid = label2id[label]
         # coverage guarantee (round 5, banks 6-7): fill frames in a
         # shuffled one-per-frame order FIRST, then random draws — at the
-        # shipped n_per_label=800 (n_sit=400 > ~68 frames) every hand
+        # shipped n_per_label=1200 (n_sit=600 > ~68 frames) every hand
         # frame trains >= 1x (pure sampling would leave some of the
         # r4-proven abstraction lever untrained). Row COUNT is always
         # exactly n_sit: small test corpora (n_sit < frame count) keep

@@ -101,7 +101,14 @@ class EmotionClassifier:
                             self._cfg)
         probs = np.asarray(jax.nn.softmax(logits[0]))
         if len(self._probs_cache) >= 512:
-            self._probs_cache.pop(next(iter(self._probs_cache)))
+            # tolerant eviction under the threaded server: another
+            # thread may pop the same first key or mutate the dict
+            # mid-iteration; losing one eviction is harmless
+            try:
+                self._probs_cache.pop(next(iter(self._probs_cache)),
+                                      None)
+            except (RuntimeError, StopIteration):
+                pass
         self._probs_cache[text] = probs
         return probs
 

@@ -952,6 +952,9 @@ class ContinuousBatcher:
         Used by the pipeline's idle-engine adaptive route. NOT
         thread-safe (the caller holds the pipeline's single-permit solo
         gate); does not touch the worker's live state."""
+        # same admission contract as submit(): per-row sampling values
+        # on a non-per-row engine must REJECT, not silently no-op
+        self._validate_params(None, None, top_p, min_p, None)
         ml = int(min(max_len or self.max_len, self.max_len))
         if len(prompt_ids) >= ml:
             return list(prompt_ids)   # zero generation steps (reference)
@@ -986,9 +989,12 @@ class ContinuousBatcher:
             grammar=self._garr, use_grammar=self.use_grammar,
             row_gram_on=False, medusa_row=False)
         # upper bound of chunks; a done row is inert in later chunks
-        # (tested engine property), so over-dispatching is exact
-        n_chunks = -(-(ml - p - 1) // self.chunk)
-        for _ in range(max(n_chunks, 0)):
+        # (tested engine property), so over-dispatching is exact. One
+        # midpoint done-check (a single extra ~25 ms packed fetch)
+        # bounds the dead full-batch device time for early-EOS songs at
+        # roughly half the budget instead of all of it.
+        n_chunks = max(-(-(ml - p - 1) // self.chunk), 0)
+        for ci in range(n_chunks):
             state = ragged_chunk(
                 self.gen.params, state, self.gen.cfg, chunk=self.chunk,
                 top_k=self.top_k, greedy=self.greedy,
@@ -997,6 +1003,9 @@ class ContinuousBatcher:
                 per_row_sampling=self.per_row_sampling,
                 no_repeat_ngram=self.no_repeat_ngram,
                 grammar=self._garr, use_grammar=self.use_grammar)
+            if n_chunks >= 4 and ci == n_chunks // 2 - 1:
+                if bool(np.asarray(_pack_snapshot(state))[0, -1]):
+                    break
         self._detached_state = state
         snap = np.asarray(_pack_snapshot(state))     # ONE host fetch
         pos = int(snap[0, -2])
@@ -1124,7 +1133,8 @@ class ContinuousBatcher:
         self.state = init_state(self.gen.cfg, self.slots, self.max_len,
                                 per_row_sampling=self.per_row_sampling,
                                 no_repeat_ngram=self.no_repeat_ngram,
-                                grammar=self.use_grammar)
+                                grammar=self.use_grammar,
+                                medusa=self.medusa)
 
     def _worker(self):
         pending_fetch = None

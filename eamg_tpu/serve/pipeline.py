@@ -120,6 +120,10 @@ class Pipeline:
         # strict cross-load byte determinism via run_detached (the
         # engine's own programs, private state).
         self.fast_routing = bool(fast_routing)
+        # warmup bookkeeping: True once the engine's compiled programs
+        # have been exercised this process (by an engine submit OR by
+        # the strict bypass, which uses the same jitted callables)
+        self._engine_warm = False
         if coalesce == "continuous":
             from .continuous import ContinuousBatcher
 
@@ -148,17 +152,20 @@ class Pipeline:
         from .continuous import ContinuousBatcher
 
         if isinstance(self.batcher, ContinuousBatcher) \
-                and self.fast_routing:
-            # fast_routing: the bypassed warmup line used the one-shot
-            # program, so the engine's chunk program is still cold —
-            # warm it. (Default strict mode needs no extra song:
-            # run_detached already compiled the engine's exact
-            # admit/chunk/snapshot programs.)
+                and not self._engine_warm:
+            # the generate() above did not touch the engine's compiled
+            # programs (fast_routing's one-shot program, or an
+            # accepts()-mismatched engine config like --engine-top-p):
+            # warm the chunk program now so the first production
+            # request doesn't hit a multi-minute cold compile on the
+            # tunnel (CLAUDE.md round-2 pathology)
             start = [t for t in ("[START_SEQUENCE]",)
                      if t in self.generator.vocab]
             ids = self.generator.vocab.encode(start) if start else [1]
-            self.batcher.submit(ids, temperature=1.0,
-                                seed=0, top_p=self.batcher.top_p)
+            self.batcher.submit(
+                ids, temperature=1.0, seed=0, top_p=self.batcher.top_p,
+                no_repeat_ngram=self.batcher.no_repeat_ngram)
+            self._engine_warm = True
 
     def grammar(self):
         """The served scheme's decoding FSM (decode/grammar.py), built once
@@ -183,9 +190,11 @@ class Pipeline:
         near-tie TPU divergence across routes — see __init__). Caller
         holds the single-permit solo gate."""
         if not self.fast_routing:
-            return self.batcher.run_detached(
+            out = self.batcher.run_detached(
                 prompt_ids, temperature=temperature, seed=seed,
                 top_p=top_p, min_p=min_p)
+            self._engine_warm = True   # same compiled programs
+            return out
         import numpy as np
 
         import jax
@@ -368,6 +377,7 @@ class Pipeline:
                     temperature=temperature, top_k=top_k, seed=run_seed,
                     top_p=top_p, min_p=min_p, penalties=penalties,
                     no_repeat_ngram=no_repeat_ngram, grammar=grammar)
+                self._engine_warm = True
                 tokens = self.generator.trim_at_eos(ids)
             elif self.use_cache:
                 tokens = self.generator.sample_kvcache(

@@ -191,3 +191,41 @@ def test_medusa_row_with_top_p_matches_solo(generator, heads):
         assert got == want
     finally:
         eng.close()
+
+
+def test_fail_all_preserves_medusa_state_shape(generator, heads,
+                                               monkeypatch):
+    """Round-5 regression (review finding): _fail_all must rebuild the
+    engine state WITH the medusa fields on a medusa-capable engine —
+    without them the next medusa row KeyErrors on state['h_last'] and
+    every later request re-fails; even plain rows would retrace against
+    a different pytree (fresh compile + cross-program numerics)."""
+    import pytest
+
+    import eamg_tpu.serve.continuous as cont
+    from eamg_tpu.serve.continuous import ContinuousBatcher
+
+    eng = ContinuousBatcher(generator, slots=2, chunk=4, max_len=16,
+                            medusa_heads=heads)
+    try:
+        real = cont.ragged_chunk
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected backend failure")
+            return real(*a, **k)
+
+        monkeypatch.setattr(cont, "ragged_chunk", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            eng.submit([1, 2], seed=1, timeout=60)
+        # recovered state still carries the medusa fields
+        assert "h_last" in eng.state and "med_on" in eng.state
+        # a medusa row AND a plain row both serve after the failure
+        got_m = eng.submit([1, 2], seed=3, timeout=120, medusa=True)
+        assert len(got_m) > 2
+        got_p = eng.submit([3, 4], seed=2, timeout=120)
+        assert len(got_p) > 2
+    finally:
+        eng.close()

@@ -102,10 +102,12 @@ def test_probs_memoized_per_text():
     assert len(clf._probs_cache) == n0          # served from cache
     import numpy as np
     assert isinstance(next(iter(clf._probs_cache.values())), np.ndarray)
-    # bound: fill past the cap, cache never exceeds it
+    # bound: with the cache AT the cap, a real predict must evict the
+    # oldest entry (FIFO) and stay exactly at the cap
     clf._probs_cache.clear()
-    for i in range(520):
+    for i in range(512):
         clf._probs_cache[f"k{i}"] = np.zeros(1)
-    clf._probs_cache = dict(list(clf._probs_cache.items())[-500:])
     clf.predict("a fresh sentence about the harvest")
-    assert len(clf._probs_cache) <= 512
+    assert len(clf._probs_cache) == 512
+    assert "k0" not in clf._probs_cache          # oldest evicted
+    assert "a fresh sentence about the harvest" in clf._probs_cache
