@@ -989,10 +989,13 @@ class ContinuousBatcher:
             grammar=self._garr, use_grammar=self.use_grammar,
             row_gram_on=False, medusa_row=False)
         # upper bound of chunks; a done row is inert in later chunks
-        # (tested engine property), so over-dispatching is exact. One
-        # midpoint done-check (a single extra ~25 ms packed fetch)
-        # bounds the dead full-batch device time for early-EOS songs at
-        # roughly half the budget instead of all of it.
+        # (tested engine property), so over-dispatching is exact. For
+        # LONG budgets (>= 6 chunks) one midpoint done-check (an extra
+        # ~25 ms packed fetch) bounds the dead full-batch device time
+        # for early-EOS songs at roughly half the budget; short budgets
+        # skip it — the flagship serves 4-chunk songs that run
+        # near-full-length (median 493/511), where the fetch would be a
+        # pure ~25 ms tax (measured serving distribution, BENCHMARKS).
         n_chunks = max(-(-(ml - p - 1) // self.chunk), 0)
         for ci in range(n_chunks):
             state = ragged_chunk(
@@ -1003,7 +1006,7 @@ class ContinuousBatcher:
                 per_row_sampling=self.per_row_sampling,
                 no_repeat_ngram=self.no_repeat_ngram,
                 grammar=self._garr, use_grammar=self.use_grammar)
-            if n_chunks >= 4 and ci == n_chunks // 2 - 1:
+            if n_chunks >= 6 and ci == n_chunks // 2 - 1:
                 if bool(np.asarray(_pack_snapshot(state))[0, -1]):
                     break
         self._detached_state = state
